@@ -1,0 +1,151 @@
+"""Coulomb kernel on the G mesh, exchange-divergence treatments, Ewald sums.
+
+Host-side float64 builders for per-geometry constants:
+
+  * :func:`get_coulG` — 4 pi / |k+G|^2 with wrap-around of high-frequency
+    k+G, the G=0 conventions, and the Ewald probe-charge ('ewald') /
+    spherical-cutoff ('vcut_sph') exchange-divergence corrections
+    (reference semantics: pyscf/pbc/tools/pbc.py:230-420),
+  * :func:`ewald` — real+reciprocal Ewald sum for the nuclear repulsion
+    (reference: pyscf/pbc/gto/cell.py:648-800),
+  * :func:`madelung` — probe-charge Madelung constant, = -2 x ewald energy
+    of a unit point charge in the (k-mesh-scaled) cell
+    (reference: pyscf/pbc/tools/pbc.py:483-512).
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import erfc
+
+from pyscf_isdf_tpu import lattice
+from pyscf_isdf_tpu.cell import _estimate_rcut
+
+
+def get_coulG(cell, k=None, exxdiv=None, mesh=None, Gv=None, kpts=None,
+              wrap_around=True, omega=None) -> np.ndarray:
+    """Coulomb kernel 4 pi/|k+G|^2 for all G on the mesh (float64, host).
+
+    Args:
+        k: momentum transfer (3,) — zero for J builds, k_j - k_i for K.
+        exxdiv: None | 'ewald' | 'vcut_sph' — G=0 divergence treatment for
+            exchange matrix elements.
+        kpts: full k-point set (used by the ewald probe-charge correction).
+    """
+    if mesh is None:
+        mesh = cell.mesh
+    if Gv is None:
+        Gv = cell.get_Gv(mesh)
+    if k is None:
+        k = np.zeros(3)
+    k = np.asarray(k, dtype=np.float64)
+
+    kG = Gv + k if abs(k).sum() > 1e-9 else Gv
+
+    equal2boundary = None
+    if wrap_around and abs(k).sum() > 1e-9:
+        # wrap high-frequency k+G back into the first FFT Brillouin zone so
+        # Gamma and k-point calculations agree
+        kG = kG.copy()
+        equal2boundary = np.zeros(Gv.shape[0], dtype=bool)
+        b = cell.reciprocal_vectors()
+        box_edge = (np.asarray(mesh) // 2 + 0.5)[:, None] * b
+        reduced = np.linalg.solve(box_edge.T, kG.T).T.round(9)
+        on_edge = reduced.astype(int)
+        for i in range(cell.dimension):
+            equal2boundary |= reduced[:, i] == 1
+            equal2boundary |= reduced[:, i] == -1
+            kG[on_edge[:, i] == 1] -= 2 * box_edge[i]
+            kG[on_edge[:, i] == -1] += 2 * box_edge[i]
+
+    absG2 = np.einsum("gi,gi->g", kG, kG)
+    G0_idx = absG2 == 0
+
+    if kpts is None:
+        kpts = k.reshape(1, 3)
+    Nk = len(np.asarray(kpts).reshape(-1, 3))
+
+    if exxdiv == "vcut_sph":
+        Rc = (3 * Nk * cell.vol / (4 * np.pi)) ** (1.0 / 3)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coulG = 4 * np.pi / absG2 * (1.0 - np.cos(np.sqrt(absG2) * Rc))
+        coulG[G0_idx] = 4 * np.pi * 0.5 * Rc**2
+    else:
+        with np.errstate(divide="ignore"):
+            coulG = 4 * np.pi / absG2
+        coulG[G0_idx] = 0
+        if exxdiv == "ewald" and G0_idx.any():
+            coulG[G0_idx] += Nk * cell.vol * madelung(cell, kpts)
+
+    if equal2boundary is not None:
+        coulG[equal2boundary] = 0
+
+    if omega is not None and omega != 0:
+        if omega > 0:
+            coulG *= np.exp(-0.25 / omega**2 * absG2)
+        else:
+            coulG *= 1 - np.exp(-0.25 / omega**2 * absG2)
+    return coulG
+
+
+def ewald_params(cell, precision=None):
+    """Gaussian-charge width eta and real-space cutoff for the Ewald sum."""
+    precision = precision or cell.precision
+    ew_eta = 1.0 / cell.vol ** (1.0 / 6)
+    ew_cut = _estimate_rcut(ew_eta**2, 0, 1.0, precision)
+    return ew_eta, ew_cut
+
+
+def ewald(cell, ew_eta=None, ew_cut=None) -> float:
+    """Ewald energy of the point charges in ``cell`` (3D)."""
+    if cell.natm == 0:
+        return 0.0
+    chargs = cell.charges
+    if ew_eta is None or ew_cut is None:
+        ew_eta, ew_cut = ewald_params(cell)
+
+    coords = cell.coords
+    Lall = lattice.lattice_images(cell.a, ew_cut, cell.dimension)
+    rLij = coords[:, None, :] - coords[None, :, :] + Lall[:, None, None, :]
+    r = np.sqrt(np.einsum("Lijx,Lijx->Lij", rLij, rLij))
+    r[r < 1e-16] = 1e200
+    ewovrl = 0.5 * np.einsum("i,j,Lij->", chargs, chargs, erfc(ew_eta * r) / r)
+
+    ewself = -0.5 * np.dot(chargs, chargs) * 2 * ew_eta / np.sqrt(np.pi)
+    if cell.dimension == 3:
+        ewself += -0.5 * np.sum(chargs) ** 2 * np.pi / (ew_eta**2 * cell.vol)
+
+    # G-space: 1/2 sum_{G!=0} |sum_a Z_a e^{iG.R_a}|^2 4pi/G^2 e^{-G^2/4eta^2}/vol
+    log_precision = np.log(cell.precision / (chargs.sum() * 16 * np.pi**2))
+    ke_cutoff = -2 * ew_eta**2 * log_precision
+    mesh = lattice.cutoff_to_mesh(cell.a, ke_cutoff)
+    Gv = lattice.get_Gv(cell.a, mesh)
+    absG2 = np.einsum("gi,gi->g", Gv, Gv)
+    absG2[absG2 == 0] = 1e200
+    coulG = 4 * np.pi / absG2 / cell.vol
+    ZSI = np.einsum("i,ij->j", chargs, lattice.get_SI(cell.a, coords, Gv=Gv))
+    ZexpG2 = ZSI * np.exp(-absG2 / (4 * ew_eta**2))
+    ewg = 0.5 * np.einsum("i,i,i", ZSI.conj(), ZexpG2, coulG).real
+
+    return float(ewovrl + ewself + ewg)
+
+
+def madelung(cell, kpts=None) -> float:
+    """Probe-charge Madelung constant for the exchange G=0 correction."""
+    if kpts is None:
+        Nk = np.ones(3, dtype=int)
+    else:
+        Nk = _monkhorst_pack_size(cell, np.asarray(kpts).reshape(-1, 3))
+    import dataclasses
+    scaled = dataclasses.replace(cell.madelung_cell(), a=cell.a * Nk[:, None])
+    return -2.0 * ewald(scaled)
+
+
+def _monkhorst_pack_size(cell, kpts, tol=1e-5):
+    if kpts.shape[0] == 1:
+        return np.ones(3, dtype=int)
+    tol = max(10 ** (-int(-np.log10(1 / kpts.shape[0])) - 2), tol)
+    b = cell.reciprocal_vectors()
+    skpts = kpts @ np.linalg.inv(b)
+    return np.array(
+        [np.count_nonzero(abs(sk[1:] - sk[:-1]) > tol) + 1 for sk in np.sort(skpts.T)]
+    )
