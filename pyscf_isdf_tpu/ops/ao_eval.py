@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from pyscf_isdf_tpu.ops.solid_harmonics import solid_harmonics
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)  # eq=False: identity hash, usable as jit static arg
 class PackedBasis:
     """Shells grouped by l, padded to common primitive/contraction counts.
 
@@ -144,6 +144,38 @@ def eval_ao(packed: PackedBasis, coords, images, kpt=None, block_size: int = 819
     inv = np.zeros(packed.nao, dtype=np.int32)
     inv[col[keep]] = np.nonzero(keep)[0]
     return out[:, inv]
+
+
+def eval_ao_numpy(cell, coords=None, kpt=None, rcut=None):
+    """Host-side float64 AO collocation (build-time path).
+
+    Same lattice-image sum as :func:`eval_ao` but in numpy, used for the
+    once-per-geometry hcore/overlap builds where float64 is required even
+    when the device runs float32.
+    """
+    if coords is None:
+        coords = cell.uniform_grid()
+    images = cell.lattice_images(rcut)
+    ng = coords.shape[0]
+    complex_out = kpt is not None and np.linalg.norm(kpt) > 1e-12
+    out = np.zeros((ng, cell.nao), dtype=np.complex128 if complex_out else np.float64)
+    ao_loc = cell.ao_loc
+    for ish, sh in enumerate(cell.shells):
+        A = cell.coords[sh.atom]
+        acc = np.zeros((ng, sh.nctr, 2 * sh.l + 1),
+                       dtype=out.dtype)
+        for T in images:
+            d = coords - A - T
+            r2 = np.einsum("gi,gi->g", d, d)
+            g = np.exp(-sh.exps[None, :] * r2[:, None])          # (ng, P)
+            rad = g @ sh.coeffs                                   # (ng, K)
+            ang = solid_harmonics(sh.l, d, np)                    # (ng, M)
+            contrib = rad[:, :, None] * ang[:, None, :]
+            if complex_out:
+                contrib = contrib * np.exp(1j * np.dot(T, kpt))
+            acc += contrib
+        out[:, ao_loc[ish]:ao_loc[ish + 1]] = acc.reshape(ng, sh.nao)
+    return out
 
 
 def ao_gradient_fft(aoR, mesh, Gv):

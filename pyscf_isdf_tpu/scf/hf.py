@@ -1,0 +1,249 @@
+"""Periodic closed-shell SCF driver (Gamma point).
+
+A small functional SCF: once-per-geometry host float64 setup
+(:func:`build_scf_system` — overlap/kinetic via analytic FT quadrature,
+GTH pseudopotential or all-electron nuclear matrices, Coulomb kernels,
+madelung constant), then a host-orchestrated iteration whose per-cycle
+compute (J, K, Vxc, Fock) is device-side jitted JAX.
+
+Energy contract matches the reference SCF
+(pyscf/scf/hf.py:46-235 loop; pyscf/pbc/scf/hf.py:490-795 PBC pieces):
+  RHF:  E = Tr(D h) + 1/2 Tr(D J) - 1/4 Tr(D K) + E_ewald
+  RKS:  E = Tr(D h) + 1/2 Tr(D J) + Exc - 1/4 hyb Tr(D K) + E_ewald
+with exxdiv='ewald' applying the madelung S D S shift to K.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pyscf_isdf_tpu.cell import Cell
+from pyscf_isdf_tpu.df import fftdf
+from pyscf_isdf_tpu.ops import coulomb, pp as pp_ops
+from pyscf_isdf_tpu.ops.ao_eval import (
+    PackedBasis, eval_ao, eval_ao_numpy, ao_gradient_fft,
+)
+from pyscf_isdf_tpu.ops.ft_ao import overlap_and_kinetic
+from pyscf_isdf_tpu.ops.xc import XCSpec
+from pyscf_isdf_tpu.scf.diis import DIIS
+
+
+@dataclass(frozen=True, eq=False)
+class SCFSystem:
+    """Per-geometry constants for the SCF loop."""
+
+    cell: Cell
+    S: np.ndarray            # (nao, nao) float64 overlap
+    hcore: np.ndarray        # (nao, nao) float64 core Hamiltonian
+    X: np.ndarray            # (nao, nao) S^{-1/2} canonical orthogonalizer
+    aoR: jnp.ndarray         # (ngrids, nao) device AO values
+    coulG: np.ndarray        # (ngrids,) Coulomb kernel, G=0 -> 0
+    madelung: float
+    e_nuc: float
+    mesh: tuple
+    weight: float            # vol / ngrids
+    nelec: int
+    Gv: np.ndarray           # (ngrids, 3) for spectral gradients
+
+
+def build_scf_system(cell: Cell, dtype=None, aoR=None) -> SCFSystem:
+    """Host float64 one-time setup; aoR lands on device in ``dtype``."""
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    # AO values: float64 on host for the hcore build, cast for the device
+    aoR_np = np.asarray(aoR) if aoR is not None else eval_ao_numpy(cell)
+
+    S, T = overlap_and_kinetic(cell)
+    if cell.pseudos:
+        vpp = pp_ops.get_pp(cell, aoR_np)
+    else:
+        vpp = pp_ops.get_nuc(cell, aoR_np)
+    hcore = T + vpp
+
+    w, v = np.linalg.eigh(S)
+    keep = w > 1e-12
+    X = v[:, keep] / np.sqrt(w[keep])
+
+    coulG = coulomb.get_coulG(cell)  # plain 4pi/G^2, G=0 -> 0
+    mad = coulomb.madelung(cell)
+    e_nuc = coulomb.ewald(cell)
+
+    return SCFSystem(
+        cell=cell,
+        S=S,
+        hcore=hcore,
+        X=X,
+        aoR=jnp.asarray(aoR_np, dtype=dtype),
+        coulG=coulG,
+        madelung=mad,
+        e_nuc=e_nuc,
+        mesh=tuple(cell.mesh),
+        weight=cell.grid_weight,
+        nelec=cell.nelectron,
+        Gv=cell.get_Gv(),
+    )
+
+
+# ------------------------------------------------------------------ KS pieces
+@partial(jax.jit, static_argnames=("xc", "mesh"))
+def _vxc_lda(aoR, dm, weight, xc: XCSpec, mesh):
+    rho = fftdf.get_rho(aoR, dm)
+    exc, vrho, _ = xc.exc_vxc(rho)
+    e_xc = weight * jnp.sum(rho * exc)
+    vmat = weight * ((aoR.T * vrho) @ aoR)
+    n_elec = weight * jnp.sum(rho)
+    return e_xc, vmat, n_elec
+
+
+@partial(jax.jit, static_argnames=("xc", "mesh"))
+def _vxc_gga(aoR, ao_grad, dm, weight, xc: XCSpec, mesh):
+    t = aoR @ dm                                    # (ng, nao)
+    rho = jnp.sum(t * aoR, axis=-1)
+    grad_rho = 2.0 * jnp.einsum("gi,xgi->xg", t, ao_grad)
+    sigma = jnp.sum(grad_rho * grad_rho, axis=0)
+    exc, vrho, vsigma = xc.exc_vxc(rho, sigma)
+    e_xc = weight * jnp.sum(rho * exc)
+    # V = ao^T (1/2 vrho ao + 2 vsigma grad_rho . grad_ao) + h.c.
+    aow = 0.5 * vrho[:, None] * aoR + 2.0 * jnp.einsum(
+        "xg,g,xgi->gi", grad_rho, vsigma, ao_grad
+    )
+    half = weight * (aoR.T @ aow)
+    vmat = half + half.T
+    n_elec = weight * jnp.sum(rho)
+    return e_xc, vmat, n_elec
+
+
+def make_rdm1(mo_coeff: np.ndarray, nocc: int) -> np.ndarray:
+    c = mo_coeff[:, :nocc]
+    return 2.0 * c @ c.T
+
+
+def scf_kernel(
+    system: SCFSystem,
+    xc: Optional[str] = None,
+    exxdiv: str = "ewald",
+    max_cycle: int = 60,
+    conv_tol: float = 1e-10,
+    diis_space: int = 8,
+    dm0: Optional[np.ndarray] = None,
+    get_jk=None,
+    verbose: bool = False,
+):
+    """Run the SCF to convergence.
+
+    Args:
+        xc: None for RHF, else a functional name ('lda,vwn', 'pbe', 'pbe0').
+        get_jk: optional override ``(dm, with_k) -> (vj, vk)`` — this is the
+            hook the ISDF engine plugs into (the ``with_df`` seam of the
+            reference, pyscf/pbc/scf/hf.py:649-698).
+
+    Returns a dict with e_tot, mo_energy, mo_coeff, dm, converged, niter.
+    """
+    cell = system.cell
+    xcspec = XCSpec(xc) if xc is not None else None
+    hyb = 1.0 if xcspec is None else xcspec.hyb
+    need_k = hyb > 0
+    is_gga = xcspec is not None and xcspec.family == "gga"
+
+    aoR = system.aoR
+    mesh = system.mesh
+    weight = system.weight
+    coulG = jnp.asarray(system.coulG)
+    nocc = system.nelec // 2
+
+    ao_grad = None
+    if is_gga:
+        ao_grad = ao_gradient_fft(aoR, mesh, jnp.asarray(system.Gv, dtype=aoR.dtype))
+
+    if get_jk is None:
+        coulG_k = coulG
+        if need_k and exxdiv not in (None, "ewald"):
+            coulG_k = jnp.asarray(coulomb.get_coulG(cell, exxdiv=exxdiv))
+
+        def get_jk(dm, with_k):
+            dmj = jnp.asarray(dm, dtype=aoR.dtype)
+            vj = fftdf.get_j(aoR, dmj, coulG, mesh, weight)
+            vk = None
+            if with_k:
+                vk = fftdf.get_k(aoR, dmj, coulG_k, mesh, weight)
+            return vj, vk
+
+    S, hcore, X = system.S, system.hcore, system.X
+
+    def eig(F):
+        Fp = X.T @ F @ X
+        e, u = np.linalg.eigh(Fp)
+        return e, X @ u
+
+    if dm0 is None:
+        mo_e, mo_c = eig(hcore)
+        dm = make_rdm1(mo_c, nocc)
+    else:
+        dm = dm0
+
+    diis = DIIS(space=diis_space)
+    e_last = 0.0
+    conv = False
+
+    for it in range(max_cycle):
+        vj, vk = get_jk(dm, need_k)
+        vj = np.asarray(vj, dtype=np.float64)
+        veff = vj.copy()
+        e_xc = 0.0
+        if xcspec is not None:
+            if is_gga:
+                e_xc_j, vxc, _ = _vxc_gga(aoR, ao_grad, jnp.asarray(dm, dtype=aoR.dtype),
+                                          weight, xcspec, mesh)
+            else:
+                e_xc_j, vxc, _ = _vxc_lda(aoR, jnp.asarray(dm, dtype=aoR.dtype),
+                                          weight, xcspec, mesh)
+            e_xc = float(e_xc_j)
+            veff += np.asarray(vxc, dtype=np.float64)
+        e_k = 0.0
+        if need_k:
+            vk = np.asarray(vk, dtype=np.float64)
+            if exxdiv == "ewald":
+                vk = vk + system.madelung * (S @ dm @ S)
+            veff -= 0.5 * hyb * vk
+            e_k = -0.25 * hyb * np.einsum("ij,ji->", dm, vk)
+
+        F = hcore + veff
+        # DIIS extrapolation on the Fock matrix
+        sds = S @ dm @ F - F @ dm @ S
+        err = X.T @ sds @ X
+        F = diis.update(F, err)
+
+        mo_e, mo_c = eig(F)
+        dm_new = make_rdm1(mo_c, nocc)
+
+        e_elec = (
+            np.einsum("ij,ji->", dm, hcore)
+            + 0.5 * np.einsum("ij,ji->", dm, vj)
+            + e_xc + e_k
+        )
+        e_tot = float(e_elec + system.e_nuc)
+        de = abs(e_tot - e_last)
+        err_norm = np.linalg.norm(err) / max(1, err.size) ** 0.5
+        if verbose:
+            print(f"cycle {it:3d}  E = {e_tot:.12f}  dE = {de:.2e}  |err| = {err_norm:.2e}")
+        if de < conv_tol and err_norm < np.sqrt(conv_tol):
+            conv = True
+            dm = dm_new
+            break
+        dm = dm_new
+        e_last = e_tot
+
+    return {
+        "e_tot": e_tot,
+        "mo_energy": mo_e,
+        "mo_coeff": mo_c,
+        "dm": dm,
+        "converged": conv,
+        "niter": it + 1,
+    }

@@ -1,0 +1,44 @@
+"""End-to-end Gamma-point RHF parity against reference golden values.
+
+Anchors from /root/reference/pyscf/pbc/scf/test/test_hf.py (He2 in a 4-Bohr
+cubic box, explicit [21]^3 mesh, explicit 3x s-function basis):
+  * lib.fp(hcore) = 0.14116483012673137          (test_hf.py:58)
+  * RHF/exxdiv='ewald' e_tot = -4.3511582284698633  (test_hf.py:97)
+  * RHF/exxdiv='vcut_sph' e_tot = -4.29190260870812 (test_hf.py:76)
+"""
+import numpy as np
+import pytest
+
+from pyscf_isdf_tpu import build_cell
+from pyscf_isdf_tpu.scf import build_scf_system, scf_kernel
+from pyscf_isdf_tpu.utils import fingerprint
+
+
+@pytest.fixture(scope="module")
+def he2_system():
+    L = 4.0
+    cell = build_cell(
+        ((L, 0, 0), (0, L, 0), (0, 0, L)),
+        [["He", (L / 2.0 - 0.5, L / 2.0, L / 2.0 - 0.5)],
+         ["He", (L / 2.0, L / 2.0, L / 2.0 + 0.5)]],
+        basis=[[0, (0.8, 1.0)], [0, (1.0, 1.0)], [0, (1.2, 1.0)]],
+        mesh=[21] * 3,
+    )
+    return build_scf_system(cell)
+
+
+def test_hcore_fingerprint(he2_system):
+    fp = fingerprint(he2_system.hcore)
+    assert fp == pytest.approx(0.14116483012673137, abs=3e-8)
+
+
+def test_rhf_ewald(he2_system):
+    res = scf_kernel(he2_system, xc=None, exxdiv="ewald", conv_tol=1e-11)
+    assert res["converged"]
+    assert res["e_tot"] == pytest.approx(-4.3511582284698633, abs=1e-7)
+
+
+def test_rhf_vcut_sph(he2_system):
+    res = scf_kernel(he2_system, xc=None, exxdiv="vcut_sph", conv_tol=1e-11)
+    assert res["converged"]
+    assert res["e_tot"] == pytest.approx(-4.29190260870812, abs=1e-7)
