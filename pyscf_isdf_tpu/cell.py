@@ -202,8 +202,15 @@ def build_cell(a, atom, basis, pseudo=None, mesh=None, ke_cutoff=None,
     charges = np.array([charge_of(s) for s in symbols], dtype=np.float64)
     if pseudo is not None:
         for s in dict.fromkeys(symbols):
-            pseudos[s] = load_pseudo(pseudo, s)
-        charges = np.array([pseudos[s].zion for s in symbols], dtype=np.float64)
+            if isinstance(pseudo, dict):
+                if s in pseudo:
+                    pseudos[s] = load_pseudo(pseudo[s], s)
+            else:
+                pseudos[s] = load_pseudo(pseudo, s)
+        charges = np.array(
+            [pseudos[s].zion if s in pseudos else charge_of(s) for s in symbols],
+            dtype=np.float64,
+        )
 
     # mesh selection: explicit mesh > ke_cutoff > basis-driven estimate
     exps_all = np.concatenate([sh.exps for sh in shells])

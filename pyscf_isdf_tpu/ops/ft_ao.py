@@ -54,12 +54,29 @@ def ft_ao(cell, Gv: np.ndarray, kpt=None) -> np.ndarray:
     return out
 
 
+def converged_st_mesh(cell) -> tuple:
+    """Mesh whose G-truncation error in S/T is below machine precision.
+
+    The FT of a primitive pair decays like exp(-G^2/(4 a_max)); requiring
+    exp(-Gmax^2/(4 a_max)) < 1e-16 gives ke = Gmax^2/2 = 74 a_max. This is a
+    build-time host-quadrature mesh only — the SCF grid is unaffected.
+    """
+    from pyscf_isdf_tpu import lattice
+
+    a_max = max(float(sh.exps.max()) for sh in cell.shells)
+    mesh = lattice.cutoff_to_mesh(cell.a, 74.0 * a_max)
+    return tuple(int(max(m, c)) for m, c in zip(mesh, cell.mesh))
+
+
 def overlap_and_kinetic(cell, mesh=None, kpt=None):
     """Analytic-FT overlap and kinetic matrices via G-space quadrature.
 
-    Returns (S, T) real float64 at Gamma, complex at finite k.
+    The quadrature mesh is chosen independently of the SCF mesh so the
+    G-sum is converged to machine precision (matching the reference's
+    analytic lattice-sum integrals). Returns (S, T) real float64 at Gamma,
+    complex at finite k.
     """
-    mesh = mesh or cell.mesh
+    mesh = mesh or converged_st_mesh(cell)
     Gv = cell.get_Gv(mesh)
     if kpt is not None:
         kG = Gv + np.asarray(kpt)[None, :]

@@ -112,17 +112,26 @@ def get_vpploc(cell, aoR: np.ndarray, mesh=None, Gv=None) -> tuple[np.ndarray, n
     return vpploc, vpplocR
 
 
-def get_vppnl(cell, aoR: np.ndarray, mesh=None, kpt=None) -> np.ndarray:
-    """Nonlocal separable PP matrix: sum_a,l,ij <ao|p_i^lm> h_ij <p_j^lm|ao>."""
+def get_vppnl(cell, mesh=None, kpt=None) -> np.ndarray:
+    """Nonlocal separable PP matrix: sum_a,l,ij <ao|p_i^lm> h_ij <p_j^lm|ao>.
+
+    Uses the analytic (alias-free) AO Fourier transform, matching the
+    reference's FFTDF.get_pp (pyscf/pbc/df/fft.py:87-145); overall scale
+    1/vol with aokG carrying (1/vol)^(1/2).
+    """
+    from pyscf_isdf_tpu.ops.ft_ao import ft_ao
+
     mesh = mesh or cell.mesh
     Gv = cell.get_Gv(mesh)
     if kpt is not None:
-        Gv = Gv + np.asarray(kpt)[None, :]
-    ngrids, nao = aoR.shape
-    # FFT of the (k-phased) AOs: aokG[G, p] = sum_g ao(g) e^{-i(k+G).r_g}
-    aokG = np.fft.fftn(aoR.reshape(*mesh, nao), axes=(0, 1, 2)).reshape(ngrids, nao)
-    G_rad = np.linalg.norm(Gv, axis=1)
-    SI = cell.get_SI(Gv=Gv)
+        Gk = Gv + np.asarray(kpt)[None, :]
+    else:
+        Gk = Gv
+    ngrids = Gv.shape[0]
+    nao = cell.nao
+    aokG = ft_ao(cell, Gv, kpt=kpt) * (1.0 / cell.vol) ** 0.5
+    G_rad = np.linalg.norm(Gk, axis=1)
+    SI = np.exp(-1j * cell.coords @ Gv.T)  # reference uses k-free SI here
 
     vppnl = np.zeros((nao, nao), dtype=np.complex128)
     for ia in range(cell.natm):
@@ -134,8 +143,8 @@ def get_vppnl(cell, aoR: np.ndarray, mesh=None, kpt=None) -> np.ndarray:
             if nl == 0:
                 continue
             hl = np.asarray(h)
-            # pYlm_part[g, m] = rl^{l+3/2} pi^{5/4} e^{-(G rl)^2/2} S_lm(G)
-            ang = solid_harmonics(l, Gv, np)                       # (ng, 2l+1)
+            # pYlm[i, m, g] = q_li(G rl) rl^{l+3/2} pi^{5/4} e^{-(G rl)^2/2} S_lm(G)
+            ang = solid_harmonics(l, Gk, np)                       # (ng, 2l+1)
             radial = rl ** (l + 1.5) * np.pi**1.25 * np.exp(-0.5 * (G_rad * rl) ** 2)
             pYlm = np.empty((nl, 2 * l + 1, ngrids))
             for i in range(nl):
@@ -145,8 +154,8 @@ def get_vppnl(cell, aoR: np.ndarray, mesh=None, kpt=None) -> np.ndarray:
             SPG_lm_aoG = np.einsum("img,gp->imp", SPG_lmi, aokG)
             tmp = np.einsum("ij,jmp->imp", hl, SPG_lm_aoG)
             vppnl += np.einsum("imp,imq->pq", SPG_lm_aoG.conj(), tmp)
-    vppnl *= 1.0 / ngrids**2
-    if np.isrealobj(aoR) and (kpt is None or np.allclose(kpt, 0)):
+    vppnl *= 1.0 / cell.vol
+    if kpt is None or np.allclose(kpt, 0):
         return vppnl.real
     return vppnl
 
@@ -167,7 +176,8 @@ def get_nuc(cell, aoR: np.ndarray, mesh=None) -> np.ndarray:
 
 
 def get_pp(cell, aoR: np.ndarray, mesh=None, kpt=None) -> np.ndarray:
-    """Full pseudopotential matrix: local + nonlocal."""
+    """Full pseudopotential matrix: local (grid quadrature) + nonlocal
+    (analytic FT)."""
     vloc, _ = get_vpploc(cell, aoR, mesh)
-    vnl = get_vppnl(cell, aoR, mesh, kpt=kpt)
+    vnl = get_vppnl(cell, mesh, kpt=kpt)
     return vloc + vnl
