@@ -1,0 +1,132 @@
+"""ISDF: interpolative separable density fitting J/K engine (device JAX).
+
+The framework's north-star component. Factorizes AO pair densities
+
+    phi_mu(r) phi_nu(r) ~= sum_P xi_P(r) phi_mu(r_P) phi_nu(r_P)
+
+over n_IP = c * nao interpolation points, turning the per-SCF-iteration
+exchange build from O(nao * ngrids) FFTs (pyscf/pbc/df/fft_jk.py:276-291 in
+the reference) into three n_IP-sized MXU GEMMs:
+
+    M = aoRg D aoRg^T;   K = aoRg^T (W o M) aoRg
+
+with the Coulomb-kernel matrix W built ONCE per geometry from batched FFTs
+of the interpolation vectors (spec per Lu-Ying ISDF; Hu-Lin-Yang
+arXiv:1707.09141; BASELINE.json north_star).
+
+Build steps (all device-side):
+  1. IP selection: pivoted-Cholesky on (aoR aoR^T)^{o2}
+     (ops/interp_points.py) or CVT.
+  2. Interpolation vectors: xi = C2 C1^{-1} with C1 = (aoRg aoRg^T)^{o2},
+     C2 = (aoR aoRg^T)^{o2}  (Cholesky solve of the n_IP x n_IP Gram).
+  3. W_PQ = w * sum_g xi_P(g) ifft(coulG * fft(xi_Q))(g), w = vol/ngrids.
+
+J can also run through W (rho_P = diag(aoRg D aoRg^T), vj = aoRg^T
+diag(W rho) aoRg) but the FFT J is exact and O(N log N), so ISDF-J is
+optional.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pyscf_isdf_tpu.df.fftdf import fft3, ifft3
+from pyscf_isdf_tpu.ops.interp_points import pivoted_cholesky_points, cvt_points
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class ISDF:
+    """Built ISDF factorization (device arrays; a JAX pytree)."""
+
+    aoRg: jnp.ndarray      # (n_ip, nao) AO values at interpolation points
+    W: jnp.ndarray         # (n_ip, n_ip) Coulomb kernel between xi vectors
+    ip_idx: jnp.ndarray    # (n_ip,) grid indices
+
+    def tree_flatten(self):
+        return (self.aoRg, self.W, self.ip_idx), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n_ip(self) -> int:
+        return self.aoRg.shape[0]
+
+
+@partial(jax.jit, static_argnames=("mesh", "fft_chunk"))
+def _build_from_idx(aoR, ip_idx, coulG, mesh, weight, fft_chunk: int = 128):
+    """Steps 2+3 of the ISDF build for a given IP set."""
+    aoRg = aoR[ip_idx]                                    # (nip, nao)
+    nip = aoRg.shape[0]
+
+    # interpolation vectors: xi (nip, ng) solving xi C1 = C2^T
+    C1 = (aoRg @ aoRg.T) ** 2                             # (nip, nip)
+    C2 = (aoR @ aoRg.T) ** 2                              # (ng, nip)
+    # regularized Cholesky solve (C1 is PSD, near-singular for large c)
+    eps = jnp.asarray(1e-12, aoR.dtype) * jnp.trace(C1) / nip
+    C1r = C1 + eps * jnp.eye(nip, dtype=aoR.dtype)
+    cho = jax.scipy.linalg.cho_factor(C1r)
+    xi = jax.scipy.linalg.cho_solve(cho, C2.T)            # (nip, ng)
+
+    # W = w * xi V xi^T with V the Coulomb kernel on the mesh
+    cdtype = jnp.complex128 if aoR.dtype == jnp.float64 else jnp.complex64
+
+    def v_of(block):                                       # (b, ng) -> (b, ng)
+        vG = coulG[None, :] * fft3(block.astype(cdtype), mesh)
+        return ifft3(vG, mesh).real.astype(aoR.dtype)
+
+    npad = (-nip) % fft_chunk
+    xi_p = jnp.pad(xi, ((0, npad), (0, 0)))
+    Vxi = jax.lax.map(v_of, xi_p.reshape(-1, fft_chunk, xi.shape[1]))
+    Vxi = Vxi.reshape(-1, xi.shape[1])[:nip]               # (nip, ng)
+    W = weight * (xi @ Vxi.T)
+    W = 0.5 * (W + W.T)
+    return aoRg, W
+
+
+def build_isdf(aoR, coulG, mesh, weight, n_ip=None, c: float = 8.0,
+               method: str = "cholesky", coords=None, rho=None) -> ISDF:
+    """Build the ISDF factorization from gridded AOs.
+
+    Args:
+        aoR: (ngrids, nao) real AO values (Gamma).
+        coulG: (ngrids,) Coulomb kernel (G=0 -> 0; exxdiv handled post-hoc).
+        weight: vol / ngrids.
+        n_ip: number of interpolation points (default c * nao).
+        method: 'cholesky' (QRCP-equivalent greedy selection) or 'cvt'
+            (density-weighted K-means; needs coords+rho).
+    """
+    nao = aoR.shape[1]
+    if n_ip is None:
+        n_ip = int(c * nao)
+    n_ip = min(n_ip, aoR.shape[0])
+    if method == "cholesky":
+        ip_idx, _ = pivoted_cholesky_points(aoR, n_ip)
+    elif method == "cvt":
+        if coords is None or rho is None:
+            raise ValueError("cvt selection needs coords and rho")
+        ip_idx = cvt_points(coords, rho, n_ip)
+    else:
+        raise ValueError(f"unknown IP selection method {method!r}")
+    aoRg, W = _build_from_idx(aoR, ip_idx, jnp.asarray(coulG), tuple(mesh), weight)
+    return ISDF(aoRg=aoRg, W=W, ip_idx=ip_idx)
+
+
+@jax.jit
+def get_k(isdf: ISDF, dm):
+    """Exchange via 3 GEMMs: K = aoRg^T (W o (aoRg D aoRg^T)) aoRg."""
+    M = isdf.aoRg @ dm @ isdf.aoRg.T
+    return isdf.aoRg.T @ (isdf.W * M) @ isdf.aoRg
+
+
+@jax.jit
+def get_j(isdf: ISDF, dm):
+    """Coulomb through the ISDF kernel: vj = aoRg^T diag(W rho) aoRg."""
+    rho_ip = jnp.einsum("pi,ij,pj->p", isdf.aoRg, dm, isdf.aoRg)
+    u = isdf.W @ rho_ip
+    return isdf.aoRg.T @ (u[:, None] * isdf.aoRg)

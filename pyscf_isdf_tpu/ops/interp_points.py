@@ -1,0 +1,90 @@
+"""Interpolation-point (IP) selection for ISDF (device-side JAX).
+
+Selects n_IP grid points whose AO-pair rows best span the pair-density
+space.  Two methods:
+
+  * :func:`pivoted_cholesky_points` — greedy pivoted Cholesky on the
+    Hadamard-squared AO Gram matrix Z[g,g'] = (sum_mu ao_mu(g) ao_mu(g'))^2,
+    run *matrix-free* (only the diagonal and one row per step are formed).
+    This is algebraically equivalent to column-pivoted QR on the pair
+    matrix (the QRCP-on-(aoR^T aoR)^{o2} step of the ISDF papers,
+    arXiv:1711.01531) but maps cleanly onto TPU: a fori_loop of dense
+    (ngrids x nao) matvecs with no column swaps.
+
+  * :func:`cvt_points` — centroidal-Voronoi-tessellation / density-weighted
+    K-means (the CVT variant of Dong-Hu-Lin), a fixed-point Lloyd iteration
+    over the electron density.
+
+Both return *indices into the grid*, static-shaped (n_ip,).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("n_ip",))
+def pivoted_cholesky_points(aoR, n_ip: int):
+    """Greedy pivoted Cholesky of Z = (aoR aoR^T)^{o2}, matrix-free.
+
+    Args:
+        aoR: (ngrids, nao) AO values (real, Gamma point).
+        n_ip: number of interpolation points to select.
+
+    Returns:
+        (ip_idx (n_ip,) int32 grid indices, resid_diag (ngrids,) final
+        residual diagonal — a convergence diagnostic).
+    """
+    ng = aoR.shape[0]
+    d0 = jnp.sum(aoR * aoR, axis=1) ** 2          # Z diagonal
+
+    def body(i, state):
+        d, L, idx = state
+        p = jnp.argmax(d).astype(jnp.int32)
+        # row p of Z: (aoR @ aoR[p])^2
+        zrow = (aoR @ aoR[p]) ** 2
+        lrow = (zrow - L.T @ L[:, p]) / jnp.sqrt(jnp.maximum(d[p], 1e-300))
+        L = L.at[i].set(lrow)
+        d = jnp.maximum(d - lrow * lrow, 0.0)
+        d = d.at[p].set(0.0)                       # never re-pick
+        idx = idx.at[i].set(p)
+        return d, L, idx
+
+    L0 = jnp.zeros((n_ip, ng), dtype=aoR.dtype)
+    idx0 = jnp.zeros((n_ip,), dtype=jnp.int32)
+    d, L, idx = jax.lax.fori_loop(0, n_ip, body, (d0, L0, idx0))
+    return idx, d
+
+
+@partial(jax.jit, static_argnames=("n_ip", "n_iter"))
+def cvt_points(coords, rho, n_ip: int, n_iter: int = 30, seed: int = 0):
+    """Density-weighted K-means (CVT) interpolation points.
+
+    Args:
+        coords: (ngrids, 3) grid coordinates.
+        rho: (ngrids,) nonnegative weights (electron density).
+        n_ip: number of centroids.
+        n_iter: Lloyd iterations.
+
+    Returns (n_ip,) indices of the grid points closest to the centroids.
+    """
+    ng = coords.shape[0]
+    key = jax.random.PRNGKey(seed)
+    # init: sample grid points proportionally to rho
+    p = rho / jnp.sum(rho)
+    init_idx = jax.random.choice(key, ng, shape=(n_ip,), replace=False, p=p)
+    centers = coords[init_idx]
+
+    def lloyd(_, centers):
+        d2 = jnp.sum((coords[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
+        assign = jnp.argmin(d2, axis=1)                       # (ng,)
+        onehot = jax.nn.one_hot(assign, n_ip, dtype=coords.dtype)
+        wsum = onehot.T @ rho                                  # (n_ip,)
+        wcoords = onehot.T @ (coords * rho[:, None])           # (n_ip, 3)
+        return jnp.where(wsum[:, None] > 0, wcoords / wsum[:, None], centers)
+
+    centers = jax.lax.fori_loop(0, n_iter, lloyd, centers)
+    d2 = jnp.sum((coords[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
+    return jnp.argmin(d2, axis=0).astype(jnp.int32)
