@@ -89,6 +89,29 @@ def mesh_to_cutoff(a: np.ndarray, mesh) -> np.ndarray:
     return Gmax**2 / 2.0
 
 
+def make_kpts(a: np.ndarray, nks, with_gamma_point: bool = True,
+              wrap_around: bool = False, scaled_center=None) -> np.ndarray:
+    """Monkhorst-Pack k-point grid in absolute units (1/Bohr).
+
+    Same conventions as the reference (pyscf/pbc/gto/cell.py:815-872):
+    Gamma-centered by default; ``with_gamma_point=False`` shifts by half a
+    step; ``wrap_around`` maps points >= 0.5 back into [-0.5, 0.5).
+    """
+    ks_each = []
+    for n in nks:
+        if with_gamma_point or scaled_center is not None:
+            ks = np.arange(n, dtype=np.float64) / n
+        else:
+            ks = (np.arange(n) + 0.5) / n - 0.5
+        if wrap_around:
+            ks[ks >= 0.5] -= 1
+        ks_each.append(ks)
+    scaled = cartesian_prod(*ks_each)
+    if scaled_center is not None:
+        scaled = scaled + np.asarray(scaled_center)
+    return scaled @ reciprocal_vectors(a)
+
+
 def lattice_images(a: np.ndarray, rcut: float, dimension: int = 3) -> np.ndarray:
     """(nimg, 3) lattice translation vectors T with images inside rcut.
 

@@ -32,7 +32,7 @@ class DIIS:
         B[-1, -1] = 0.0
         for i in range(n):
             for j in range(i, n):
-                B[i, j] = B[j, i] = np.dot(self._errs[i], self._errs[j])
+                B[i, j] = B[j, i] = np.vdot(self._errs[i], self._errs[j]).real
         rhs = np.zeros(n + 1)
         rhs[-1] = -1.0
         try:

@@ -1,0 +1,220 @@
+"""k-point sampled closed-shell SCF (KRHF / KRKS).
+
+Complex Bloch-orbital version of :mod:`pyscf_isdf_tpu.scf.hf`
+(reference semantics: pyscf/pbc/scf/khf.py:409-757 — global Fermi filling
+across k-points, 1/nk-weighted energy traces, per-k Fock eigensolves).
+Host-side float64 setup per k-point; per-cycle J/K/Vxc on device.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pyscf_isdf_tpu.cell import Cell
+from pyscf_isdf_tpu.df import fftdf_k
+from pyscf_isdf_tpu.ops import coulomb, pp as pp_ops
+from pyscf_isdf_tpu.ops.ao_eval import eval_ao_numpy
+from pyscf_isdf_tpu.ops.ft_ao import overlap_and_kinetic
+from pyscf_isdf_tpu.ops.xc import XCSpec
+from pyscf_isdf_tpu.scf.diis import DIIS
+
+
+@dataclass(frozen=True, eq=False)
+class KSCFSystem:
+    cell: Cell
+    kpts: np.ndarray          # (nk, 3)
+    S: np.ndarray             # (nk, nao, nao) complex
+    hcore: np.ndarray         # (nk, nao, nao) complex
+    X: np.ndarray             # (nk, nao, nrank) orthogonalizers
+    aoR_k: jnp.ndarray        # (nk, ng, nao) complex device
+    coulG: np.ndarray         # (ng,) q=0 kernel
+    coulG_pairs: np.ndarray   # (nk, nk, ng)
+    expmikr: np.ndarray       # (nk, nk, ng) complex
+    madelung: float
+    e_nuc: float
+    mesh: tuple
+    weight: float
+    nelec_tot: int            # electrons in the full k-sampled supercell
+
+
+def build_kscf_system(cell: Cell, kpts, dtype=None) -> KSCFSystem:
+    if dtype is None:
+        dtype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+    kpts = np.reshape(np.asarray(kpts, dtype=np.float64), (-1, 3))
+    nk = len(kpts)
+
+    S_k, h_k, X_k, ao_k = [], [], [], []
+    for k in kpts:
+        aoRk = eval_ao_numpy(cell, kpt=k)
+        S, T = overlap_and_kinetic(cell, kpt=k)
+        if cell.pseudos:
+            vloc, _ = pp_ops.get_vpploc(cell, aoRk)
+            vpp = vloc + pp_ops.get_vppnl(cell, kpt=k)
+        else:
+            vpp = pp_ops.get_nuc(cell, aoRk)
+        S = np.asarray(S, dtype=np.complex128)
+        h = np.asarray(T, dtype=np.complex128) + vpp
+        w, v = np.linalg.eigh(S)
+        keep = w > 1e-12
+        X = v[:, keep] / np.sqrt(w[keep])
+        S_k.append(S)
+        h_k.append(h)
+        X_k.append(X)
+        ao_k.append(aoRk)
+
+    coulG = coulomb.get_coulG(cell)
+    coulG_pairs, expmikr = fftdf_k.make_k_kernels(cell, kpts)
+    return KSCFSystem(
+        cell=cell,
+        kpts=kpts,
+        S=np.stack(S_k),
+        hcore=np.stack(h_k),
+        X=np.stack(X_k),
+        aoR_k=jnp.asarray(np.stack(ao_k), dtype=dtype),
+        coulG=coulG,
+        coulG_pairs=coulG_pairs,
+        expmikr=expmikr,
+        madelung=coulomb.madelung(cell, kpts),
+        e_nuc=coulomb.ewald(cell),
+        mesh=tuple(cell.mesh),
+        weight=cell.grid_weight,
+        nelec_tot=cell.nelectron * nk,
+    )
+
+
+def _global_occ(mo_e_k, nocc_tot):
+    """Fermi filling across all k-points (khf.py:178-214)."""
+    all_e = np.sort(np.hstack(mo_e_k))
+    fermi = all_e[nocc_tot - 1]
+    return [(e <= fermi).astype(np.float64) * 2 for e in mo_e_k]
+
+
+def kscf_kernel(
+    system: KSCFSystem,
+    xc: Optional[str] = None,
+    exxdiv: str = "ewald",
+    max_cycle: int = 60,
+    conv_tol: float = 1e-10,
+    diis_space: int = 8,
+    get_jk=None,
+    verbose: bool = False,
+):
+    """Run the k-point SCF to convergence. xc=None -> KRHF, else KRKS."""
+    cell = system.cell
+    nk = len(system.kpts)
+    xcspec = XCSpec(xc) if xc is not None else None
+    hyb = 1.0 if xcspec is None else xcspec.hyb
+    need_k = hyb > 0
+    if xcspec is not None and xcspec.family == "gga":
+        raise NotImplementedError("k-point GGA lands with the k-ISDF phase")
+
+    aoR_k = system.aoR_k
+    mesh = system.mesh
+    weight = system.weight
+    coulG = jnp.asarray(system.coulG)
+    nocc_tot = system.nelec_tot // 2
+
+    if get_jk is None:
+        if need_k and exxdiv not in (None, "ewald"):
+            cp, _ = fftdf_k.make_k_kernels(cell, system.kpts, exxdiv=exxdiv)
+            coulG_pairs = jnp.asarray(cp)
+        else:
+            coulG_pairs = jnp.asarray(system.coulG_pairs)
+        expmikr = jnp.asarray(system.expmikr, dtype=aoR_k.dtype)
+        kweight = weight / nk
+
+        def get_jk(dm_k, with_k):
+            dmj = jnp.asarray(dm_k, dtype=aoR_k.dtype)
+            vj = fftdf_k.get_j_kpts(aoR_k, dmj, coulG, mesh, weight)
+            vk = None
+            if with_k:
+                vk = fftdf_k.get_k_kpts(aoR_k, dmj, coulG_pairs, expmikr,
+                                        mesh, kweight)
+            return vj, vk
+
+    S, hcore, X = system.S, system.hcore, system.X
+
+    def eig_all(F_k):
+        es, cs = [], []
+        for k in range(nk):
+            Fp = X[k].conj().T @ F_k[k] @ X[k]
+            e, u = np.linalg.eigh(Fp)
+            es.append(e)
+            cs.append(X[k] @ u)
+        return es, cs
+
+    mo_e, mo_c = eig_all(hcore)
+    occs = _global_occ(mo_e, nocc_tot)
+    dm = np.stack([
+        (c * o) @ c.conj().T for c, o in zip(mo_c, occs)
+    ])
+
+    diis = DIIS(space=diis_space)
+    e_last = 0.0
+    conv = False
+
+    for it in range(max_cycle):
+        vj, vk = get_jk(dm, need_k)
+        vj = np.asarray(vj, dtype=np.complex128)
+        veff = vj.copy()
+        e_xc = 0.0
+        if xcspec is not None:
+            rho = np.asarray(
+                jnp.einsum("kgi,kij,kgj->g",
+                           aoR_k, jnp.asarray(dm, aoR_k.dtype),
+                           aoR_k.conj()).real
+            ) / nk
+            rho_j = jnp.asarray(np.maximum(rho, 1e-30))
+            exc, vrho, _ = xcspec.exc_vxc(rho_j)
+            e_xc = float(weight * jnp.sum(rho_j * exc))
+            vxc = np.asarray(
+                weight * jnp.einsum("kgi,g,kgj->kij", aoR_k.conj(), vrho, aoR_k)
+            )
+            veff += vxc
+        e_k = 0.0
+        if need_k:
+            vk = np.array(vk, dtype=np.complex128)
+            if exxdiv == "ewald":
+                for k in range(nk):
+                    vk[k] += system.madelung * (S[k] @ dm[k] @ S[k])
+            veff -= 0.5 * hyb * vk
+            e_k = -0.25 * hyb * np.einsum("kij,kji->", dm, vk).real / nk
+
+        F = hcore + veff
+        err = np.concatenate([
+            (X[k].conj().T @ (S[k] @ dm[k] @ F[k] - F[k] @ dm[k] @ S[k]) @ X[k]).ravel()
+            for k in range(nk)
+        ])
+        F = diis.update(F, err)
+
+        mo_e, mo_c = eig_all(F)
+        occs = _global_occ(mo_e, nocc_tot)
+        dm_new = np.stack([(c * o) @ c.conj().T for c, o in zip(mo_c, occs)])
+
+        e1 = np.einsum("kij,kji->", dm, hcore).real / nk
+        ecoul = 0.5 * np.einsum("kij,kji->", dm, vj).real / nk
+        e_tot = float(e1 + ecoul + e_xc + e_k + system.e_nuc)
+        de = abs(e_tot - e_last)
+        err_norm = np.linalg.norm(err) / max(1, err.size) ** 0.5
+        if verbose:
+            print(f"cycle {it:3d}  E = {e_tot:.12f}  dE = {de:.2e}  |err| = {err_norm:.2e}")
+        if de < conv_tol and err_norm < np.sqrt(conv_tol):
+            conv = True
+            dm = dm_new
+            break
+        dm = dm_new
+        e_last = e_tot
+
+    return {
+        "e_tot": e_tot,
+        "mo_energy": mo_e,
+        "mo_coeff": mo_c,
+        "mo_occ": occs,
+        "dm": dm,
+        "converged": conv,
+        "niter": it + 1,
+    }
