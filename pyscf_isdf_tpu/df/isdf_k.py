@@ -1,0 +1,193 @@
+"""k-point sampled ISDF: shared interpolation points, per-q Coulomb kernels.
+
+Bloch pair densities factorize through the *periodic* parts
+u_{k,mu}(r) = e^{-ik.r} phi^k_mu(r):
+
+    conj(u_{k1,mu}) u_{k2,nu} (r) ~= sum_P xi_P(r) conj(u_{k1,mu}(r_P)) u_{k2,nu}(r_P)
+
+with one REAL interpolation-vector set xi shared by every (k1,k2) pair
+(fit over the k-stacked orbital space; spec per Hu-Lin-Yang ISDF-K,
+arXiv:1707.09141, and BASELINE.json config 3). Per momentum transfer
+q = k2 - k1 (nq = nk distinct values on a uniform MP mesh):
+
+    W_q[P,Q] = w * sum_g xi_P(g) ifft(coulG(q) fft(xi_Q))(g)   (Hermitian)
+
+built once per geometry (nq * n_IP FFTs). The per-iteration exchange is
+then, for each (k1,k2):
+
+    M = Ug[k2] D_{k2} Ug[k2]^H ;  K_{k1} += (1/nk) Ug[k1]^H (W_q o M) Ug[k1]
+
+— nk^2 triples of n_IP-sized GEMMs, replacing the nao * nk^2 grid-sized
+FFTs of the FFTDF K build (pyscf/pbc/df/fft_jk.py:250-292).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pyscf_isdf_tpu.df.fftdf import fft3, ifft3
+from pyscf_isdf_tpu.ops import coulomb
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class ISDFK:
+    """k-point ISDF factorization (device arrays; a JAX pytree)."""
+
+    Ug: jnp.ndarray        # (nk, n_ip, nao) periodic-part values at IPs
+    Wq: jnp.ndarray        # (nq, n_ip, n_ip) complex per-q kernels
+    qmap: np.ndarray       # (nk, nk) -> q index for (k2, k1); static metadata
+    ip_idx: jnp.ndarray    # (n_ip,)
+
+    def tree_flatten(self):
+        return (self.Ug, self.Wq, self.ip_idx), (self.qmap.tobytes(), self.qmap.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        Ug, Wq, ip_idx = children
+        qb, qshape = aux
+        qmap = np.frombuffer(qb, dtype=np.int64).reshape(qshape)
+        return cls(Ug=Ug, Wq=Wq, qmap=qmap, ip_idx=ip_idx)
+
+    @property
+    def n_ip(self) -> int:
+        return self.Ug.shape[1]
+
+
+@partial(jax.jit, static_argnames=("n_ip",))
+def _select_ips_complex(U, n_ip: int):
+    """Pivoted Cholesky on Z[g,g'] = |sum_a U[g,a] conj(U[g',a])|^2."""
+    ng = U.shape[0]
+    d0 = jnp.sum(jnp.abs(U) ** 2, axis=1) ** 2
+
+    def body(i, state):
+        d, L, idx = state
+        p = jnp.argmax(d).astype(jnp.int32)
+        zrow = jnp.abs(U @ U[p].conj()) ** 2
+        lrow = (zrow - L.T @ L[:, p]) / jnp.sqrt(jnp.maximum(d[p], 1e-300))
+        L = L.at[i].set(lrow)
+        d = jnp.maximum(d - lrow * lrow, 0.0)
+        d = d.at[p].set(0.0)
+        idx = idx.at[i].set(p)
+        return d, L, idx
+
+    L0 = jnp.zeros((n_ip, ng), dtype=d0.dtype)
+    idx0 = jnp.zeros((n_ip,), dtype=jnp.int32)
+    _, _, idx = jax.lax.fori_loop(0, n_ip, body, (d0, L0, idx0))
+    return idx
+
+
+def unique_q(cell, kpts):
+    """Map (k2, k1) pairs to unique momentum transfers q = k2 - k1 (mod G).
+
+    Returns (q_list (nq, 3), qmap (nk, nk) int).
+    """
+    kpts = np.reshape(kpts, (-1, 3))
+    nk = len(kpts)
+    binv = np.linalg.inv(coulomb.lattice.reciprocal_vectors(cell.a))
+    qs, qmap = [], np.zeros((nk, nk), dtype=np.int64)
+    for i2 in range(nk):
+        for i1 in range(nk):
+            q = kpts[i2] - kpts[i1]
+            found = None
+            for iq, q0 in enumerate(qs):
+                frac = (q - q0) @ binv
+                if np.allclose(frac - np.round(frac), 0, atol=1e-8) and \
+                   np.allclose(q, q0, atol=1e-8):
+                    found = iq
+                    break
+            if found is None:
+                qs.append(q)
+                found = len(qs) - 1
+            qmap[i2, i1] = found
+    return np.array(qs), qmap
+
+
+@partial(jax.jit, static_argnames=("mesh", "fft_chunk"))
+def _xi_wq(U, ip_idx, coulG_q, mesh, weight, fft_chunk: int = 64):
+    """Interpolation vectors and the per-q W kernels."""
+    Ug = U[ip_idx]                                          # (nip, nk*nao)
+    nip = Ug.shape[0]
+    R1 = Ug @ Ug.conj().T
+    C1 = (R1 * R1.conj()).real                              # (nip, nip)
+    R2 = U @ Ug.conj().T
+    C2 = (R2 * R2.conj()).real                              # (ng, nip)
+    eps = jnp.asarray(1e-12, C1.dtype) * jnp.trace(C1) / nip
+    cho = jax.scipy.linalg.cho_factor(C1 + eps * jnp.eye(nip, dtype=C1.dtype))
+    xi = jax.scipy.linalg.cho_solve(cho, C2.T)              # (nip, ng) real
+
+    cdtype = U.dtype
+    xi_c = xi.astype(cdtype)
+
+    def wq_for(coulG):
+        def v_of(block):
+            return ifft3(coulG[None, :] * fft3(block, mesh), mesh)
+        npad = (-nip) % fft_chunk
+        xi_p = jnp.pad(xi_c, ((0, npad), (0, 0)))
+        Vxi = jax.lax.map(v_of, xi_p.reshape(-1, fft_chunk, xi.shape[1]))
+        Vxi = Vxi.reshape(-1, xi.shape[1])[:nip]
+        Wq = weight * (xi_c @ Vxi.T)
+        return 0.5 * (Wq + Wq.conj().T)
+
+    Wq_all = jax.lax.map(wq_for, coulG_q)                   # (nq, nip, nip)
+    return Wq_all
+
+
+def build_isdf_k(cell, aoR_k, kpts, n_ip=None, c: float = 8.0,
+                 dtype=None) -> ISDFK:
+    """Build the k-point ISDF factorization.
+
+    Args:
+        aoR_k: (nk, ng, nao) complex Bloch AO values.
+        kpts: (nk, 3).
+    """
+    kpts = np.reshape(np.asarray(kpts), (-1, 3))
+    nk, ng, nao = aoR_k.shape
+    if n_ip is None:
+        # the k-stacked pair space folds like the supercell: rank grows with
+        # nk, so the IP count scales with nk * nao (same IPs-per-volume as
+        # the equivalent Gamma supercell)
+        n_ip = int(c * nao * nk)
+    n_ip = min(n_ip, ng)
+
+    coords = jnp.asarray(cell.uniform_grid(), dtype=jnp.float64
+                         if aoR_k.dtype == jnp.complex128 else jnp.float32)
+    phases = jnp.exp(-1j * coords @ jnp.asarray(kpts.T, coords.dtype))  # (ng, nk)
+    U3 = aoR_k * phases.T[:, :, None].astype(aoR_k.dtype)    # (nk, ng, nao) u_k
+    U = jnp.transpose(U3, (1, 0, 2)).reshape(ng, nk * nao)
+
+    ip_idx = _select_ips_complex(U, n_ip)
+
+    q_list, qmap = unique_q(cell, kpts)
+    coulG_q = np.stack([
+        coulomb.get_coulG(cell, k=q, exxdiv=None, kpts=kpts) for q in q_list
+    ])
+    rdtype = jnp.float64 if aoR_k.dtype == jnp.complex128 else jnp.float32
+    Wq = _xi_wq(U, ip_idx, jnp.asarray(coulG_q, rdtype), tuple(cell.mesh),
+                cell.grid_weight)
+    Ug = U3[:, ip_idx, :]                                    # (nk, nip, nao)
+    return ISDFK(Ug=Ug, Wq=Wq, qmap=qmap, ip_idx=ip_idx)
+
+
+def get_k_kpts(isdfk: ISDFK, dm_k):
+    """Exchange at all k via per-q GEMMs: (1/nk) sum_k2 Ug1^H (W_q o M) Ug1."""
+    nk = isdfk.Ug.shape[0]
+    qmap = isdfk.qmap
+
+    @jax.jit
+    def _run(Ug, Wq, dm):
+        vk = []
+        for k1 in range(nk):
+            acc = jnp.zeros((Ug.shape[2], Ug.shape[2]), Ug.dtype)
+            for k2 in range(nk):
+                M = Ug[k2] @ dm[k2] @ Ug[k2].conj().T        # (nip, nip)
+                W = Wq[qmap[k2, k1]]
+                acc = acc + Ug[k1].conj().T @ (M * W.conj()) @ Ug[k1]
+            vk.append(acc / nk)
+        return jnp.stack(vk)
+
+    return _run(isdfk.Ug, isdfk.Wq, jnp.asarray(dm_k, isdfk.Ug.dtype))
