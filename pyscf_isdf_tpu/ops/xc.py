@@ -80,6 +80,98 @@ def _ec_pbe(rho, sigma):
     return ec0 + H
 
 
+# ------------------------------------------------------------ spin-polarized
+_VWN5_F = dict(A=0.01554535, b=7.06042, c=18.0578, x0=-0.32500)
+_VWN5_A = dict(A=-1.0 / (6 * jnp.pi**2), b=1.13107, c=13.0045, x0=-0.00475840)
+
+
+def _vwn_eps(rho, p):
+    A, b, c, x0 = p["A"], p["b"], p["c"], p["x0"]
+    rs = (3.0 / (4 * jnp.pi * rho)) ** (1.0 / 3)
+    x = jnp.sqrt(rs)
+    X = x * x + b * x + c
+    X0 = x0 * x0 + b * x0 + c
+    Q = jnp.sqrt(4 * c - b * b)
+    atn = jnp.arctan(Q / (2 * x + b))
+    return A * (
+        jnp.log(x * x / X)
+        + 2 * b / Q * atn
+        - b * x0 / X0 * (jnp.log((x - x0) ** 2 / X) + 2 * (b + 2 * x0) / Q * atn)
+    )
+
+
+def _fzeta(z):
+    return (((1 + z) ** (4.0 / 3) + (1 - z) ** (4.0 / 3)) - 2) \
+        / (2 * (2 ** (1.0 / 3) - 1))
+
+
+_FPP0 = 4.0 / (9 * (2 ** (1.0 / 3) - 1))  # f''(0)
+
+
+def _ec_vwn5_spin(rho, zeta):
+    """VWN5 correlation with the standard zeta interpolation."""
+    ec_p = _vwn_eps(rho, _VWN5)
+    ec_f = _vwn_eps(rho, _VWN5_F)
+    alpha = _vwn_eps(rho, _VWN5_A)
+    f = _fzeta(zeta)
+    z4 = zeta**4
+    return ec_p + alpha * f / _FPP0 * (1 - z4) + (ec_f - ec_p) * f * z4
+
+
+def _pw92_eps(rho, A, a1, b1, b2, b3, b4):
+    rs = (3.0 / (4 * jnp.pi * rho)) ** (1.0 / 3)
+    srs = jnp.sqrt(rs)
+    den = 2 * A * (b1 * srs + b2 * rs + b3 * rs * srs + b4 * rs * rs)
+    return -2 * A * (1 + a1 * rs) * jnp.log(1 + 1.0 / (den + _TINY))
+
+
+def _ec_pw92_spin(rho, zeta):
+    ec_p = _pw92_eps(rho, 0.031091, 0.21370, 7.5957, 3.5876, 1.6382, 0.49294)
+    ec_f = _pw92_eps(rho, 0.015545, 0.20548, 14.1189, 6.1977, 3.3662, 0.62517)
+    m_ac = _pw92_eps(rho, 0.016887, 0.11125, 10.357, 3.6231, 0.88026, 0.49671)
+    f = _fzeta(zeta)
+    z4 = zeta**4
+    return ec_p - m_ac * f / _FPP0 * (1 - z4) + (ec_f - ec_p) * f * z4
+
+
+def _exc_lsda(rho_a, rho_b, corr="vwn5"):
+    """LSDA exchange + correlation energy per particle of the total density."""
+    rho = rho_a + rho_b
+    zeta = (rho_a - rho_b) / (rho + _TINY)
+    # exchange: E_x = 1/2 [E_x(2 rho_a) + E_x(2 rho_b)]
+    ex = 0.5 * (_ex_slater(2 * rho_a) * 2 * rho_a
+                + _ex_slater(2 * rho_b) * 2 * rho_b) / (rho + _TINY)
+    ec = _ec_vwn5_spin(rho, zeta) if corr == "vwn5" else _ec_pw92_spin(rho, zeta)
+    return ex + ec
+
+
+def _ec_pbe_spin(rho, zeta, sigma):
+    """Spin-resolved PBE correlation (PRL 77, 3865 Eqs. 7-8)."""
+    beta, gamma = 0.06672455060314922, 0.031090690869654895
+    phi = 0.5 * ((1 + zeta) ** (2.0 / 3) + (1 - zeta) ** (2.0 / 3))
+    ec0 = _ec_pw92_spin(rho, zeta)
+    kf = (3 * jnp.pi**2 * rho) ** (1.0 / 3)
+    ks = jnp.sqrt(4 * kf / jnp.pi)
+    t2 = sigma / (4 * phi**2 * ks**2 * rho**2 + _TINY)
+    expm = jnp.exp(-ec0 / (gamma * phi**3))
+    Afac = beta / gamma / (expm - 1 + _TINY)
+    num = 1 + Afac * t2
+    H = gamma * phi**3 * jnp.log(
+        1 + beta / gamma * t2 * num / (num + Afac**2 * t2 * t2)
+    )
+    return ec0 + H
+
+
+def _exc_pbe_spin(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb, ex_frac=1.0):
+    """Spin-resolved PBE exc per particle of the total density."""
+    rho = rho_a + rho_b
+    zeta = (rho_a - rho_b) / (rho + _TINY)
+    sigma = sigma_aa + 2 * sigma_ab + sigma_bb
+    ex = 0.5 * (_ex_pbe(2 * rho_a, 4 * sigma_aa) * 2 * rho_a
+                + _ex_pbe(2 * rho_b, 4 * sigma_bb) * 2 * rho_b) / (rho + _TINY)
+    return ex_frac * ex + _ec_pbe_spin(rho, zeta, sigma)
+
+
 # --------------------------------------------------------------- public specs
 class XCSpec:
     """Resolved functional: type ('lda'|'gga'), hybrid exact-exchange weight,
@@ -112,6 +204,44 @@ class XCSpec:
             self._exc = None
         else:
             raise NotImplementedError(f"xc functional {name!r}")
+
+    def exc_vxc_spin(self, rho_a, rho_b, sigma_aa=None, sigma_ab=None,
+                     sigma_bb=None):
+        """Spin-polarized energy density and potentials.
+
+        LDA: returns (exc, (vrho_a, vrho_b), None).
+        GGA: returns (exc, (vrho_a, vrho_b), (vs_aa, vs_ab, vs_bb)).
+        ``exc`` is per particle of the total density.
+        """
+        rho_a = jnp.maximum(rho_a, _TINY)
+        rho_b = jnp.maximum(rho_b, _TINY)
+        name = self.name
+        if self.family == "lda":
+            corr = "vwn5" if "vwn" in name or name in ("lda", "svwn") else None
+            if corr is None:
+                exc_fn = lambda ra, rb: 0.5 * (
+                    _ex_slater(2 * ra) * 2 * ra + _ex_slater(2 * rb) * 2 * rb
+                ) / (ra + rb + _TINY)
+            else:
+                exc_fn = lambda ra, rb: _exc_lsda(ra, rb, corr)
+            f = lambda ra, rb: (ra + rb) * exc_fn(ra, rb)
+            exc = exc_fn(rho_a, rho_b)
+            va = jax.vmap(jax.grad(f, argnums=0))(rho_a, rho_b)
+            vb = jax.vmap(jax.grad(f, argnums=1))(rho_a, rho_b)
+            return exc, (va, vb), None
+        if self.family == "gga":
+            ex_frac = 0.75 if name == "pbe0" else 1.0
+            sigma_aa = jnp.maximum(sigma_aa, _TINY)
+            sigma_ab = sigma_ab
+            sigma_bb = jnp.maximum(sigma_bb, _TINY)
+            exc_fn = lambda ra, rb, saa, sab, sbb: _exc_pbe_spin(
+                ra, rb, saa, sab, sbb, ex_frac)
+            f = lambda *args: (args[0] + args[1]) * exc_fn(*args)
+            args = (rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb)
+            exc = exc_fn(*args)
+            grads = [jax.vmap(jax.grad(f, argnums=i))(*args) for i in range(5)]
+            return exc, (grads[0], grads[1]), (grads[2], grads[3], grads[4])
+        raise ValueError("pure HF has no xc functional")
 
     def exc_vxc(self, rho, sigma=None):
         """Energy density per particle and potentials.

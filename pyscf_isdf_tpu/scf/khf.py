@@ -102,8 +102,16 @@ def kscf_kernel(
     diis_space: int = 8,
     get_jk=None,
     verbose: bool = False,
+    sigma: float = 0.0,
+    smearing_method: str = "fermi",
 ):
-    """Run the k-point SCF to convergence. xc=None -> KRHF, else KRKS."""
+    """Run the k-point SCF to convergence. xc=None -> KRHF, else KRKS.
+
+    ``sigma > 0`` enables finite-temperature (smeared) occupations; the
+    result then also carries ``entropy``, ``mu`` and the free energy
+    ``e_free = e_tot - sigma * entropy`` (fermi) following the reference
+    addons conventions.
+    """
     cell = system.cell
     nk = len(system.kpts)
     xcspec = XCSpec(xc) if xc is not None else None
@@ -147,8 +155,20 @@ def kscf_kernel(
             cs.append(X[k] @ u)
         return es, cs
 
+    entropy = 0.0
+    mu = None
+
+    def occupations(mo_e):
+        nonlocal entropy, mu
+        if sigma and sigma > 0:
+            from pyscf_isdf_tpu.scf.occupations import smearing_occ_rhf
+            occs, entropy, mu = smearing_occ_rhf(
+                mo_e, system.nelec_tot, sigma, smearing_method)
+            return occs
+        return _global_occ(mo_e, nocc_tot)
+
     mo_e, mo_c = eig_all(hcore)
-    occs = _global_occ(mo_e, nocc_tot)
+    occs = occupations(mo_e)
     dm = np.stack([
         (c * o) @ c.conj().T for c, o in zip(mo_c, occs)
     ])
@@ -192,7 +212,7 @@ def kscf_kernel(
         F = diis.update(F, err)
 
         mo_e, mo_c = eig_all(F)
-        occs = _global_occ(mo_e, nocc_tot)
+        occs = occupations(mo_e)
         dm_new = np.stack([(c * o) @ c.conj().T for c, o in zip(mo_c, occs)])
 
         e1 = np.einsum("kij,kji->", dm, hcore).real / nk
@@ -217,4 +237,7 @@ def kscf_kernel(
         "dm": dm,
         "converged": conv,
         "niter": it + 1,
+        "entropy": entropy,
+        "mu": mu,
+        "e_free": e_tot - sigma * entropy if sigma else e_tot,
     }

@@ -1,0 +1,71 @@
+"""Finite-temperature occupations: Fermi-Dirac / Gaussian smearing.
+
+Reference semantics: pyscf/scf/addons.py:60-211 via the PBC wrapper
+pyscf/pbc/scf/addons.py:88-216 — chemical potential optimized for charge
+neutrality over the k-stacked spectrum, electronic entropy
+
+    fermi:    S = -sum_i [f ln f + (1-f) ln(1-f)]
+    gaussian: S = sum_i exp(-((e_i-mu)/sigma)^2) / (2 sqrt(pi))
+
+(per spin channel; x2 for closed-shell, /nkpts for k-sampling).
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import erfc
+
+
+def fermi_occ(mu, mo_energy, sigma):
+    occ = np.zeros_like(mo_energy)
+    de = (mo_energy - mu) / sigma
+    occ[de < 40] = 1.0 / (np.exp(de[de < 40]) + 1.0)
+    return occ
+
+
+def gaussian_occ(mu, mo_energy, sigma):
+    return 0.5 * erfc((mo_energy - mu) / sigma)
+
+
+def find_mu(f_occ, mo_es, nocc, sigma):
+    """Chemical potential with sum(occ) == nocc by bisection."""
+    lo = mo_es.min() - 50 * sigma
+    hi = mo_es.max() + 50 * sigma
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if f_occ(mid, mo_es, sigma).sum() < nocc:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def entropy_of(method, mo_es, occ, mu, sigma):
+    if method == "fermi":
+        f = occ[(occ > 0) & (occ < 1)]
+        return float(-(f * np.log(f) + (1 - f) * np.log(1 - f)).sum())
+    return float(np.exp(-(((mo_es - mu) / sigma) ** 2)).sum()
+                 / (2 * np.sqrt(np.pi)))
+
+
+def smearing_occ_rhf(mo_e_k, nelec_tot, sigma, method="fermi"):
+    """Closed-shell k-sampled smeared occupations.
+
+    Args:
+        mo_e_k: list of (nmo,) per-k MO energies.
+        nelec_tot: total electrons in the k-sampled supercell.
+
+    Returns (occ list of (nmo,) with values in [0,2], entropy, mu).
+    Entropy is already /nkpts and x2 (closed shell), matching the
+    reference's reported value.
+    """
+    f_occ = fermi_occ if method == "fermi" else gaussian_occ
+    nk = len(mo_e_k)
+    mo_es = np.hstack(mo_e_k)
+    nocc = (nelec_tot + 1) // 2
+    mu = find_mu(f_occ, mo_es, nocc, sigma)
+    occs = f_occ(mu, mo_es, sigma)
+    entropy = entropy_of(method, mo_es, occs, mu, sigma) / nk * 2
+    occs = occs * 2
+    sizes = np.cumsum([0] + [len(e) for e in mo_e_k])
+    occ_k = [occs[sizes[i]:sizes[i + 1]] for i in range(nk)]
+    return occ_k, entropy, float(mu)

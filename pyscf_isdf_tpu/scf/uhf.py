@@ -1,0 +1,194 @@
+"""Spin-polarized Gamma-point SCF (UHF / UKS).
+
+Spin-resolved version of :mod:`pyscf_isdf_tpu.scf.hf` (reference semantics:
+pyscf/pbc/scf/uhf.py + pyscf/pbc/dft/uks.py): separate alpha/beta density
+matrices and Fock builds, shared Coulomb, per-spin exchange, LSDA/
+spin-PBE exchange-correlation with potentials from autodiff.
+
+Energy:
+    E = sum_s Tr(D_s h) + 1/2 Tr(D_tot J) - 1/2 hyb sum_s Tr(D_s K_s)
+        + Exc + E_ewald
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from pyscf_isdf_tpu.df import fftdf
+from pyscf_isdf_tpu.ops import coulomb
+from pyscf_isdf_tpu.ops.ao_eval import ao_gradient_fft
+from pyscf_isdf_tpu.ops.xc import XCSpec
+from pyscf_isdf_tpu.scf.diis import DIIS
+from pyscf_isdf_tpu.scf.hf import SCFSystem, build_scf_system  # noqa: F401
+
+
+def _spin_vxc(aoR, ao_grad, dm_a, dm_b, weight, xcspec):
+    """Exc and per-spin Vxc matrices (LDA or GGA)."""
+    ta = aoR @ dm_a
+    tb = aoR @ dm_b
+    rho_a = jnp.maximum(jnp.sum(ta * aoR, axis=-1), 0.0)
+    rho_b = jnp.maximum(jnp.sum(tb * aoR, axis=-1), 0.0)
+    if xcspec.family == "lda":
+        exc, (va, vb), _ = xcspec.exc_vxc_spin(rho_a, rho_b)
+        e_xc = weight * jnp.sum((rho_a + rho_b) * exc)
+        vmat_a = weight * ((aoR.T * va) @ aoR)
+        vmat_b = weight * ((aoR.T * vb) @ aoR)
+        return float(e_xc), np.asarray(vmat_a), np.asarray(vmat_b)
+    # GGA
+    ga = 2.0 * jnp.einsum("gi,xgi->xg", ta, ao_grad)
+    gb = 2.0 * jnp.einsum("gi,xgi->xg", tb, ao_grad)
+    s_aa = jnp.sum(ga * ga, axis=0)
+    s_ab = jnp.sum(ga * gb, axis=0)
+    s_bb = jnp.sum(gb * gb, axis=0)
+    exc, (va, vb), (vsaa, vsab, vsbb) = xcspec.exc_vxc_spin(
+        rho_a, rho_b, s_aa, s_ab, s_bb)
+    e_xc = weight * jnp.sum((rho_a + rho_b) * exc)
+
+    def vmat(vrho, vs_ss, g_s, vs_ab, g_t):
+        aow = 0.5 * vrho[:, None] * aoR + jnp.einsum(
+            "xg,xgi->gi", 2.0 * vs_ss[None, :] * g_s + vs_ab[None, :] * g_t,
+            ao_grad)
+        half = weight * (aoR.T @ aow)
+        return half + half.T
+
+    return (float(e_xc), np.asarray(vmat(va, vsaa, ga, vsab, gb)),
+            np.asarray(vmat(vb, vsbb, gb, vsab, ga)))
+
+
+def uhf_kernel(
+    system: SCFSystem,
+    xc: Optional[str] = None,
+    exxdiv: str = "ewald",
+    nelec: Optional[tuple] = None,
+    max_cycle: int = 100,
+    conv_tol: float = 1e-10,
+    diis_space: int = 8,
+    dm0=None,
+    breaksym: bool = False,
+    verbose: bool = False,
+):
+    """Run spin-polarized SCF. xc=None -> UHF; else UKS."""
+    cell = system.cell
+    xcspec = XCSpec(xc) if xc is not None else None
+    hyb = 1.0 if xcspec is None else xcspec.hyb
+    need_k = hyb > 0
+    is_gga = xcspec is not None and xcspec.family == "gga"
+
+    if nelec is None:
+        na = (cell.nelectron + cell.spin) // 2
+        nb = cell.nelectron - na
+    else:
+        na, nb = nelec
+
+    aoR = system.aoR
+    mesh = system.mesh
+    weight = system.weight
+    coulG = jnp.asarray(system.coulG)
+    coulG_k = coulG
+    if need_k and exxdiv not in (None, "ewald"):
+        coulG_k = jnp.asarray(coulomb.get_coulG(cell, exxdiv=exxdiv))
+
+    ao_grad = None
+    if is_gga:
+        ao_grad = ao_gradient_fft(aoR, mesh, jnp.asarray(system.Gv, dtype=aoR.dtype))
+
+    S, hcore, X = system.S, system.hcore, system.X
+
+    def eig(F):
+        Fp = X.T @ F @ X
+        e, u = np.linalg.eigh(Fp)
+        return e, X @ u
+
+    if dm0 is None:
+        mo_e, mo_c = eig(hcore)
+        dm_a = mo_c[:, :na] @ mo_c[:, :na].T
+        dm_b = mo_c[:, :nb] @ mo_c[:, :nb].T
+        if breaksym and na == nb:
+            # perturb beta channel to allow symmetry breaking
+            dm_b = 0.9 * dm_b
+    else:
+        dm_a, dm_b = dm0
+
+    diis = DIIS(space=diis_space)
+    e_last = 0.0
+    conv = False
+
+    for it in range(max_cycle):
+        dm_t = dm_a + dm_b
+        vj = np.asarray(
+            fftdf.get_j(aoR, jnp.asarray(dm_t, aoR.dtype), coulG, mesh, weight),
+            dtype=np.float64)
+        veff_a = vj.copy()
+        veff_b = vj.copy()
+        e_xc = 0.0
+        if xcspec is not None:
+            e_xc, vxc_a, vxc_b = _spin_vxc(
+                aoR, ao_grad, jnp.asarray(dm_a, aoR.dtype),
+                jnp.asarray(dm_b, aoR.dtype), weight, xcspec)
+            veff_a += vxc_a
+            veff_b += vxc_b
+        e_k = 0.0
+        if need_k:
+            vka = np.asarray(fftdf.get_k(aoR, jnp.asarray(dm_a, aoR.dtype),
+                                         coulG_k, mesh, weight), dtype=np.float64)
+            vkb = np.asarray(fftdf.get_k(aoR, jnp.asarray(dm_b, aoR.dtype),
+                                         coulG_k, mesh, weight), dtype=np.float64)
+            if exxdiv == "ewald":
+                vka = vka + system.madelung * (S @ dm_a @ S)
+                vkb = vkb + system.madelung * (S @ dm_b @ S)
+            veff_a -= hyb * vka
+            veff_b -= hyb * vkb
+            e_k = -0.5 * hyb * (np.einsum("ij,ji->", dm_a, vka)
+                                + np.einsum("ij,ji->", dm_b, vkb))
+
+        Fa = hcore + veff_a
+        Fb = hcore + veff_b
+        erra = X.T @ (S @ dm_a @ Fa - Fa @ dm_a @ S) @ X
+        errb = X.T @ (S @ dm_b @ Fb - Fb @ dm_b @ S) @ X
+        err = np.concatenate([erra.ravel(), errb.ravel()])
+        Fab = diis.update(np.stack([Fa, Fb]), err)
+        Fa, Fb = Fab[0], Fab[1]
+
+        ea, ca = eig(Fa)
+        eb, cb = eig(Fb)
+        dm_a_new = ca[:, :na] @ ca[:, :na].T
+        dm_b_new = cb[:, :nb] @ cb[:, :nb].T
+
+        e_elec = (
+            np.einsum("ij,ji->", dm_t, hcore)
+            + 0.5 * np.einsum("ij,ji->", dm_t, vj)
+            + e_xc + e_k
+        )
+        e_tot = float(e_elec + system.e_nuc)
+        de = abs(e_tot - e_last)
+        err_norm = np.linalg.norm(err) / max(1, err.size) ** 0.5
+        if verbose:
+            print(f"cycle {it:3d}  E = {e_tot:.12f}  dE = {de:.2e}  |err| = {err_norm:.2e}")
+        if de < conv_tol and err_norm < np.sqrt(conv_tol):
+            conv = True
+            dm_a, dm_b = dm_a_new, dm_b_new
+            break
+        dm_a, dm_b = dm_a_new, dm_b_new
+        e_last = e_tot
+
+    ssq = _spin_square(dm_a, dm_b, S, na, nb)
+    return {
+        "e_tot": e_tot,
+        "mo_energy": (ea, eb),
+        "mo_coeff": (ca, cb),
+        "dm": (dm_a, dm_b),
+        "converged": conv,
+        "niter": it + 1,
+        "s_squared": ssq,
+    }
+
+
+def _spin_square(dm_a, dm_b, S, na, nb):
+    """<S^2> from the UHF overlap of alpha/beta occupied spaces."""
+    # <S^2> = S_z(S_z+1) + nb - |<a|b>|_F^2 over occupied orbitals; compute
+    # via density matrices: tr(Da S Db S)
+    cross = np.einsum("ij,jk,kl,li->", dm_a, S, dm_b, S)
+    sz = (na - nb) * 0.5
+    return float(sz * (sz + 1) + nb - cross)
