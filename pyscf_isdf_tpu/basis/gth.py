@@ -123,13 +123,20 @@ def load_basis(basis_name: str, symbol: str) -> list[tuple[int, np.ndarray, np.n
 
 
 def load_pseudo(pseudo_name: str, symbol: str) -> PseudoPotential:
+    import re
+
     table = _load_json("gth_pp.json")
     key = pseudo_name.lower()
+    entry_key = symbol
+    m = re.search(r"-(q\d+)$", key)
+    if m:
+        key = key[: m.start()]            # family, e.g. 'gth-pade'
+        entry_key = f"{symbol}-{m.group(1)}"  # e.g. 'Be-q2'
     if key not in table:
         raise KeyError(f"unknown pseudopotential {pseudo_name!r}; have {sorted(table)}")
-    if symbol not in table[key]:
+    if entry_key not in table[key]:
         raise KeyError(f"no {pseudo_name} entry for element {symbol}")
-    d = table[key][symbol]
+    d = table[key][entry_key]
     return PseudoPotential(
         nelec=tuple(d["nelec"]),
         rloc=float(d["rloc"]),

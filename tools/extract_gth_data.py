@@ -100,8 +100,11 @@ def parse_basis_file(path):
 def parse_pp_file(path):
     """Parse a CP2K GTH pseudopotential file.
 
-    Returns dict symbol -> {nelec: [...], rloc: f, cexp: [...],
-                            proj: [{rl: f, h: [[...]]}]}.
+    Returns dict key -> {nelec: [...], rloc: f, cexp: [...],
+                         proj: [{rl: f, h: [[...]]}]}.
+    Keys: bare symbol for the family default (the entry whose aliases
+    include the plain family name), and "Sym-qN" for every charge-state
+    variant.
     """
     out = {}
     with open(path) as f:
@@ -148,8 +151,18 @@ def parse_pp_file(path):
                 proj.append({"rl": rl, "h": h})
         except (ValueError, IndexError):
             continue
-        if symb not in out:  # keep the first (default) variant per element
-            out[symb] = {"nelec": nelec, "rloc": rloc, "cexp": cexp, "proj": proj}
+        entry = {"nelec": nelec, "rloc": rloc, "cexp": cexp, "proj": proj}
+        header_toks = lines[0].split()
+        # store every q-variant, e.g. "Be-q2" from "Be GTH-PADE-q2 ..."
+        import re as _re
+        for tok in header_toks[1:]:
+            m = _re.search(r"-(q\d+)$", tok.lower())
+            if m:
+                out.setdefault(f"{symb}-{m.group(1)}", entry)
+        # default = the entry with a plain (suffix-free) family alias
+        plain = any(not _re.search(r"-q\d+$", t.lower()) for t in header_toks[1:])
+        if plain and symb not in out:
+            out[symb] = entry
     return out
 
 
