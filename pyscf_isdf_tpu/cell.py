@@ -213,9 +213,6 @@ def build_cell(a, atom, basis, pseudo=None, mesh=None, ke_cutoff=None,
         )
 
     # mesh selection: explicit mesh > ke_cutoff > basis-driven estimate
-    exps_all = np.concatenate([sh.exps for sh in shells])
-    ls_all = np.concatenate([[sh.l] * len(sh.exps) for sh in shells])
-    cs_all = np.concatenate([np.abs(sh.coeffs).max(axis=1) for sh in shells])
     if mesh is None:
         if ke_cutoff is None:
             imax = [np.argmax(sh.exps) for sh in shells]

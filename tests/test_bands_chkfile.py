@@ -1,0 +1,52 @@
+"""get_bands + checkpoint/restart round-trip tests."""
+import os
+import numpy as np
+import pytest
+
+from pyscf_isdf_tpu.models import diamond_primitive
+from pyscf_isdf_tpu.scf import build_scf_system, scf_kernel
+from pyscf_isdf_tpu.scf.bands import get_bands
+from pyscf_isdf_tpu.utils import chkfile
+
+
+@pytest.fixture(scope="module")
+def diamond_lda():
+    cell = diamond_primitive(mesh=(15, 15, 15))
+    system = build_scf_system(cell)
+    res = scf_kernel(system, xc="lda,vwn", conv_tol=1e-10)
+    return cell, system, res
+
+
+def test_bands_at_gamma_match_scf(diamond_lda):
+    cell, system, res = diamond_lda
+    es, cs = get_bands(system, res, np.zeros((1, 3)), xc="lda,vwn")
+    assert np.abs(es[0] - res["mo_energy"]).max() < 1e-7
+
+
+def test_bands_dispersion(diamond_lda):
+    cell, system, res = diamond_lda
+    b = cell.reciprocal_vectors()
+    kpath = np.array([[0, 0, 0], 0.25 * b[0], 0.5 * b[0]])
+    es, _ = get_bands(system, res, kpath, xc="lda,vwn")
+    # valence bands disperse; energies stay finite and ordered
+    assert np.all(np.isfinite(es))
+    assert np.abs(es[0] - es[2]).max() > 1e-3
+
+
+def test_chkfile_roundtrip(tmp_path, diamond_lda):
+    cell, system, res = diamond_lda
+    path = os.path.join(tmp_path, "scf.npz")
+    chkfile.save_scf(path, cell, res)
+    cell2, res2 = chkfile.load_scf(path)
+    assert res2["e_tot"] == res["e_tot"]
+    assert np.array_equal(res2["dm"], res["dm"])
+    assert cell2.nao == cell.nao
+    assert np.allclose(cell2.a, cell.a)
+    assert cell2.pseudos["C"].rloc == cell.pseudos["C"].rloc
+
+    # restart: one SCF from the checkpointed dm converges immediately
+    dm0 = chkfile.init_guess_by_chkfile(path)
+    system2 = build_scf_system(cell2)
+    res3 = scf_kernel(system2, xc="lda,vwn", conv_tol=1e-10, dm0=dm0)
+    assert res3["niter"] <= 3
+    assert res3["e_tot"] == pytest.approx(res["e_tot"], abs=1e-9)
