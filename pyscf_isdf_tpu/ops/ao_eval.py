@@ -82,9 +82,21 @@ class PackedBasis:
                    col_index=col_index, nao=cell.nao)
 
 
-def _eval_block(packed: PackedBasis, images, coords, kpt, dtype):
-    """AO values for one grid block: (nb, nao_padded) in packed column order."""
+def _eval_block(packed: PackedBasis, images, coords, kpt, dtype,
+                img_chunk: int = 32):
+    """AO values for one grid block: (nb, nao_padded) in packed column order.
+
+    The lattice-image sum runs as a scan over *chunks* of images — each
+    step is a dense (ns, nb, nt) batch that keeps the VPU busy instead of
+    ~10^3 tiny sequential steps.
+    """
     complex_out = kpt is not None
+    nimg = images.shape[0]
+    npad = (-nimg) % img_chunk
+    # pad with far-away dummy images (contribute exp(-large) = 0)
+    imgs = jnp.pad(images, ((0, npad), (0, 0)), constant_values=1e6)
+    imgs = imgs.reshape(-1, img_chunk, 3)
+
     blocks = []
     for l in packed.ls:
         ctr = jnp.asarray(packed.centers[l], dtype=dtype)       # (ns,3)
@@ -94,22 +106,25 @@ def _eval_block(packed: PackedBasis, images, coords, kpt, dtype):
         K = cs.shape[2]
         M = 2 * l + 1
 
-        def img_step(acc, T):
-            d = coords[None, :, :] - ctr[:, None, :] - T[None, None, :]  # (ns,nb,3)
-            r2 = jnp.sum(d * d, axis=-1)                                  # (ns,nb)
-            g = jnp.exp(-es[:, None, :] * r2[:, :, None])                 # (ns,nb,P)
-            rad = jnp.einsum("snp,spk->snk", g, cs)                       # (ns,nb,K)
-            ang = solid_harmonics(l, d, jnp)                              # (ns,nb,M)
-            contrib = rad[:, :, :, None] * ang[:, :, None, :]             # (ns,nb,K,M)
+        def img_step(acc, T):                                   # T: (nt, 3)
+            d = (coords[None, :, None, :] - ctr[:, None, None, :]
+                 - T[None, None, :, :])                          # (ns,nb,nt,3)
+            r2 = jnp.sum(d * d, axis=-1)                         # (ns,nb,nt)
+            g = jnp.exp(-es[:, None, None, :] * r2[..., None])   # (ns,nb,nt,P)
+            ang = solid_harmonics(l, d, jnp)                     # (ns,nb,nt,M)
             if complex_out:
-                phase = jnp.exp(1j * jnp.dot(T, kpt)).astype(acc.dtype)
-                contrib = contrib * phase
+                ph = jnp.exp(1j * (T @ kpt)).astype(acc.dtype)   # (nt,)
+                contrib = jnp.einsum("sntp,spk,sntm,t->snkm",
+                                     g.astype(acc.dtype), cs.astype(acc.dtype),
+                                     ang.astype(acc.dtype), ph)
+            else:
+                contrib = jnp.einsum("sntp,spk,sntm->snkm", g, cs, ang)
             return acc + contrib, None
 
         out_dtype = jnp.result_type(dtype, jnp.complex64) if complex_out else dtype
         nb = coords.shape[0]
         init = jnp.zeros((ns, nb, K, M), dtype=out_dtype)
-        acc, _ = jax.lax.scan(img_step, init, images)
+        acc, _ = jax.lax.scan(img_step, init, imgs)
         blocks.append(acc.transpose(1, 0, 2, 3).reshape(nb, ns * K * M))
     return jnp.concatenate(blocks, axis=1)
 
@@ -146,12 +161,26 @@ def eval_ao(packed: PackedBasis, coords, images, kpt=None, block_size: int = 819
     return out[:, inv]
 
 
-def eval_ao_numpy(cell, coords=None, kpt=None, rcut=None):
+def shell_rcut(sh, precision: float = 1e-10) -> float:
+    """Radius beyond which this shell's most diffuse primitive is negligible."""
+    i = int(np.argmin(sh.exps))
+    a = float(sh.exps[i])
+    c = float(np.abs(sh.coeffs[i]).max()) + 1e-300
+    r2 = max(np.log(max(c, 1.0) / precision), 5.0) / a
+    for _ in range(3):
+        val = c * max(r2, 1.0) ** (sh.l / 2 + 1)
+        r2 = max(np.log(max(val, 1e-300) / precision), 5.0) / a
+    return float(np.sqrt(r2))
+
+
+def eval_ao_numpy(cell, coords=None, kpt=None, rcut=None, img_chunk: int = 32):
     """Host-side float64 AO collocation (build-time path).
 
     Same lattice-image sum as :func:`eval_ao` but in numpy, used for the
     once-per-geometry hcore/overlap builds where float64 is required even
-    when the device runs float32.
+    when the device runs float32. Images are pruned per shell (distance of
+    the translated center to the grid bounding sphere vs the shell decay
+    radius) and processed in vectorized chunks.
     """
     if coords is None:
         coords = cell.uniform_grid()
@@ -160,20 +189,27 @@ def eval_ao_numpy(cell, coords=None, kpt=None, rcut=None):
     complex_out = kpt is not None and np.linalg.norm(kpt) > 1e-12
     out = np.zeros((ng, cell.nao), dtype=np.complex128 if complex_out else np.float64)
     ao_loc = cell.ao_loc
+    center = coords.mean(axis=0)
+    grid_rad = np.sqrt(((coords - center) ** 2).sum(axis=1).max())
     for ish, sh in enumerate(cell.shells):
         A = cell.coords[sh.atom]
-        acc = np.zeros((ng, sh.nctr, 2 * sh.l + 1),
-                       dtype=out.dtype)
-        for T in images:
-            d = coords - A - T
-            r2 = np.einsum("gi,gi->g", d, d)
-            g = np.exp(-sh.exps[None, :] * r2[:, None])          # (ng, P)
-            rad = g @ sh.coeffs                                   # (ng, K)
-            ang = solid_harmonics(sh.l, d, np)                    # (ng, M)
-            contrib = rad[:, :, None] * ang[:, None, :]
+        # keep images whose shifted center can reach the grid
+        rc = shell_rcut(sh) + grid_rad
+        dist = np.linalg.norm(A + images - center, axis=1)
+        imgs = images[dist <= rc]
+        acc = np.zeros((ng, sh.nctr, 2 * sh.l + 1), dtype=out.dtype)
+        for i0 in range(0, len(imgs), img_chunk):
+            T = imgs[i0:i0 + img_chunk]                           # (nt, 3)
+            d = coords[:, None, :] - A - T[None, :, :]            # (ng, nt, 3)
+            r2 = np.einsum("gti,gti->gt", d, d)
+            g = np.exp(-sh.exps[None, None, :] * r2[:, :, None])  # (ng, nt, P)
+            ang = solid_harmonics(sh.l, d, np)                    # (ng, nt, M)
             if complex_out:
-                contrib = contrib * np.exp(1j * np.dot(T, kpt))
-            acc += contrib
+                ph = np.exp(1j * T @ np.asarray(kpt))             # (nt,)
+                rad = np.einsum("gtp,pk,t->gtk", g, sh.coeffs, ph)
+            else:
+                rad = np.einsum("gtp,pk->gtk", g, sh.coeffs)
+            acc += np.einsum("gtk,gtm->gkm", rad.astype(out.dtype), ang)
         out[:, ao_loc[ish]:ao_loc[ish + 1]] = acc.reshape(ng, sh.nao)
     return out
 
