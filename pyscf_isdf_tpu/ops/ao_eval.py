@@ -228,3 +228,18 @@ def ao_gradient_fft(aoR, mesh, Gv):
     if not jnp.iscomplexobj(aoR):
         out = out.real
     return out
+
+
+def ao_gradient_fft_k(aoR_k, mesh, Gv, kpt, coords):
+    """Spectral gradient of Bloch AOs at k: (3, ngrids, nao) complex.
+
+    phi^k = e^{ik.r} u with u periodic; grad phi^k =
+    e^{ik.r} ifft(i(G+k) fft(u)).
+    """
+    ng, nao = aoR_k.shape
+    phase = jnp.exp(-1j * coords @ kpt)            # (ng,)
+    u = aoR_k * phase[:, None]
+    uG = jnp.fft.fftn(u.reshape(*mesh, nao), axes=(0, 1, 2))
+    iGk = (1j * (Gv + kpt[None, :]).T).reshape(3, *mesh)
+    du = jnp.fft.ifftn(uG[None] * iGk[..., None], axes=(1, 2, 3)).reshape(3, ng, nao)
+    return du * phase.conj()[None, :, None]

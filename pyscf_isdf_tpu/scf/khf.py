@@ -117,14 +117,25 @@ def kscf_kernel(
     xcspec = XCSpec(xc) if xc is not None else None
     hyb = 1.0 if xcspec is None else xcspec.hyb
     need_k = hyb > 0
-    if xcspec is not None and xcspec.family == "gga":
-        raise NotImplementedError("k-point GGA lands with the k-ISDF phase")
+    is_gga = xcspec is not None and xcspec.family == "gga"
 
     aoR_k = system.aoR_k
     mesh = system.mesh
     weight = system.weight
     coulG = jnp.asarray(system.coulG)
     nocc_tot = system.nelec_tot // 2
+
+    ao_grad_k = None
+    if is_gga:
+        from pyscf_isdf_tpu.ops.ao_eval import ao_gradient_fft_k
+
+        coords = jnp.asarray(cell.uniform_grid())
+        Gv = jnp.asarray(cell.get_Gv())
+        ao_grad_k = jnp.stack([
+            ao_gradient_fft_k(aoR_k[k], mesh, Gv,
+                              jnp.asarray(system.kpts[k]), coords)
+            for k in range(nk)
+        ])  # (nk, 3, ng, nao)
 
     if get_jk is None:
         if need_k and exxdiv not in (None, "ewald"):
@@ -183,17 +194,28 @@ def kscf_kernel(
         veff = vj.copy()
         e_xc = 0.0
         if xcspec is not None:
-            rho = np.asarray(
-                jnp.einsum("kgi,kij,kgj->g",
-                           aoR_k, jnp.asarray(dm, aoR_k.dtype),
-                           aoR_k.conj()).real
-            ) / nk
-            rho_j = jnp.asarray(np.maximum(rho, 1e-30))
-            exc, vrho, _ = xcspec.exc_vxc(rho_j)
-            e_xc = float(weight * jnp.sum(rho_j * exc))
-            vxc = np.asarray(
-                weight * jnp.einsum("kgi,g,kgj->kij", aoR_k.conj(), vrho, aoR_k)
-            )
+            dmj = jnp.asarray(dm, aoR_k.dtype)
+            t = jnp.einsum("kgi,kij->kgj", aoR_k, dmj)        # (nk, ng, nao)
+            rho = jnp.einsum("kgj,kgj->g", t, aoR_k.conj()).real / nk
+            rho_j = jnp.maximum(rho, 1e-30)
+            if is_gga:
+                # grad rho = (2/nk) Re sum_k conj(t) . grad(ao)
+                grho = 2.0 / nk * jnp.einsum(
+                    "kgj,kxgj->xg", t.conj(), ao_grad_k).real  # (3, ng)
+                sigma_g = jnp.maximum(jnp.sum(grho * grho, axis=0), 1e-30)
+                exc, vrho, vsigma = xcspec.exc_vxc(rho_j, sigma_g)
+                e_xc = float(weight * jnp.sum(rho_j * exc))
+                # V_k = w [conj(ao)^T (vrho/2 ao + 2 vsigma grad_rho.grad_ao) + h.c.]
+                aow = 0.5 * vrho[:, None] * aoR_k + 2.0 * jnp.einsum(
+                    "xg,g,kxgi->kgi", grho, vsigma, ao_grad_k)
+                half = weight * jnp.einsum("kgi,kgj->kij", aoR_k.conj(), aow)
+                vxc = np.asarray(half + half.conj().transpose(0, 2, 1))
+            else:
+                exc, vrho, _ = xcspec.exc_vxc(rho_j)
+                e_xc = float(weight * jnp.sum(rho_j * exc))
+                vxc = np.asarray(
+                    weight * jnp.einsum("kgi,g,kgj->kij", aoR_k.conj(), vrho, aoR_k)
+                )
             veff += vxc
         e_k = 0.0
         if need_k:
