@@ -1,0 +1,309 @@
+"""Pallas TPU kernel for crystalline AO collocation with image culling.
+
+The lattice-image sum  ao_mu(r_g) = sum_T phi_mu(r_g - A_mu - T)  is
+irregular: each (shell, grid-block) pair only sees the few images whose
+translated center lies within the shell's decay radius. The XLA evaluator
+(:mod:`pyscf_isdf_tpu.ops.ao_eval`) must process the dense (image x shell x
+grid) product; this kernel instead walks a host-precomputed pruned image
+list per (shell, grid-block) with a dynamic trip count — typically 5-20x
+less work (the spec of the reference C kernel's rcut screening,
+pyscf/lib/pbc/grid_ao.c:63-113 + eval_gto.py:132-136, mapped to TPU).
+
+Layout: grid = (grid_blocks, shells_of_l); per program the kernel reads a
+(3, NB) coordinate slab (lanes = grid points), the shell's exponents/
+coefficients from scalar-prefetch SMEM, the culled image list from an SMEM
+block, and writes a (K*M, NB) output tile of the transposed aoR.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pyscf_isdf_tpu.ops.ao_eval import PackedBasis, shell_rcut
+
+
+def _ang_rows(l: int, dx, dy, dz):
+    """Real solid harmonics as a list of 2l+1 row vectors (same shapes as dx)."""
+    pi = math.pi
+    if l == 0:
+        return [jnp.full_like(dx, 0.5 / math.sqrt(pi))]
+    if l == 1:
+        c = math.sqrt(3 / (4 * pi))
+        return [c * dx, c * dy, c * dz]
+    if l == 2:
+        c0 = math.sqrt(15 / (4 * pi))
+        c1 = math.sqrt(5 / (16 * pi))
+        c2 = math.sqrt(15 / (16 * pi))
+        return [
+            c0 * dx * dy,
+            c0 * dy * dz,
+            c1 * (2 * dz * dz - dx * dx - dy * dy),
+            c0 * dx * dz,
+            c2 * (dx * dx - dy * dy),
+        ]
+    if l == 3:
+        c_3 = math.sqrt(35 / (32 * pi))
+        c_2 = math.sqrt(105 / (4 * pi))
+        c_1 = math.sqrt(21 / (32 * pi))
+        c0 = math.sqrt(7 / (16 * pi))
+        c2 = math.sqrt(105 / (16 * pi))
+        x2, y2, z2 = dx * dx, dy * dy, dz * dz
+        return [
+            c_3 * dy * (3 * x2 - y2),
+            c_2 * dx * dy * dz,
+            c_1 * dy * (4 * z2 - x2 - y2),
+            c0 * dz * (2 * z2 - 3 * x2 - 3 * y2),
+            c_1 * dx * (4 * z2 - x2 - y2),
+            c2 * dz * (x2 - y2),
+            c_3 * dx * (x2 - 3 * y2),
+        ]
+    raise NotImplementedError(f"pallas AO kernel: l={l}")
+
+
+@dataclass(frozen=True, eq=False)
+class _LPlan:
+    l: int
+    ns: int
+    P: int
+    K: int
+    centers: np.ndarray     # (ns, 3)
+    exps: np.ndarray        # (ns, P)
+    coeffs: np.ndarray      # (ns, P, K)
+    imgs: np.ndarray        # (ns, nb, 3, IMAX) culled image lists
+    counts: np.ndarray      # (ns, nb) int32
+    cols: np.ndarray        # (ns*K*(2l+1),) AO column for each output row
+
+
+def plan_ao_blocks(cell, coords=None, block: int = 512, imax: int | None = None):
+    """Host-side planning: pack shells per l and cull images per block."""
+    packed = PackedBasis.from_cell(cell)
+    if coords is None:
+        coords = cell.uniform_grid()
+    ng = coords.shape[0]
+    nb = -(-ng // block)
+    images = cell.lattice_images()
+
+    # block centers and radii
+    npad = (-ng) % block
+    cpad = np.pad(coords, ((0, npad), (0, 0)), mode="edge")
+    cblk = cpad.reshape(nb, block, 3)
+    bcent = cblk.mean(axis=1)                                  # (nb, 3)
+    brad = np.sqrt(((cblk - bcent[:, None]) ** 2).sum(-1).max(axis=1))
+
+    # group shells by l (same grouping as PackedBasis), remembering indices
+    groups: dict[int, list] = {}
+    for ish, sh in enumerate(cell.shells):
+        groups.setdefault(sh.l, []).append((ish, sh))
+
+    plans = []
+    col_cursor = {l: 0 for l in packed.ls}
+    for l in packed.ls:
+        shells = groups[l]
+        ns = len(shells)
+        P = packed.exps[l].shape[1]
+        K = packed.coeffs[l].shape[2]
+        M = 2 * l + 1
+        rcuts = np.array([shell_rcut(sh) for _, sh in shells])
+        # distance from every translated center to every block center
+        ctr = packed.centers[l]                                # (ns, 3)
+        tc = ctr[:, None, :] + images[None, :, :]              # (ns, nimg, 3)
+        d = np.linalg.norm(tc[:, None, :, :] - bcent[None, :, None, :], axis=-1)
+        keep = d <= (rcuts[:, None, None] + brad[None, :, None])  # (ns, nb, nimg)
+        counts = keep.sum(axis=2).astype(np.int32)
+        cmax = int(counts.max()) if counts.size else 0
+        IMAX = imax or max(128, -(-cmax // 128) * 128)
+        if cmax > IMAX:
+            raise ValueError(f"IMAX={IMAX} < required {cmax}")
+        imgs = np.zeros((ns, nb, 3, IMAX), dtype=np.float64)
+        for s in range(ns):
+            for b in range(nb):
+                sel = images[keep[s, b]]
+                imgs[s, b, :, : len(sel)] = sel.T
+                imgs[s, b, :, len(sel):] = 1e6  # dummy far image
+        # output rows (s-major, then k, then m) -> AO columns
+        cols = []
+        for ish, sh in shells:
+            base = cell.ao_loc[ish]
+            for k in range(K):
+                for m in range(M):
+                    cols.append(base + k * M + m if k < sh.nctr else -1)
+        plans.append(_LPlan(
+            l=l, ns=ns, P=P, K=K,
+            centers=packed.centers[l],
+            exps=packed.exps[l],
+            coeffs=packed.coeffs[l],
+            imgs=imgs, counts=counts, cols=np.array(cols, dtype=np.int64),
+        ))
+    return plans, nb, block
+
+
+def _make_kernel(l, ns, P, K, NB):
+    M = 2 * l + 1
+    KM = -(-(K * M) // 8) * 8  # pad rows to the 8-sublane tile
+
+    def kernel(counts_ref, centers_ref, exps_ref, coeffs_ref,
+               coords_ref, imgs_ref, out_ref):
+        b = pl.program_id(0)
+        s = pl.program_id(1)
+        cnt = counts_ref[s * pl.num_programs(0) + b]
+        x = coords_ref[0:1, :]                                  # (1, NB)
+        y = coords_ref[1:2, :]
+        z = coords_ref[2:3, :]
+        cx = centers_ref[s * 3 + 0]
+        cy = centers_ref[s * 3 + 1]
+        cz = centers_ref[s * 3 + 2]
+
+        def body(j, acc):
+            dx = x - cx - imgs_ref[0, 0, 0, j]
+            dy = y - cy - imgs_ref[0, 0, 1, j]
+            dz = z - cz - imgs_ref[0, 0, 2, j]
+            r2 = dx * dx + dy * dy + dz * dz
+            gs = [jnp.exp(-exps_ref[s * P + p] * r2) for p in range(P)]
+            ang = _ang_rows(l, dx, dy, dz)                      # M x (1, NB)
+            rows = []
+            for k in range(K):
+                rad = gs[0] * coeffs_ref[(s * P + 0) * K + k]
+                for p in range(1, P):
+                    rad = rad + gs[p] * coeffs_ref[(s * P + p) * K + k]
+                for m in range(M):
+                    rows.append(rad * ang[m])
+            while len(rows) < KM:                               # sublane padding
+                rows.append(jnp.zeros_like(rows[0]))
+            return acc + jnp.concatenate(rows, axis=0)          # (KM, NB)
+
+        acc = jax.lax.fori_loop(
+            0, cnt, body, jnp.zeros((KM, NB), dtype=out_ref.dtype))
+        out_ref[:, :] = acc
+
+    return kernel, KM
+
+
+def make_ao_evaluator(cell, coords=None, block: int = 512, dtype=jnp.float32,
+                      interpret: bool = False):
+    """Plan once, evaluate many: returns ``fn() -> aoR (ngrids, nao)``.
+
+    Host planning (image culling per block) happens here; the returned
+    callable only launches the Pallas kernels on pre-staged device arrays.
+    """
+    plans, nb, NB = plan_ao_blocks(cell, coords, block)
+    if coords is None:
+        coords = cell.uniform_grid()
+    ng = coords.shape[0]
+    npad = (-ng) % NB
+    coordsT = jnp.asarray(
+        np.pad(coords, ((0, npad), (0, 0)), mode="edge").T, dtype)  # (3, ng_p)
+
+    staged = []
+    col_index = []
+    for plan in plans:
+        kernel, KM = _make_kernel(plan.l, plan.ns, plan.P, plan.K, NB)
+        grid = (nb, plan.ns)
+        fn = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((3, NB), lambda b, s, *_: (0, b),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, 3, plan.imgs.shape[3]),
+                                 lambda b, s, *_: (s, b, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                ],
+                out_specs=pl.BlockSpec((KM, NB), lambda b, s, *_: (s, b),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((plan.ns * KM, ng + npad), dtype),
+            interpret=interpret,
+        )
+        args = (
+            jnp.asarray(plan.counts.reshape(-1)),
+            jnp.asarray(plan.centers.reshape(-1), dtype),
+            jnp.asarray(plan.exps.reshape(-1), dtype),
+            jnp.asarray(plan.coeffs.reshape(-1), dtype),
+            coordsT,
+            jnp.asarray(plan.imgs, dtype),
+        )
+        staged.append((fn, args))
+        km0 = plan.K * (2 * plan.l + 1)
+        cols_pad = np.full((plan.ns, KM), -1, dtype=np.int64)
+        cols_pad[:, :km0] = plan.cols.reshape(plan.ns, km0)
+        col_index.append(cols_pad.reshape(-1))
+
+    cols = np.concatenate(col_index)
+    keep = cols >= 0
+    inv = np.zeros(cell.nao, dtype=np.int64)
+    inv[cols[keep]] = np.nonzero(keep)[0]
+    inv_j = jnp.asarray(inv)
+
+    def evaluate():
+        rows = jnp.concatenate([fn(*args) for fn, args in staged], axis=0)
+        return rows[inv_j, :ng].T
+
+    return evaluate
+
+
+def eval_ao_pallas(cell, coords=None, block: int = 512, dtype=jnp.float32,
+                   interpret: bool = False):
+    """AO collocation via the Pallas culled-image kernel (one-shot API).
+
+    Returns (ngrids, nao) in cell AO ordering (Gamma point, real).
+    """
+    plans, nb, NB = plan_ao_blocks(cell, coords, block)
+    if coords is None:
+        coords = cell.uniform_grid()
+    ng = coords.shape[0]
+    npad = (-ng) % NB
+    coordsT = jnp.asarray(
+        np.pad(coords, ((0, npad), (0, 0)), mode="edge").T, dtype)  # (3, ng_p)
+
+    out_cols = []
+    col_index = []
+    for plan in plans:
+        kernel, KM = _make_kernel(plan.l, plan.ns, plan.P, plan.K, NB)
+        grid = (nb, plan.ns)
+        fn = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((3, NB), lambda b, s, *_: (0, b),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, 3, plan.imgs.shape[3]),
+                                 lambda b, s, *_: (s, b, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                ],
+                out_specs=pl.BlockSpec((KM, NB), lambda b, s, *_: (s, b),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((plan.ns * KM, ng + npad), dtype),
+            interpret=interpret,
+        )
+        out_l = fn(
+            jnp.asarray(plan.counts.reshape(-1)),
+            jnp.asarray(plan.centers.reshape(-1), dtype),
+            jnp.asarray(plan.exps.reshape(-1), dtype),
+            jnp.asarray(plan.coeffs.reshape(-1), dtype),
+            coordsT,
+            jnp.asarray(plan.imgs, dtype),
+        )
+        out_cols.append(out_l)
+        # expand the per-shell column map to the padded KM row stride
+        km0 = plan.K * (2 * plan.l + 1)
+        cols_pad = np.full((plan.ns, KM), -1, dtype=np.int64)
+        cols_pad[:, :km0] = plan.cols.reshape(plan.ns, km0)
+        col_index.append(cols_pad.reshape(-1))
+
+    allrows = jnp.concatenate(out_cols, axis=0)[:, :ng]         # (rows, ng)
+    cols = np.concatenate(col_index)
+    keep = cols >= 0
+    inv = np.zeros(cell.nao, dtype=np.int64)
+    inv[cols[keep]] = np.nonzero(keep)[0]
+    return allrows[inv].T                                       # (ng, nao)
