@@ -66,9 +66,12 @@ def main():
         f"ngrids={cell.ngrids} mesh={cell.mesh}")
 
     t0 = time.perf_counter()
-    aoR = jnp.asarray(eval_ao_numpy(cell), dtype)
+    from pyscf_isdf_tpu.ops.pallas_ao import make_ao_evaluator
+    evaluator = make_ao_evaluator(cell, dtype=dtype)
+    aoR = evaluator()
+    jax.block_until_ready(aoR)
     coulG = jnp.asarray(coulomb.get_coulG(cell), dtype)
-    log(f"aoR + kernels build: {time.perf_counter()-t0:.1f} s")
+    log(f"aoR (Pallas) + kernels build: {time.perf_counter()-t0:.1f} s")
 
     mesh3 = tuple(cell.mesh)
     w = cell.grid_weight
