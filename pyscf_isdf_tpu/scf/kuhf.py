@@ -1,0 +1,164 @@
+"""k-point sampled spin-polarized SCF (KUHF / KUKS).
+
+Combines the Bloch-orbital machinery of :mod:`pyscf_isdf_tpu.scf.khf` with
+the spin handling of :mod:`pyscf_isdf_tpu.scf.uhf` (reference semantics:
+pyscf/pbc/scf/kuhf.py, pyscf/pbc/dft/kuks.py): per-spin density matrices at
+every k, shared Coulomb from the total density, per-spin exchange, global
+per-spin Fermi filling across k-points.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from pyscf_isdf_tpu.df import fftdf_k
+from pyscf_isdf_tpu.ops.xc import XCSpec
+from pyscf_isdf_tpu.scf.diis import DIIS
+from pyscf_isdf_tpu.scf.khf import KSCFSystem, build_kscf_system  # noqa: F401
+
+
+def _occ_spin(mo_e_k, nocc_tot):
+    all_e = np.sort(np.hstack(mo_e_k))
+    fermi = all_e[nocc_tot - 1]
+    return [(e <= fermi).astype(np.float64) for e in mo_e_k]
+
+
+def kuhf_kernel(
+    system: KSCFSystem,
+    xc: Optional[str] = None,
+    exxdiv: str = "ewald",
+    nelec: Optional[tuple] = None,
+    max_cycle: int = 100,
+    conv_tol: float = 1e-10,
+    diis_space: int = 8,
+    verbose: bool = False,
+):
+    """Run k-point spin-polarized SCF. xc=None -> KUHF, else KUKS (LDA)."""
+    cell = system.cell
+    nk = len(system.kpts)
+    xcspec = XCSpec(xc) if xc is not None else None
+    hyb = 1.0 if xcspec is None else xcspec.hyb
+    need_k = hyb > 0
+    if xcspec is not None and xcspec.family == "gga":
+        raise NotImplementedError("KUKS GGA: use LDA or the Gamma UKS path")
+
+    if nelec is None:
+        na = (cell.nelectron + cell.spin) // 2
+        nb = cell.nelectron - na
+    else:
+        na, nb = nelec
+
+    aoR_k = system.aoR_k
+    mesh = system.mesh
+    weight = system.weight
+    coulG = jnp.asarray(system.coulG)
+    coulG_pairs = jnp.asarray(system.coulG_pairs)
+    expmikr = jnp.asarray(system.expmikr, dtype=aoR_k.dtype)
+    kweight = weight / nk
+
+    S, hcore, X = system.S, system.hcore, system.X
+
+    def eig_all(F_k):
+        es, cs = [], []
+        for k in range(nk):
+            Fp = X[k].conj().T @ F_k[k] @ X[k]
+            e, u = np.linalg.eigh(Fp)
+            es.append(e)
+            cs.append(X[k] @ u)
+        return es, cs
+
+    def make_dm(mo_c, occs):
+        return np.stack([(c * o) @ c.conj().T for c, o in zip(mo_c, occs)])
+
+    mo_e, mo_c = eig_all(hcore)
+    occ_a = _occ_spin(mo_e, na * nk)
+    occ_b = _occ_spin(mo_e, nb * nk) if nb > 0 else [np.zeros_like(o) for o in occ_a]
+    dm_a = make_dm(mo_c, occ_a)
+    dm_b = make_dm(mo_c, occ_b)
+
+    diis = DIIS(space=diis_space)
+    e_last = 0.0
+    conv = False
+
+    for it in range(max_cycle):
+        dm_t = dm_a + dm_b
+        vj = np.asarray(
+            fftdf_k.get_j_kpts(aoR_k, jnp.asarray(dm_t, aoR_k.dtype), coulG,
+                               mesh, weight), dtype=np.complex128)
+        veff_a = vj.copy()
+        veff_b = vj.copy()
+        e_xc = 0.0
+        if xcspec is not None:
+            dmaj = jnp.asarray(dm_a, aoR_k.dtype)
+            dmbj = jnp.asarray(dm_b, aoR_k.dtype)
+            rho_a = jnp.maximum(jnp.einsum(
+                "kgi,kij,kgj->g", aoR_k, dmaj, aoR_k.conj()).real / nk, 0.0)
+            rho_b = jnp.maximum(jnp.einsum(
+                "kgi,kij,kgj->g", aoR_k, dmbj, aoR_k.conj()).real / nk, 0.0)
+            exc, (va, vb), _ = xcspec.exc_vxc_spin(rho_a, rho_b)
+            e_xc = float(weight * jnp.sum((rho_a + rho_b) * exc))
+            veff_a += np.asarray(weight * jnp.einsum(
+                "kgi,g,kgj->kij", aoR_k.conj(), va, aoR_k))
+            veff_b += np.asarray(weight * jnp.einsum(
+                "kgi,g,kgj->kij", aoR_k.conj(), vb, aoR_k))
+        e_k = 0.0
+        if need_k:
+            vka = np.array(fftdf_k.get_k_kpts(
+                aoR_k, jnp.asarray(dm_a, aoR_k.dtype), coulG_pairs,
+                expmikr, mesh, kweight), dtype=np.complex128)
+            vkb = np.array(fftdf_k.get_k_kpts(
+                aoR_k, jnp.asarray(dm_b, aoR_k.dtype), coulG_pairs,
+                expmikr, mesh, kweight), dtype=np.complex128)
+            if exxdiv == "ewald":
+                for k in range(nk):
+                    vka[k] += system.madelung * (S[k] @ dm_a[k] @ S[k])
+                    vkb[k] += system.madelung * (S[k] @ dm_b[k] @ S[k])
+            veff_a -= hyb * vka
+            veff_b -= hyb * vkb
+            e_k = -0.5 * hyb * (
+                np.einsum("kij,kji->", dm_a, vka)
+                + np.einsum("kij,kji->", dm_b, vkb)
+            ).real / nk
+
+        Fa = hcore + veff_a
+        Fb = hcore + veff_b
+        err = np.concatenate([
+            np.concatenate([
+                (X[k].conj().T @ (S[k] @ d[k] @ F[k] - F[k] @ d[k] @ S[k]) @ X[k]).ravel()
+                for k in range(nk)
+            ])
+            for d, F in ((dm_a, Fa), (dm_b, Fb))
+        ])
+        Fab = diis.update(np.stack([Fa, Fb]), err)
+        Fa, Fb = Fab[0], Fab[1]
+
+        ea, ca = eig_all(Fa)
+        eb, cb = eig_all(Fb)
+        occ_a = _occ_spin(ea, na * nk)
+        occ_b = _occ_spin(eb, nb * nk) if nb > 0 else [np.zeros_like(o) for o in eb]
+        dm_a_new = make_dm(ca, occ_a)
+        dm_b_new = make_dm(cb, occ_b)
+
+        e1 = np.einsum("kij,kji->", dm_t, hcore).real / nk
+        ecoul = 0.5 * np.einsum("kij,kji->", dm_t, vj).real / nk
+        e_tot = float(e1 + ecoul + e_xc + e_k + system.e_nuc)
+        de = abs(e_tot - e_last)
+        if verbose:
+            print(f"cycle {it:3d}  E = {e_tot:.12f}  dE = {de:.2e}")
+        if de < conv_tol and np.linalg.norm(err) / err.size**0.5 < np.sqrt(conv_tol):
+            conv = True
+            dm_a, dm_b = dm_a_new, dm_b_new
+            break
+        dm_a, dm_b = dm_a_new, dm_b_new
+        e_last = e_tot
+
+    return {
+        "e_tot": e_tot,
+        "mo_energy": (ea, eb),
+        "mo_coeff": (ca, cb),
+        "dm": (dm_a, dm_b),
+        "converged": conv,
+        "niter": it + 1,
+    }
