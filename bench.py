@@ -61,8 +61,13 @@ def main():
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
     dtype = jnp.float32
-    cell = diamond_supercell(nrep=(2, 2, 2), mesh=(32, 32, 32))
-    log(f"system: diamond 2x2x2, natm={cell.natm} nao={cell.nao} "
+    if "--large" in sys.argv:
+        # the BASELINE north-star scale (diamond 3x3x3)
+        nrep, mesh, name = (3, 3, 3), (48, 48, 48), "diamond333"
+    else:
+        nrep, mesh, name = (2, 2, 2), (32, 32, 32), "diamond222"
+    cell = diamond_supercell(nrep=nrep, mesh=mesh)
+    log(f"system: {name}, natm={cell.natm} nao={cell.nao} "
         f"ngrids={cell.ngrids} mesh={cell.mesh}")
 
     t0 = time.perf_counter()
@@ -103,7 +108,7 @@ def main():
         f"speedup {t_fftdf/t_isdf:.1f}x; |dEk|={dek:.2e} Ha")
 
     print(json.dumps({
-        "metric": "diamond222_jk_per_scf_iter_ms",
+        "metric": f"{name}_jk_per_scf_iter_ms",
         "value": round(t_isdf * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(t_fftdf / t_isdf, 2),

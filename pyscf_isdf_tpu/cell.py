@@ -124,6 +124,7 @@ class Cell:
             precision=self.precision,
             rcut=self.rcut,
             ke_cutoff=self.ke_cutoff,
+            dimension=self.dimension,
         )
 
 
@@ -175,7 +176,8 @@ def _normalize_inline(entry):
 
 
 def build_cell(a, atom, basis, pseudo=None, mesh=None, ke_cutoff=None,
-               precision=1e-8, unit="Bohr", spin=0, charge=0) -> Cell:
+               precision=1e-8, unit="Bohr", spin=0, charge=0,
+               dimension=3) -> Cell:
     """Construct a :class:`Cell`.
 
     Args:
@@ -237,5 +239,5 @@ def build_cell(a, atom, basis, pseudo=None, mesh=None, ke_cutoff=None,
         a=a, coords=coords, symbols=symbols, charges=charges,
         shells=tuple(shells), pseudos=pseudos, mesh=mesh,
         precision=precision, rcut=rcut, ke_cutoff=float(ke_cutoff),
-        spin=spin, charge=charge,
+        spin=spin, charge=charge, dimension=dimension,
     )

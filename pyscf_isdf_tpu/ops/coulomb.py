@@ -15,7 +15,7 @@ Host-side float64 builders for per-geometry constants:
 from __future__ import annotations
 
 import numpy as np
-from scipy.special import erfc
+from scipy.special import erf, erfc
 
 from pyscf_isdf_tpu import lattice
 from pyscf_isdf_tpu.cell import _estimate_rcut
@@ -69,6 +69,18 @@ def get_coulG(cell, k=None, exxdiv=None, mesh=None, Gv=None, kpts=None,
         with np.errstate(divide="ignore", invalid="ignore"):
             coulG = 4 * np.pi / absG2 * (1.0 - np.cos(np.sqrt(absG2) * Rc))
         coulG[G0_idx] = 4 * np.pi * 0.5 * Rc**2
+    elif cell.dimension == 2:
+        # truncated Coulomb for a slab: Sundararaman-Arias PRB 87 (2013)
+        b = cell.reciprocal_vectors()
+        Ld2 = np.pi / np.linalg.norm(b[2])
+        Gz = kG[:, 2]
+        Gp = np.linalg.norm(kG[:, :2], axis=1)
+        wfac = 1.0 - np.cos(Gz * Ld2) * np.exp(-Gp * Ld2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coulG = wfac * 4 * np.pi / absG2
+        coulG[G0_idx] = -2 * np.pi * Ld2**2
+        if exxdiv == "ewald" and G0_idx.any():
+            coulG[G0_idx] += Nk * cell.vol * madelung(cell, kpts)
     else:
         with np.errstate(divide="ignore"):
             coulG = 4 * np.pi / absG2
@@ -90,6 +102,11 @@ def get_coulG(cell, k=None, exxdiv=None, mesh=None, Gv=None, kpts=None,
 def ewald_params(cell, precision=None):
     """Gaussian-charge width eta and real-space cutoff for the Ewald sum."""
     precision = precision or cell.precision
+    if cell.dimension == 2:
+        ew_cut = cell.a[2, 2] / 2
+        log_precision = np.log(precision / (cell.charges.sum() * 16 * np.pi**2))
+        ew_eta = (-log_precision) ** 0.5 / ew_cut
+        return ew_eta, ew_cut
     ew_eta = 1.0 / cell.vol ** (1.0 / 6)
     ew_cut = _estimate_rcut(ew_eta**2, 0, 1.0, precision)
     return ew_eta, ew_cut
@@ -114,17 +131,52 @@ def ewald(cell, ew_eta=None, ew_cut=None) -> float:
     if cell.dimension == 3:
         ewself += -0.5 * np.sum(chargs) ** 2 * np.pi / (ew_eta**2 * cell.vol)
 
-    # G-space: 1/2 sum_{G!=0} |sum_a Z_a e^{iG.R_a}|^2 4pi/G^2 e^{-G^2/4eta^2}/vol
     log_precision = np.log(cell.precision / (chargs.sum() * 16 * np.pi**2))
     ke_cutoff = -2 * ew_eta**2 * log_precision
     mesh = lattice.cutoff_to_mesh(cell.a, ke_cutoff)
     Gv = lattice.get_Gv(cell.a, mesh)
     absG2 = np.einsum("gi,gi->g", Gv, Gv)
     absG2[absG2 == 0] = 1e200
-    coulG = 4 * np.pi / absG2 / cell.vol
-    ZSI = np.einsum("i,ij->j", chargs, lattice.get_SI(cell.a, coords, Gv=Gv))
-    ZexpG2 = ZSI * np.exp(-absG2 / (4 * ew_eta**2))
-    ewg = 0.5 * np.einsum("i,i,i", ZSI.conj(), ZexpG2, coulG).real
+
+    if cell.dimension == 3:
+        # 1/2 sum_{G!=0} |ZS(G)|^2 4pi/G^2 e^{-G^2/4eta^2} / vol
+        coulG = 4 * np.pi / absG2 / cell.vol
+        ZSI = np.einsum("i,ij->j", chargs, lattice.get_SI(cell.a, coords, Gv=Gv))
+        ZexpG2 = ZSI * np.exp(-absG2 / (4 * ew_eta**2))
+        ewg = 0.5 * np.einsum("i,i,i", ZSI.conj(), ZexpG2, coulG).real
+    elif cell.dimension == 2:
+        # in-plane reciprocal sum, Sundararaman-Arias PRB 87 (2013)
+        def fn(eta, Gnorm, z):
+            Gnorm_z = Gnorm * z
+            large = Gnorm_z > 20.0
+            x = Gnorm / 2.0 / eta + eta * z
+            with np.errstate(over="ignore"):
+                erfcx = erfc(x)
+                ret = np.where(large,
+                               np.exp(np.where(large, Gnorm_z - x**2, 0.0)) * erfcx,
+                               np.exp(np.where(large, 0.0, Gnorm_z)) * erfcx)
+            return ret
+
+        def gn(eta, Gnorm, z):
+            return np.pi / Gnorm * (fn(eta, Gnorm, z) + fn(eta, Gnorm, -z))
+
+        def gn0(eta, z):
+            return -2 * np.pi * (z * erf(eta * z)
+                                 + np.exp(-((eta * z) ** 2)) / eta / np.sqrt(np.pi))
+
+        b = lattice.reciprocal_vectors(cell.a)
+        inv_area = np.linalg.norm(np.cross(b[0], b[1])) / (2 * np.pi) ** 2
+        planar = np.logical_and(Gv[:, 2] == 0, absG2 < 1e199)
+        Gp = Gv[planar]
+        absG = np.sqrt(np.einsum("gi,gi->g", Gp, Gp))
+        rij = coords[:, None, :] - coords[None, :, :]
+        Gdotr = np.einsum("ijx,gx->ijg", rij, Gp)
+        ewg = np.einsum("i,j,ijg,ijg->", chargs, chargs, np.cos(Gdotr),
+                        gn(ew_eta, absG, rij[:, :, 2:3]))
+        ewg += np.einsum("i,j,ij->", chargs, chargs, gn0(ew_eta, rij[:, :, 2]))
+        ewg *= inv_area * 0.5
+    else:
+        raise NotImplementedError(f"ewald for dimension {cell.dimension}")
 
     return float(ewovrl + ewself + ewg)
 

@@ -24,15 +24,58 @@ SQRT = np.sqrt
 
 
 def gth_vlocG(cell, Gv: np.ndarray) -> np.ndarray:
-    """(natm, ngrids) local PP v_loc(G) (positive-kernel convention)."""
+    """(natm, ngrids) local PP v_loc(G) (positive-kernel convention).
+
+    3D: erf-screened Coulomb with the -2 pi Z rloc^2 G=0 convention.
+    2D: Minary-Tuckerman slab summation (reference:
+    pyscf/pbc/gto/pseudo/pp_int.py:77-113).
+    """
+    from scipy.special import erfcx, erfc, erf
+
     G2 = np.einsum("gi,gi->g", Gv, Gv)
     G0 = G2 == 0
-    with np.errstate(divide="ignore"):
-        coulG = 4 * np.pi / G2
-    coulG[G0] = 0.0
 
     natm = cell.natm
     vlocG = np.zeros((natm, len(G2)))
+
+    if cell.dimension == 2:
+        from pyscf_isdf_tpu.ops import coulomb as _coul
+
+        coulG = _coul.get_coulG(cell, Gv=Gv)
+        b = cell.reciprocal_vectors()
+        inv_area = np.linalg.norm(np.cross(b[0], b[1])) / (2 * np.pi) ** 2
+        lzd2 = cell.vol * inv_area / 2
+        lz = lzd2 * 2.0
+        G2s = G2.copy()
+        G2s[G0] = 1e200
+        Gxy = np.linalg.norm(Gv[:, :2], axis=1)
+        Gz = np.abs(Gv[:, 2])
+        for ia in range(natm):
+            Zia = cell.charges[ia]
+            pp = cell.pseudos.get(cell.symbols[ia])
+            if pp is None:
+                vlocG[ia] = Zia * coulG
+                continue
+            rloc = pp.rloc
+            ew_eta = 1.0 / np.sqrt(2) / rloc
+            JexpG2 = 4 * np.pi / G2s * np.exp(-G2s / (4 * ew_eta**2))
+            fac = 4 * np.pi / G2s * np.cos(Gz * lzd2)
+            JexpG2 -= fac * np.exp(-Gxy * lzd2)
+            eta_z1 = (ew_eta**2 * lz + Gxy) / (2.0 * ew_eta)
+            eta_z2 = (ew_eta**2 * lz - Gxy) / (2.0 * ew_eta)
+            JexpG2 += fac * 0.5 * (np.exp(-eta_z1**2) * erfcx(eta_z2)
+                                   + np.exp(-eta_z2**2) * erfcx(eta_z1))
+            vlocG[ia] = Zia * JexpG2
+            JexpG0 = (-np.pi * lz**2 / 2.0 * erf(ew_eta * lzd2)
+                      + np.pi / ew_eta**2 * erfc(ew_eta * lzd2)
+                      - np.sqrt(np.pi) * lz / ew_eta * np.exp(-((ew_eta * lzd2) ** 2)))
+            vlocG[ia, G0] = -2 * np.pi * Zia * rloc**2 + Zia * JexpG0
+            vlocG[ia] -= _gth_c_terms(pp, G2)
+        return vlocG
+
+    with np.errstate(divide="ignore"):
+        coulG = 4 * np.pi / G2
+    coulG[G0] = 0.0
     for ia in range(natm):
         symb = cell.symbols[ia]
         Zia = cell.charges[ia]
@@ -43,20 +86,25 @@ def gth_vlocG(cell, Gv: np.ndarray) -> np.ndarray:
         rloc = pp.rloc
         vlocG[ia] *= np.exp(-0.5 * rloc**2 * G2)
         vlocG[ia, G0] = -2 * np.pi * Zia * rloc**2
-
-        G2_red = G2 * rloc**2
-        cexp = pp.cexp
-        cfacs = 0.0
-        if len(cexp) >= 1:
-            cfacs = cfacs + cexp[0]
-        if len(cexp) >= 2:
-            cfacs = cfacs + cexp[1] * (3 - G2_red)
-        if len(cexp) >= 3:
-            cfacs = cfacs + cexp[2] * (15 - 10 * G2_red + G2_red**2)
-        if len(cexp) >= 4:
-            cfacs = cfacs + cexp[3] * (105 - 105 * G2_red + 21 * G2_red**2 - G2_red**3)
-        vlocG[ia, :] -= (2 * np.pi) ** 1.5 * rloc**3 * np.exp(-0.5 * G2_red) * cfacs
+        vlocG[ia] -= _gth_c_terms(pp, G2)
     return vlocG
+
+
+def _gth_c_terms(pp, G2):
+    """The C1..C4 Gaussian-polynomial part of the GTH local potential."""
+    rloc = pp.rloc
+    G2_red = G2 * rloc**2
+    cexp = pp.cexp
+    cfacs = 0.0
+    if len(cexp) >= 1:
+        cfacs = cfacs + cexp[0]
+    if len(cexp) >= 2:
+        cfacs = cfacs + cexp[1] * (3 - G2_red)
+    if len(cexp) >= 3:
+        cfacs = cfacs + cexp[2] * (15 - 10 * G2_red + G2_red**2)
+    if len(cexp) >= 4:
+        cfacs = cfacs + cexp[3] * (105 - 105 * G2_red + 21 * G2_red**2 - G2_red**3)
+    return (2 * np.pi) ** 1.5 * rloc**3 * np.exp(-0.5 * G2_red) * cfacs
 
 
 def gth_alphas(cell) -> np.ndarray:
@@ -163,13 +211,12 @@ def get_vppnl(cell, mesh=None, kpt=None) -> np.ndarray:
 def get_nuc(cell, aoR: np.ndarray, mesh=None) -> np.ndarray:
     """All-electron nuclear attraction via the structure-factor route
     (reference: pyscf/pbc/df/fft.py:39-62)."""
+    from pyscf_isdf_tpu.ops import coulomb as _coul
+
     mesh = mesh or cell.mesh
     Gv = cell.get_Gv(mesh)
     SI = cell.get_SI(Gv=Gv)
-    G2 = np.einsum("gi,gi->g", Gv, Gv)
-    with np.errstate(divide="ignore"):
-        coulG = 4 * np.pi / G2
-    coulG[G2 == 0] = 0
+    coulG = _coul.get_coulG(cell, mesh=mesh, Gv=Gv)
     rhoG = (-cell.charges) @ SI
     vneR = np.fft.ifftn((rhoG * coulG).reshape(mesh)).real.ravel()
     return (aoR.conj().T * vneR) @ aoR

@@ -1,0 +1,41 @@
+"""Low-dimensional (2D truncated-Coulomb) systems.
+
+Goldens:
+  * 2D Ewald He2: -5.1194779101355596 (pyscf/pbc/gto/test/test_cell.py:214-224)
+  * 2D Ewald mixed H2He: -3.0902098018260418 (test_cell.py:226-230)
+  * 2D RKS H2 slab: -0.6252695697315944 (pyscf/pbc/dft/test/test_rks.py:121-141)
+"""
+import dataclasses
+import numpy as np
+import pytest
+
+from pyscf_isdf_tpu import build_cell
+from pyscf_isdf_tpu.ops import coulomb
+from pyscf_isdf_tpu.scf import build_scf_system, scf_kernel
+
+
+def test_ewald_2d_golden():
+    cell = build_cell(np.eye(3) * 4, "He 0 0 0; He 0 1 1",
+                      basis=[[0, (1.0, 1.0)]], mesh=[9, 9, 60], dimension=2)
+    cell = dataclasses.replace(cell, rcut=3.6)
+    assert coulomb.ewald(cell) == pytest.approx(-5.1194779101355596, abs=1e-9)
+
+
+def test_ewald_2d_mixed_golden():
+    a = np.eye(3) * 3
+    a[0, 1] = 0.2
+    cell = build_cell(a, "H 0 0.1 0; H 1.1 2.0 0; He 1.2 .3 0.2",
+                      basis=[[0, (1.0, 1.0)]], mesh=[15] * 3, dimension=2,
+                      unit="Angstrom")
+    assert coulomb.ewald(cell) == pytest.approx(-3.0902098018260418, abs=1e-9)
+
+
+def test_rks_2d_slab_golden():
+    a = np.eye(3) * 4.0
+    a[2, 2] = 12.0
+    cell = build_cell(a, "H 0 0 0; H .8 .8 0",
+                      basis=[[0, (4.0, 1.0)], [0, (1.0, 1.0)]], dimension=2)
+    system = build_scf_system(cell)
+    res = scf_kernel(system, xc="lda,vwn", conv_tol=1e-10)
+    assert res["converged"]
+    assert res["e_tot"] == pytest.approx(-0.6252695697315944, abs=1e-7)
