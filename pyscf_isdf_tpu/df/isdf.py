@@ -34,7 +34,9 @@ import jax
 import jax.numpy as jnp
 
 from pyscf_isdf_tpu.df.fftdf import fft3, ifft3
-from pyscf_isdf_tpu.ops.interp_points import pivoted_cholesky_points, cvt_points
+from pyscf_isdf_tpu.ops.interp_points import (
+    pivoted_cholesky_points, cvt_points, atomic_points,
+)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -90,7 +92,8 @@ def _build_from_idx(aoR, ip_idx, coulG, mesh, weight, fft_chunk: int = 128):
 
 
 def build_isdf(aoR, coulG, mesh, weight, n_ip=None, c: float = 8.0,
-               method: str = "cholesky", coords=None, rho=None) -> ISDF:
+               method: str = "cholesky", coords=None, rho=None,
+               atom_coords=None) -> ISDF:
     """Build the ISDF factorization from gridded AOs.
 
     Args:
@@ -98,9 +101,12 @@ def build_isdf(aoR, coulG, mesh, weight, n_ip=None, c: float = 8.0,
         coulG: (ngrids,) Coulomb kernel (G=0 -> 0; exxdiv handled post-hoc).
         weight: vol / ngrids.
         n_ip: number of interpolation points (default c * nao).
-        method: 'cholesky' (QRCP-equivalent greedy selection) or 'cvt'
-            (density-weighted K-means; needs coords+rho).
+        method: 'cholesky' (QRCP-equivalent greedy selection), 'cvt'
+            (density-weighted K-means; needs coords+rho), or 'atomic'
+            (Voronoi-partitioned robust fit; needs coords+atom_coords).
     """
+    import numpy as np
+
     nao = aoR.shape[1]
     if n_ip is None:
         n_ip = int(c * nao)
@@ -111,6 +117,11 @@ def build_isdf(aoR, coulG, mesh, weight, n_ip=None, c: float = 8.0,
         if coords is None or rho is None:
             raise ValueError("cvt selection needs coords and rho")
         ip_idx = cvt_points(coords, rho, n_ip)
+    elif method == "atomic":
+        if coords is None or atom_coords is None:
+            raise ValueError("atomic selection needs coords and atom_coords")
+        per_atom = max(1, n_ip // len(np.asarray(atom_coords)))
+        ip_idx = jnp.asarray(atomic_points(aoR, coords, atom_coords, per_atom))
     else:
         raise ValueError(f"unknown IP selection method {method!r}")
     aoRg, W = _build_from_idx(aoR, ip_idx, jnp.asarray(coulG), tuple(mesh), weight)

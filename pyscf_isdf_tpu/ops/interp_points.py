@@ -58,6 +58,33 @@ def pivoted_cholesky_points(aoR, n_ip: int):
     return idx, d
 
 
+def atomic_points(aoR, coords, atom_coords, n_ip_per_atom: int):
+    """Atom-partitioned ('robust fit') interpolation points.
+
+    Grid points are Voronoi-assigned to their nearest atom; a greedy
+    pivoted Cholesky runs inside each partition with its own IP budget.
+    This is the locality-preserving selection of the ISDF fork's robust-fit
+    mode: every atom keeps enough points to resolve its own AO products,
+    which stabilizes the fit for large supercells.
+
+    Returns (natm * n_ip_per_atom,) global grid indices (host numpy).
+    """
+    import numpy as np
+
+    coords_n = np.asarray(coords)
+    atoms_n = np.asarray(atom_coords)
+    d2 = ((coords_n[:, None, :] - atoms_n[None, :, :]) ** 2).sum(-1)
+    owner = d2.argmin(axis=1)
+    idx_all = []
+    for ia in range(len(atoms_n)):
+        sel = np.nonzero(owner == ia)[0]
+        sub = aoR[sel]
+        k = min(n_ip_per_atom, len(sel))
+        loc, _ = pivoted_cholesky_points(sub, k)
+        idx_all.append(sel[np.asarray(loc)])
+    return np.concatenate(idx_all)
+
+
 @partial(jax.jit, static_argnames=("n_ip", "n_iter"))
 def cvt_points(coords, rho, n_ip: int, n_iter: int = 30, seed: int = 0):
     """Density-weighted K-means (CVT) interpolation points.

@@ -90,3 +90,18 @@ def test_pbe0_scf_with_isdf_k(diamond):
                      get_jk=jk_isdf)
     assert res["converged"]
     assert res["e_tot"] == pytest.approx(res_ref["e_tot"], abs=1e-8)
+
+
+def test_isdf_atomic_selection(diamond):
+    """Voronoi-partitioned (robust-fit) IP selection inside ISDF."""
+    cell, system, res = diamond
+    dm = jnp.asarray(res["dm"])
+    coulG = jnp.asarray(system.coulG)
+    isdf = isdf_mod.build_isdf(
+        system.aoR, coulG, cell.mesh, cell.grid_weight, c=8,
+        method="atomic", coords=jnp.asarray(cell.uniform_grid()),
+        atom_coords=cell.coords,
+    )
+    vk = isdf_mod.get_k(isdf, dm)
+    vk_ref = fftdf.get_k(system.aoR, dm, coulG, cell.mesh, cell.grid_weight)
+    assert np.abs(np.asarray(vk - vk_ref)).max() < 1e-7
