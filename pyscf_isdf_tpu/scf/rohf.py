@@ -1,0 +1,147 @@
+"""Restricted open-shell SCF (ROHF / ROKS) at the Gamma point.
+
+Roothaan single-Fock construction (reference semantics: pyscf/scf/rohf.py):
+alpha/beta Fock matrices from the UHF-style veff, combined into the
+effective Fock
+
+    R = Fc + projector-coupled open-shell blocks,
+    Fc = (Fa + Fb)/2;  R_co = Fb, R_ov = Fa  (canonical Roothaan coupling)
+
+so doubly-occupied, singly-occupied and virtual spaces share one orbital
+set. Energy is the UHF expression evaluated with the shared orbitals.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from pyscf_isdf_tpu.df import fftdf
+from pyscf_isdf_tpu.ops.xc import XCSpec
+from pyscf_isdf_tpu.scf.diis import DIIS
+from pyscf_isdf_tpu.scf.hf import SCFSystem
+from pyscf_isdf_tpu.scf.uhf import _spin_vxc
+
+
+def rohf_kernel(
+    system: SCFSystem,
+    xc: Optional[str] = None,
+    exxdiv: str = "ewald",
+    nelec: Optional[tuple] = None,
+    max_cycle: int = 100,
+    conv_tol: float = 1e-10,
+    diis_space: int = 8,
+    verbose: bool = False,
+):
+    """Run ROHF (xc=None) or ROKS (LDA/GGA) to convergence."""
+    cell = system.cell
+    xcspec = XCSpec(xc) if xc is not None else None
+    hyb = 1.0 if xcspec is None else xcspec.hyb
+    need_k = hyb > 0
+
+    if nelec is None:
+        na = (cell.nelectron + cell.spin) // 2
+        nb = cell.nelectron - na
+    else:
+        na, nb = nelec
+    assert na >= nb
+
+    aoR = system.aoR
+    mesh = system.mesh
+    weight = system.weight
+    coulG = jnp.asarray(system.coulG)
+    S, hcore, X = system.S, system.hcore, system.X
+
+    ao_grad = None
+    if xcspec is not None and xcspec.family == "gga":
+        from pyscf_isdf_tpu.ops.ao_eval import ao_gradient_fft
+
+        ao_grad = ao_gradient_fft(aoR, mesh, jnp.asarray(system.Gv, aoR.dtype))
+
+    def eig(F):
+        Fp = X.T @ F @ X
+        e, u = np.linalg.eigh(Fp)
+        return e, X @ u
+
+    mo_e, mo_c = eig(hcore)
+    diis = DIIS(space=diis_space)
+    e_last = 0.0
+    conv = False
+
+    for it in range(max_cycle):
+        Ca = mo_c[:, :na]
+        Cb = mo_c[:, :nb]
+        dm_a = Ca @ Ca.T
+        dm_b = Cb @ Cb.T
+        dm_t = dm_a + dm_b
+
+        vj = np.asarray(fftdf.get_j(aoR, jnp.asarray(dm_t, aoR.dtype), coulG,
+                                    mesh, weight), dtype=np.float64)
+        veff_a = vj.copy()
+        veff_b = vj.copy()
+        e_xc = 0.0
+        if xcspec is not None:
+            e_xc, vxc_a, vxc_b = _spin_vxc(
+                aoR, ao_grad, jnp.asarray(dm_a, aoR.dtype),
+                jnp.asarray(dm_b, aoR.dtype), weight, xcspec)
+            veff_a += vxc_a
+            veff_b += vxc_b
+        e_k = 0.0
+        if need_k:
+            vka = np.asarray(fftdf.get_k(aoR, jnp.asarray(dm_a, aoR.dtype),
+                                         coulG, mesh, weight), dtype=np.float64)
+            vkb = np.asarray(fftdf.get_k(aoR, jnp.asarray(dm_b, aoR.dtype),
+                                         coulG, mesh, weight), dtype=np.float64)
+            if exxdiv == "ewald":
+                vka = vka + system.madelung * (S @ dm_a @ S)
+                vkb = vkb + system.madelung * (S @ dm_b @ S)
+            veff_a -= hyb * vka
+            veff_b -= hyb * vkb
+            e_k = -0.5 * hyb * (np.einsum("ij,ji->", dm_a, vka)
+                                + np.einsum("ij,ji->", dm_b, vkb))
+
+        Fa = hcore + veff_a
+        Fb = hcore + veff_b
+        Fc = 0.5 * (Fa + Fb)
+
+        # Roothaan effective Fock (reference formula: pyscf/scf/rohf.py
+        # get_roothaan_fock): projectors P = dm.S, half-weighted diagonal
+        # blocks, Fb coupling core<->open, Fa coupling open<->virtual
+        Pc = dm_b @ S
+        Po = (dm_a - dm_b) @ S
+        Pv = np.eye(len(S)) - dm_a @ S
+        R = (
+            0.5 * (Pc.T @ Fc @ Pc + Po.T @ Fc @ Po + Pv.T @ Fc @ Pv)
+            + Po.T @ Fb @ Pc
+            + Po.T @ Fa @ Pv
+            + Pv.T @ Fc @ Pc
+        )
+        R = R + R.T
+
+        err = X.T @ (S @ dm_t @ R - R @ dm_t @ S) @ X
+        R = diis.update(R, err)
+        mo_e, mo_c = eig(R)
+
+        e_elec = (
+            np.einsum("ij,ji->", dm_t, hcore)
+            + 0.5 * np.einsum("ij,ji->", dm_t, vj)
+            + e_xc + e_k
+        )
+        e_tot = float(e_elec + system.e_nuc)
+        de = abs(e_tot - e_last)
+        if verbose:
+            print(f"cycle {it:3d}  E = {e_tot:.12f}  dE = {de:.2e}")
+        if de < conv_tol and np.linalg.norm(err) / err.size**0.5 < np.sqrt(conv_tol):
+            conv = True
+            break
+        e_last = e_tot
+
+    return {
+        "e_tot": e_tot,
+        "mo_energy": mo_e,
+        "mo_coeff": mo_c,
+        "dm": (dm_a, dm_b),
+        "converged": conv,
+        "niter": it + 1,
+    }
