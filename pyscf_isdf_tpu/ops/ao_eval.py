@@ -173,18 +173,25 @@ def shell_rcut(sh, precision: float = 1e-10) -> float:
     return float(np.sqrt(r2))
 
 
-def eval_ao_numpy(cell, coords=None, kpt=None, rcut=None, img_chunk: int = 32):
+def eval_ao_numpy(cell, coords=None, kpt=None, rcut=None, img_chunk: int = 32,
+                  use_native: bool = True):
     """Host-side float64 AO collocation (build-time path).
 
-    Same lattice-image sum as :func:`eval_ao` but in numpy, used for the
+    Same lattice-image sum as :func:`eval_ao` but on host, used for the
     once-per-geometry hcore/overlap builds where float64 is required even
-    when the device runs float32. Images are pruned per shell (distance of
-    the translated center to the grid bounding sphere vs the shell decay
-    radius) and processed in vectorized chunks.
+    when the device runs float32. At Gamma the C/OpenMP kernel
+    (native/ao_eval.c) is used when available; the numpy path prunes
+    images per shell and processes them in vectorized chunks.
     """
     if coords is None:
         coords = cell.uniform_grid()
     images = cell.lattice_images(rcut)
+    if use_native and (kpt is None or np.linalg.norm(kpt) < 1e-12):
+        from pyscf_isdf_tpu.ops import native
+
+        out = native.eval_ao_native(cell, coords, images)
+        if out is not None:
+            return out
     ng = coords.shape[0]
     complex_out = kpt is not None and np.linalg.norm(kpt) > 1e-12
     out = np.zeros((ng, cell.nao), dtype=np.complex128 if complex_out else np.float64)

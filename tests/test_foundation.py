@@ -158,3 +158,16 @@ def test_overlap_vs_grid_quadrature():
     # kinetic is symmetric positive
     assert np.allclose(T, T.T, atol=1e-12)
     assert np.all(np.linalg.eigvalsh(T) > 0)
+
+
+def test_native_ao_kernel_matches_numpy():
+    """C/OpenMP host AO kernel == numpy evaluator (float64)."""
+    from pyscf_isdf_tpu.ops import native
+    from pyscf_isdf_tpu.ops.ao_eval import eval_ao_numpy
+
+    if not native.available():
+        pytest.skip("no C compiler for the native kernel")
+    cell = _he2_cell()
+    a = eval_ao_numpy(cell, use_native=True)
+    b = eval_ao_numpy(cell, use_native=False)
+    assert np.abs(a - b).max() < 1e-12
