@@ -133,6 +133,8 @@ def scf_kernel(
     diis_space: int = 8,
     dm0: Optional[np.ndarray] = None,
     get_jk=None,
+    df: str = "fftdf",
+    isdf_c: float = 8.0,
     verbose: bool = False,
 ):
     """Run the SCF to convergence.
@@ -142,6 +144,9 @@ def scf_kernel(
         get_jk: optional override ``(dm, with_k) -> (vj, vk)`` — this is the
             hook the ISDF engine plugs into (the ``with_df`` seam of the
             reference, pyscf/pbc/scf/hf.py:649-698).
+        df: 'fftdf' (exact pair-density FFT exchange) or 'isdf' (build the
+            ISDF factorization here and use GEMM-cost exchange + exact
+            FFT J) — the reference's ``mf.with_df`` swap as a flag.
 
     Returns a dict with e_tot, mo_energy, mo_coeff, dm, converged, niter.
     """
@@ -166,13 +171,24 @@ def scf_kernel(
         if need_k and exxdiv not in (None, "ewald"):
             coulG_k = jnp.asarray(coulomb.get_coulG(cell, exxdiv=exxdiv))
 
-        def get_jk(dm, with_k):
-            dmj = jnp.asarray(dm, dtype=aoR.dtype)
-            vj = fftdf.get_j(aoR, dmj, coulG, mesh, weight)
-            vk = None
-            if with_k:
-                vk = fftdf.get_k(aoR, dmj, coulG_k, mesh, weight)
-            return vj, vk
+        if df == "isdf" and need_k:
+            from pyscf_isdf_tpu.df import isdf as isdf_mod
+
+            isdf = isdf_mod.build_isdf(aoR, coulG_k, mesh, weight, c=isdf_c)
+
+            def get_jk(dm, with_k):
+                dmj = jnp.asarray(dm, dtype=aoR.dtype)
+                vj = fftdf.get_j(aoR, dmj, coulG, mesh, weight)
+                vk = isdf_mod.get_k(isdf, dmj) if with_k else None
+                return vj, vk
+        else:
+            def get_jk(dm, with_k):
+                dmj = jnp.asarray(dm, dtype=aoR.dtype)
+                vj = fftdf.get_j(aoR, dmj, coulG, mesh, weight)
+                vk = None
+                if with_k:
+                    vk = fftdf.get_k(aoR, dmj, coulG_k, mesh, weight)
+                return vj, vk
 
     S, hcore, X = system.S, system.hcore, system.X
 
