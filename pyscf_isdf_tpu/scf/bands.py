@@ -29,12 +29,19 @@ def get_bands(system, scf_res, kpts_band, xc=None):
     Returns (mo_energy (nb, nmo), mo_coeff list).
     """
     cell = system.cell
-    dm = jnp.asarray(scf_res["dm"], system.aoR.dtype)
     mesh = system.mesh
     weight = system.weight
 
     # local effective potential on the grid from the converged density
-    rho = fftdf.get_rho(system.aoR, dm)
+    if hasattr(system, "aoR_k"):   # k-sampled SCF system
+        aoR_k = system.aoR_k
+        nk = aoR_k.shape[0]
+        dmk = jnp.asarray(np.asarray(scf_res["dm"]), aoR_k.dtype)
+        t = jnp.einsum("kgi,kij->kgj", aoR_k, dmk)
+        rho = jnp.einsum("kgj,kgj->g", t, aoR_k.conj()).real / nk
+    else:
+        dm = jnp.asarray(scf_res["dm"], system.aoR.dtype)
+        rho = fftdf.get_rho(system.aoR, dm)
     coulG = jnp.asarray(system.coulG)
     vR = fftdf.ifft3(coulG * fftdf.fft3(
         rho.astype(jnp.complex128 if rho.dtype == jnp.float64 else jnp.complex64),

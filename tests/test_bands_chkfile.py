@@ -50,3 +50,17 @@ def test_chkfile_roundtrip(tmp_path, diamond_lda):
     res3 = scf_kernel(system2, xc="lda,vwn", conv_tol=1e-10, dm0=dm0)
     assert res3["niter"] <= 3
     assert res3["e_tot"] == pytest.approx(res["e_tot"], abs=1e-9)
+
+
+def test_kbands_reproduce_kscf():
+    """Bands evaluated at the SCF k-points reproduce the KRKS eigenvalues."""
+    from pyscf_isdf_tpu import lattice
+    from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+
+    cell = diamond_primitive(mesh=(15, 15, 15))
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1])
+    system = build_kscf_system(cell, kpts)
+    res = kscf_kernel(system, xc="lda,vwn", conv_tol=1e-9)
+    es, _ = get_bands(system, res, kpts, xc="lda,vwn")
+    for k in range(len(kpts)):
+        assert np.abs(es[k] - res["mo_energy"][k]).max() < 1e-6
