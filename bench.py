@@ -27,7 +27,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/pyscf_isdf_tpu_jax"))
 
-N_ITER = 8
+N_ITER = int(os.environ.get("BENCH_N_ITER", 8))
 
 
 def timeit(fn, *args, warmup=1, reps=5):
