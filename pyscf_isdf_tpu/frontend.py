@@ -1,0 +1,205 @@
+"""pyscf-style object front end.
+
+Thin OO sugar over the functional kernels so reference users keep their
+workflow (`mf = RKS(cell); mf.xc = 'pbe'; mf.kernel()`), including the
+``with_df``-style ISDF swap via ``density_fit('isdf')``. The functional
+API (scf.build_scf_system / scf_kernel) remains the primary interface.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from pyscf_isdf_tpu.cell import Cell
+from pyscf_isdf_tpu.scf import hf as _hf
+from pyscf_isdf_tpu.scf import khf as _khf
+from pyscf_isdf_tpu.scf import uhf as _uhf
+from pyscf_isdf_tpu.scf import rohf as _rohf
+from pyscf_isdf_tpu.scf.bands import get_bands as _get_bands
+
+
+class _MeanField:
+    """Shared driver state for the Gamma-point mean-field classes."""
+
+    xc: str | None = None
+
+    def __init__(self, cell: Cell, xc=None, exxdiv="ewald"):
+        self.cell = cell
+        self.xc = xc
+        self.exxdiv = exxdiv
+        self.conv_tol = 1e-9
+        self.max_cycle = 60
+        self.df = "fftdf"
+        self.isdf_c = 8.0
+        self.verbose = False
+        self._system = None
+        self._res = None
+
+    @property
+    def system(self):
+        if self._system is None:
+            self._system = _hf.build_scf_system(self.cell)
+        return self._system
+
+    def density_fit(self, kind: str = "isdf", c: float = 8.0):
+        """Switch the exchange engine (the reference's with_df swap)."""
+        self.df = kind
+        self.isdf_c = c
+        return self
+
+    def _kernel(self):
+        raise NotImplementedError
+
+    def kernel(self):
+        self._res = self._kernel()
+        return self._res["e_tot"]
+
+    run = kernel
+    scf = kernel
+
+    def __getattr__(self, name):
+        res = self.__dict__.get("_res")
+        if res is not None and name in res:
+            return res[name]
+        raise AttributeError(name)
+
+    def get_bands(self, kpts_band):
+        return _get_bands(self.system, self._res, kpts_band, xc=self.xc)
+
+
+class RHF(_MeanField):
+    def __init__(self, cell, exxdiv="ewald"):
+        super().__init__(cell, xc=None, exxdiv=exxdiv)
+
+    def _kernel(self):
+        return _hf.scf_kernel(self.system, xc=None, exxdiv=self.exxdiv,
+                              conv_tol=self.conv_tol, max_cycle=self.max_cycle,
+                              df=self.df, isdf_c=self.isdf_c,
+                              verbose=self.verbose)
+
+
+class RKS(_MeanField):
+    def __init__(self, cell, xc="lda,vwn", exxdiv="ewald"):
+        super().__init__(cell, xc=xc, exxdiv=exxdiv)
+
+    def _kernel(self):
+        return _hf.scf_kernel(self.system, xc=self.xc, exxdiv=self.exxdiv,
+                              conv_tol=self.conv_tol, max_cycle=self.max_cycle,
+                              df=self.df, isdf_c=self.isdf_c,
+                              verbose=self.verbose)
+
+
+class UHF(_MeanField):
+    def __init__(self, cell, exxdiv="ewald"):
+        super().__init__(cell, xc=None, exxdiv=exxdiv)
+
+    def _kernel(self):
+        return _uhf.uhf_kernel(self.system, xc=None, exxdiv=self.exxdiv,
+                               conv_tol=self.conv_tol,
+                               max_cycle=self.max_cycle, verbose=self.verbose)
+
+
+class UKS(_MeanField):
+    def __init__(self, cell, xc="lda,vwn", exxdiv="ewald"):
+        super().__init__(cell, xc=xc, exxdiv=exxdiv)
+
+    def _kernel(self):
+        return _uhf.uhf_kernel(self.system, xc=self.xc, exxdiv=self.exxdiv,
+                               conv_tol=self.conv_tol,
+                               max_cycle=self.max_cycle, verbose=self.verbose)
+
+
+class ROHF(_MeanField):
+    def __init__(self, cell, exxdiv="ewald"):
+        super().__init__(cell, xc=None, exxdiv=exxdiv)
+
+    def _kernel(self):
+        return _rohf.rohf_kernel(self.system, xc=None, exxdiv=self.exxdiv,
+                                 conv_tol=self.conv_tol,
+                                 max_cycle=self.max_cycle,
+                                 verbose=self.verbose)
+
+
+class _KMeanField(_MeanField):
+    def __init__(self, cell, kpts, xc=None, exxdiv="ewald"):
+        super().__init__(cell, xc=xc, exxdiv=exxdiv)
+        self.kpts = np.reshape(np.asarray(kpts, dtype=np.float64), (-1, 3))
+        self.sigma = 0.0
+        self.smearing_method = "fermi"
+
+    @property
+    def system(self):
+        if self._system is None:
+            self._system = _khf.build_kscf_system(self.cell, self.kpts)
+        return self._system
+
+    def smearing(self, sigma, method="fermi"):
+        self.sigma = sigma
+        self.smearing_method = method
+        return self
+
+    def get_bands(self, kpts_band):
+        return _get_bands(self.system, self._res, kpts_band, xc=self.xc)
+
+
+class KRHF(_KMeanField):
+    def __init__(self, cell, kpts, exxdiv="ewald"):
+        super().__init__(cell, kpts, xc=None, exxdiv=exxdiv)
+
+    def _kernel(self):
+        return _khf.kscf_kernel(self.system, xc=None, exxdiv=self.exxdiv,
+                                conv_tol=self.conv_tol,
+                                max_cycle=self.max_cycle, sigma=self.sigma,
+                                smearing_method=self.smearing_method,
+                                verbose=self.verbose)
+
+
+class KRKS(_KMeanField):
+    def __init__(self, cell, kpts, xc="lda,vwn", exxdiv="ewald"):
+        super().__init__(cell, kpts, xc=xc, exxdiv=exxdiv)
+
+    def _kernel(self):
+        return _khf.kscf_kernel(self.system, xc=self.xc, exxdiv=self.exxdiv,
+                                conv_tol=self.conv_tol,
+                                max_cycle=self.max_cycle, sigma=self.sigma,
+                                smearing_method=self.smearing_method,
+                                verbose=self.verbose)
+
+
+class KUHF(_KMeanField):
+    def __init__(self, cell, kpts, exxdiv="ewald"):
+        super().__init__(cell, kpts, xc=None, exxdiv=exxdiv)
+
+    def _kernel(self):
+        from pyscf_isdf_tpu.scf.kuhf import kuhf_kernel
+
+        return kuhf_kernel(self.system, xc=None, exxdiv=self.exxdiv,
+                           conv_tol=self.conv_tol, max_cycle=self.max_cycle,
+                           verbose=self.verbose)
+
+
+class KUKS(_KMeanField):
+    def __init__(self, cell, kpts, xc="lda,vwn", exxdiv="ewald"):
+        super().__init__(cell, kpts, xc=xc, exxdiv=exxdiv)
+
+    def _kernel(self):
+        from pyscf_isdf_tpu.scf.kuhf import kuhf_kernel
+
+        return kuhf_kernel(self.system, xc=self.xc, exxdiv=self.exxdiv,
+                           conv_tol=self.conv_tol, max_cycle=self.max_cycle,
+                           verbose=self.verbose)
+
+
+def MP2(mf: _MeanField):
+    """Gamma-point MP2 on a converged RHF object; returns (e_corr, e_tot)."""
+    from pyscf_isdf_tpu.mp import mp2_energy
+
+    e_corr = mp2_energy(mf.system, mf._res)
+    return e_corr, mf._res["e_tot"] + e_corr
+
+
+def KMP2(mf: _KMeanField):
+    """k-point MP2 on a converged KRHF object; returns (e_corr, e_tot)."""
+    from pyscf_isdf_tpu.mp.kmp2 import kmp2_energy
+
+    e_corr = kmp2_energy(mf.system, mf._res)
+    return e_corr, mf._res["e_tot"] + e_corr

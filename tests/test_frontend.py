@@ -1,0 +1,46 @@
+"""pyscf-style front end classes."""
+import numpy as np
+import pytest
+
+import pyscf_isdf_tpu as pit
+from pyscf_isdf_tpu.models import diamond_primitive
+
+
+def test_rks_object_workflow():
+    cell = diamond_primitive(mesh=(15, 15, 15))
+    mf = pit.RKS(cell, xc="lda,vwn")
+    e = mf.kernel()
+    assert mf.converged
+    assert e == mf.e_tot
+    assert len(mf.mo_energy) == cell.nao
+
+
+def test_density_fit_isdf_swap():
+    cell = diamond_primitive(mesh=(15, 15, 15))
+    e_ref = pit.RKS(cell, xc="pbe0").run()
+    mf = pit.RKS(cell, xc="pbe0").density_fit("isdf", c=8)
+    e = mf.run()
+    assert e == pytest.approx(e_ref, abs=1e-9)
+
+
+def test_mp2_object():
+    L = 7.0
+    a = L * np.eye(3)
+    a[1, 0] = 5.0
+    cell = pit.build_cell(a, [["Be", (L / 2, L / 2, L / 2)]],
+                          basis="gth-szv", pseudo="gth-pade-q2", mesh=[12] * 3)
+    mf = pit.RHF(cell)
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    e_corr, e_tot = pit.MP2(mf)
+    assert e_corr == pytest.approx(-5.44597932944397e-06, abs=1e-9)
+
+
+def test_krks_object():
+    from pyscf_isdf_tpu import lattice
+
+    cell = diamond_primitive(mesh=(15, 15, 15))
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1])
+    mf = pit.KRKS(cell, kpts, xc="lda,vwn")
+    mf.kernel()
+    assert mf.converged
