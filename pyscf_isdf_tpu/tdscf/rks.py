@@ -1,0 +1,116 @@
+"""Gamma-point TDA / TDDFT (linear-response) for closed-shell RHF/RKS.
+
+Dense Casida formulation on the FFT grid (reference analog:
+pyscf/pbc/tdscf/rks.py; L7 of SURVEY.md section 1):
+
+    A_ia,jb = d_ij d_ab (e_a - e_i) + fac * (ia|jb) - hyb (ij|ab)
+              + (ia| fxc |jb)
+    B_ia,jb = fac * (ia|bj) - hyb (ib|aj) + (ia| fxc |jb)
+
+with fac = 2 (singlet) or 0 (triplet), ERIs from the grid transform
+(df/fft_ao2mo), and the adiabatic LDA kernel from autodiff of the
+spin-resolved energy density:
+
+    fxc_singlet = f_aa + f_ab,   fxc_triplet = f_aa - f_ab,
+    f_ss' = d^2 (rho exc(rho_a, rho_b)) / d rho_s d rho_s'   at rho/2.
+
+TDA diagonalizes A; full TDDFT solves the Casida problem
+Omega^2 = (A-B)^{1/2} (A+B) (A-B)^{1/2}. Dense solvers — appropriate for
+the n_occ*n_vir sizes of solid-state unit cells in minimal bases; a
+Davidson path is a planned refinement.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pyscf_isdf_tpu.df import fft_ao2mo, fftdf
+from pyscf_isdf_tpu.ops.xc import XCSpec
+
+
+def _fxc_lda(xcspec: XCSpec, rho):
+    """(fxc_singlet(g), fxc_triplet(g)) for the adiabatic LDA kernel."""
+    def f(ra, rb):
+        exc, _, _ = xcspec.exc_vxc_spin(jnp.array([ra]), jnp.array([rb]))
+        return ((ra + rb) * exc)[0]
+
+    h = jax.hessian(f, argnums=(0, 1))
+    def per_point(r):
+        hh = h(r / 2, r / 2)
+        faa = hh[0][0]
+        fab = hh[0][1]
+        return faa + fab, faa - fab
+
+    fs, ft = jax.vmap(per_point)(jnp.maximum(rho, 1e-12))
+    return fs, ft
+
+
+def _build_matrices(system, scf_res, xc=None, singlet=True, nocc=None):
+    mo_e = np.asarray(scf_res["mo_energy"])
+    mo_c = np.asarray(scf_res["mo_coeff"])
+    if nocc is None:
+        nocc = system.nelec // 2
+    nmo = mo_c.shape[1]
+    nvir = nmo - nocc
+    no, nv = nocc, nvir
+
+    xcspec = XCSpec(xc) if xc is not None else None
+    hyb = 1.0 if xcspec is None else xcspec.hyb
+    fac = 2.0 if singlet else 0.0
+
+    aoR = system.aoR
+    moR = aoR @ jnp.asarray(mo_c, aoR.dtype)
+    moR_o, moR_v = moR[:, :no], moR[:, no:]
+    coulG = jnp.asarray(system.coulG)
+    mesh, w = system.mesh, system.weight
+
+    # (ia|jb) and (ij|ab)
+    iajb = np.asarray(fft_ao2mo.general(moR_o, moR_v, moR_o, moR_v,
+                                        coulG, mesh, w)).reshape(no, nv, no, nv)
+    A = np.zeros((no, nv, no, nv))
+    B = np.zeros((no, nv, no, nv))
+    e_o, e_v = mo_e[:no], mo_e[no:]
+    for i in range(no):
+        for a in range(nv):
+            A[i, a, i, a] += e_v[a] - e_o[i]
+    if fac != 0.0:
+        A += fac * iajb
+        B += fac * iajb           # (ia|bj) == (ia|jb) for real orbitals
+    if hyb > 0:
+        ijab = np.asarray(fft_ao2mo.general(moR_o, moR_o, moR_v, moR_v,
+                                            coulG, mesh, w)).reshape(no, no, nv, nv)
+        A -= hyb * ijab.transpose(0, 2, 1, 3)          # (ij|ab) -> ia,jb
+        B -= hyb * iajb.transpose(0, 3, 2, 1)          # (ib|aj) -> ia,jb
+    if xcspec is not None and xcspec.family == "lda":
+        rho = fftdf.get_rho(aoR, jnp.asarray(scf_res["dm"], aoR.dtype))
+        fs, ft = _fxc_lda(xcspec, rho)
+        fxc = fs if singlet else ft
+        P = (moR_o[:, :, None] * moR_v[:, None, :]).reshape(len(rho), no * nv)
+        Kxc = np.asarray(w * (P * np.asarray(fxc)[:, None]).T @ np.asarray(P))
+        A += Kxc.reshape(no, nv, no, nv)
+        B += Kxc.reshape(no, nv, no, nv)
+    elif xcspec is not None and xcspec.family == "gga":
+        raise NotImplementedError("TDA/TDDFT GGA kernel: planned")
+    return A.reshape(no * nv, no * nv), B.reshape(no * nv, no * nv)
+
+
+def tda_kernel(system, scf_res, xc=None, nstates=5, singlet=True):
+    """TDA excitation energies (Hartree) and eigenvectors."""
+    A, _ = _build_matrices(system, scf_res, xc=xc, singlet=singlet)
+    e, v = np.linalg.eigh(A)
+    return e[:nstates], v[:, :nstates]
+
+
+def tddft_kernel(system, scf_res, xc=None, nstates=5, singlet=True):
+    """Full linear-response (Casida) excitation energies (Hartree)."""
+    A, B = _build_matrices(system, scf_res, xc=xc, singlet=singlet)
+    amb = A - B
+    # (A-B)^(1/2) via symmetric eigendecomposition
+    w_, u = np.linalg.eigh(amb)
+    w_ = np.maximum(w_, 1e-14)
+    sq = (u * np.sqrt(w_)) @ u.T
+    M = sq @ (A + B) @ sq
+    om2 = np.linalg.eigvalsh(M)
+    om2 = np.maximum(om2, 0.0)
+    return np.sqrt(om2)[:nstates]

@@ -1,0 +1,71 @@
+"""TDA / TDDFT internal-consistency tests (Gamma point).
+
+No FFTDF-based absolute goldens exist in the reference (its TDDFT tests
+run on RSDF ground states), so validation is by exact structure:
+  * CIS (TDA-HF) equals explicit CI-singles diagonalization by
+    construction — checked against an independently assembled matrix
+    from AO ERIs,
+  * TDDFT <= TDA state-by-state (variational structure of RPA),
+  * triplet <= singlet for the lowest excitation,
+  * excitation energies positive for a stable ground state.
+"""
+import numpy as np
+import pytest
+
+from pyscf_isdf_tpu.models import diamond_primitive
+from pyscf_isdf_tpu.scf import build_scf_system, scf_kernel
+from pyscf_isdf_tpu.tdscf import tda_kernel, tddft_kernel
+from pyscf_isdf_tpu.df import fft_ao2mo
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def ground_state():
+    cell = diamond_primitive(mesh=(14, 14, 14))
+    system = build_scf_system(cell)
+    res = scf_kernel(system, xc=None, exxdiv=None, conv_tol=1e-10)
+    return cell, system, res
+
+
+def test_cis_vs_explicit_matrix(ground_state):
+    """TDA-HF == CI singles built directly from MO ERIs."""
+    cell, system, res = ground_state
+    nocc = system.nelec // 2
+    mo_c = res["mo_coeff"]
+    mo_e = res["mo_energy"]
+    nvir = mo_c.shape[1] - nocc
+
+    moR = system.aoR @ jnp.asarray(mo_c)
+    coulG = jnp.asarray(system.coulG)
+    o, v = moR[:, :nocc], moR[:, nocc:]
+    iajb = np.asarray(fft_ao2mo.general(o, v, o, v, coulG, system.mesh,
+                                        system.weight)).reshape(nocc, nvir, nocc, nvir)
+    ijab = np.asarray(fft_ao2mo.general(o, o, v, v, coulG, system.mesh,
+                                        system.weight)).reshape(nocc, nocc, nvir, nvir)
+    A = np.zeros((nocc, nvir, nocc, nvir))
+    for i in range(nocc):
+        for a in range(nvir):
+            A[i, a, i, a] = mo_e[nocc + a] - mo_e[i]
+    A += 2 * iajb - ijab.transpose(0, 2, 1, 3)
+    e_ref = np.linalg.eigvalsh(A.reshape(nocc * nvir, -1))[:3]
+
+    e, _ = tda_kernel(system, res, xc=None, nstates=3)
+    assert np.allclose(e, e_ref, atol=1e-10)
+
+
+def test_tddft_below_tda(ground_state):
+    cell, system, res = ground_state
+    e_tda, _ = tda_kernel(system, res, xc=None, nstates=4)
+    e_td = tddft_kernel(system, res, xc=None, nstates=4)
+    assert np.all(e_td <= e_tda + 1e-10)
+    assert np.all(e_td > 0)
+
+
+def test_lda_kernel_triplet_below_singlet():
+    cell = diamond_primitive(mesh=(14, 14, 14))
+    system = build_scf_system(cell)
+    res = scf_kernel(system, xc="lda,vwn", conv_tol=1e-9)
+    es, _ = tda_kernel(system, res, xc="lda,vwn", nstates=3, singlet=True)
+    et, _ = tda_kernel(system, res, xc="lda,vwn", nstates=3, singlet=False)
+    assert et[0] <= es[0] + 1e-10
+    assert es[0] > 0
