@@ -135,6 +135,8 @@ def scf_kernel(
     get_jk=None,
     df: str = "fftdf",
     isdf_c: float = 8.0,
+    level_shift: float = 0.0,
+    damping: float = 0.0,
     verbose: bool = False,
 ):
     """Run the SCF to convergence.
@@ -230,6 +232,12 @@ def scf_kernel(
             e_k = -0.25 * hyb * np.einsum("ij,ji->", dm, vk)
 
         F = hcore + veff
+        if level_shift > 0:
+            # shift virtual levels up: F += shift (S - S D/2 S)
+            F = F + level_shift * (S - S @ (0.5 * dm) @ S)
+        if damping > 0 and it > 0:
+            F = (1 - damping) * F + damping * F_last
+        F_last = F
         # DIIS extrapolation on the Fock matrix
         sds = S @ dm @ F - F @ dm @ S
         err = X.T @ sds @ X

@@ -67,9 +67,14 @@ def uhf_kernel(
     diis_space: int = 8,
     dm0=None,
     breaksym: bool = False,
+    get_jk=None,
     verbose: bool = False,
 ):
-    """Run spin-polarized SCF. xc=None -> UHF; else UKS."""
+    """Run spin-polarized SCF. xc=None -> UHF; else UKS.
+
+    get_jk: optional override ``(dm_spin (2,nao,nao), with_k) -> (vj, (vka,
+    vkb))`` with vj built from the total density — the ISDF hook.
+    """
     cell = system.cell
     xcspec = XCSpec(xc) if xc is not None else None
     hyb = 1.0 if xcspec is None else xcspec.hyb
@@ -117,9 +122,13 @@ def uhf_kernel(
 
     for it in range(max_cycle):
         dm_t = dm_a + dm_b
-        vj = np.asarray(
-            fftdf.get_j(aoR, jnp.asarray(dm_t, aoR.dtype), coulG, mesh, weight),
-            dtype=np.float64)
+        if get_jk is not None:
+            vj_j, vk_pair = get_jk(np.stack([dm_a, dm_b]), need_k)
+            vj = np.asarray(vj_j, dtype=np.float64)
+        else:
+            vj = np.asarray(
+                fftdf.get_j(aoR, jnp.asarray(dm_t, aoR.dtype), coulG, mesh, weight),
+                dtype=np.float64)
         veff_a = vj.copy()
         veff_b = vj.copy()
         e_xc = 0.0
@@ -131,10 +140,14 @@ def uhf_kernel(
             veff_b += vxc_b
         e_k = 0.0
         if need_k:
-            vka = np.asarray(fftdf.get_k(aoR, jnp.asarray(dm_a, aoR.dtype),
-                                         coulG_k, mesh, weight), dtype=np.float64)
-            vkb = np.asarray(fftdf.get_k(aoR, jnp.asarray(dm_b, aoR.dtype),
-                                         coulG_k, mesh, weight), dtype=np.float64)
+            if get_jk is not None:
+                vka = np.asarray(vk_pair[0], dtype=np.float64)
+                vkb = np.asarray(vk_pair[1], dtype=np.float64)
+            else:
+                vka = np.asarray(fftdf.get_k(aoR, jnp.asarray(dm_a, aoR.dtype),
+                                             coulG_k, mesh, weight), dtype=np.float64)
+                vkb = np.asarray(fftdf.get_k(aoR, jnp.asarray(dm_b, aoR.dtype),
+                                             coulG_k, mesh, weight), dtype=np.float64)
             if exxdiv == "ewald":
                 vka = vka + system.madelung * (S @ dm_a @ S)
                 vkb = vkb + system.madelung * (S @ dm_b @ S)
