@@ -44,3 +44,19 @@ def test_krks_object():
     mf = pit.KRKS(cell, kpts, xc="lda,vwn")
     mf.kernel()
     assert mf.converged
+
+
+def test_mulliken_neutral():
+    from pyscf_isdf_tpu.scf.analysis import mulliken_pop, homo_lumo_gap
+    from pyscf_isdf_tpu.scf import build_scf_system, scf_kernel
+
+    cell = diamond_primitive(mesh=(15, 15, 15))
+    system = build_scf_system(cell)
+    res = scf_kernel(system, xc="lda,vwn", conv_tol=1e-9)
+    pop, charges = mulliken_pop(cell, res["dm"], system.S)
+    assert pop.sum() == pytest.approx(cell.nelectron, abs=1e-8)
+    assert charges.sum() == pytest.approx(0.0, abs=1e-8)
+    # symmetric cell: equal charges
+    assert charges[0] == pytest.approx(charges[1], abs=1e-3)  # grid breaks sublattice symmetry slightly
+    h, l, g = homo_lumo_gap(res["mo_energy"], cell.nelectron // 2)
+    assert g > 0.1  # diamond is an insulator
