@@ -65,3 +65,14 @@ def test_klda_diamond_222():
     res = kscf_kernel(system, xc="lda,vwn", conv_tol=1e-9)
     assert res["converged"]
     assert res["e_tot"] == pytest.approx(-11.353643583707452, abs=1e-7)
+
+
+def test_krhf_311_vcut_sph_golden():
+    """Multi-k exchange: KRHF diamond 3x1x1 with vcut_sph
+    (pyscf/pbc/scf/test/test_khf.py:52-56,132: -11.218735269838586)."""
+    cell = diamond_primitive(mesh=(9, 9, 9))
+    kpts = lattice.make_kpts(cell.a, [3, 1, 1])
+    system = build_kscf_system(cell, kpts)
+    res = kscf_kernel(system, xc=None, exxdiv="vcut_sph", conv_tol=1e-9)
+    assert res["converged"]
+    assert res["e_tot"] == pytest.approx(-11.218735269838586, abs=1e-7)
