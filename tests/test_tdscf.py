@@ -107,3 +107,59 @@ def test_gga_tda_runs(ground_state):
     res = scf_kernel(system, xc="pbe", conv_tol=1e-9)
     e, _ = tda_davidson(system, res, xc="pbe", nstates=2)
     assert np.all(e > 0) and np.all(np.isfinite(e))
+
+
+def test_ktda_gamma_limit(ground_state):
+    """k-TDA at a single Gamma point reproduces the dense Gamma TDA."""
+    from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+    from pyscf_isdf_tpu.tdscf.ktda import ktda_davidson
+
+    cell, system, _ = ground_state
+    res = scf_kernel(system, xc="lda,vwn", conv_tol=1e-9)
+    e_g, _ = tda_kernel(system, res, xc="lda,vwn", nstates=3)
+    ksys = build_kscf_system(cell, np.zeros((1, 3)))
+    kres = kscf_kernel(ksys, xc="lda,vwn", conv_tol=1e-9)
+    # realified solver doubles complex multiplicities: compare unique roots
+    e_k, _ = ktda_davidson(ksys, kres, xc="lda,vwn", nstates=8)
+    uniq_k = np.unique(np.round(e_k, 7))
+    uniq_g = np.unique(np.round(e_g, 7))
+    assert np.abs(uniq_k[:2] - uniq_g[:2]).max() < 1e-6
+
+
+def test_ktda_cis_gamma_limit_with_isdf_exchange(ground_state):
+    """k-TDA-HF (CIS) with ISDF exchange at Gamma == dense Gamma CIS."""
+    from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+    from pyscf_isdf_tpu.df import isdf_k
+    from pyscf_isdf_tpu.tdscf.ktda import ktda_davidson
+
+    cell, system, res_g = ground_state
+    e_g, _ = tda_kernel(system, res_g, xc=None, nstates=3)
+    kpts = np.zeros((1, 3))
+    ksys = build_kscf_system(cell, kpts)
+    kres = kscf_kernel(ksys, xc=None, exxdiv=None, conv_tol=1e-10)
+    isdfk = isdf_k.build_isdf_k(cell, ksys.aoR_k, kpts, c=8)
+    e_k, _ = ktda_davidson(ksys, kres, xc=None, nstates=8, isdfk=isdfk)
+    uniq_k = np.unique(np.round(e_k, 7))
+    uniq_g = np.unique(np.round(e_g, 7))
+    assert np.abs(uniq_k[:2] - uniq_g[:2]).max() < 1e-5
+
+
+def test_ktda_subset_of_supercell():
+    """q=0 k-TDA eigenvalues appear in the folded-supercell TDA spectrum."""
+    from pyscf_isdf_tpu import lattice
+    from pyscf_isdf_tpu.tools import super_cell
+    from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+    from pyscf_isdf_tpu.tdscf.ktda import ktda_davidson
+
+    prim = diamond_primitive(mesh=(12, 12, 12))
+    kpts = lattice.make_kpts(prim.a, (2, 1, 1))
+    ksys = build_kscf_system(prim, kpts)
+    kres = kscf_kernel(ksys, xc="lda,vwn", conv_tol=1e-9)
+    ek, _ = ktda_davidson(ksys, kres, xc="lda,vwn", nstates=4)
+
+    sc = super_cell(prim, (2, 1, 1))
+    ssys = build_scf_system(sc)
+    sres = scf_kernel(ssys, xc="lda,vwn", conv_tol=1e-9)
+    es, _ = tda_kernel(ssys, sres, xc="lda,vwn", nstates=10)
+    for e in ek:
+        assert np.min(np.abs(es - e)) < 1e-5
