@@ -42,16 +42,18 @@ class ISDFK:
     Wq: jnp.ndarray        # (nq, n_ip, n_ip) complex per-q kernels
     qmap: np.ndarray       # (nk, nk) -> q index for (k2, k1); static metadata
     ip_idx: jnp.ndarray    # (n_ip,)
+    xi: jnp.ndarray | None = None   # (n_ip, ng) interpolation vectors (optional)
 
     def tree_flatten(self):
-        return (self.Ug, self.Wq, self.ip_idx), (self.qmap.tobytes(), self.qmap.shape)
+        return (self.Ug, self.Wq, self.ip_idx, self.xi), (
+            self.qmap.tobytes(), self.qmap.shape)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        Ug, Wq, ip_idx = children
+        Ug, Wq, ip_idx, xi = children
         qb, qshape = aux
         qmap = np.frombuffer(qb, dtype=np.int64).reshape(qshape)
-        return cls(Ug=Ug, Wq=Wq, qmap=qmap, ip_idx=ip_idx)
+        return cls(Ug=Ug, Wq=Wq, qmap=qmap, ip_idx=ip_idx, xi=xi)
 
     @property
     def n_ip(self) -> int:
@@ -134,16 +136,19 @@ def _xi_wq(U, ip_idx, coulG_q, mesh, weight, fft_chunk: int = 64):
         return 0.5 * (Wq + Wq.conj().T)
 
     Wq_all = jax.lax.map(wq_for, coulG_q)                   # (nq, nip, nip)
-    return Wq_all
+    return Wq_all, xi
 
 
 def build_isdf_k(cell, aoR_k, kpts, n_ip=None, c: float = 8.0,
-                 dtype=None) -> ISDFK:
+                 dtype=None, keep_xi: bool = False) -> ISDFK:
     """Build the k-point ISDF factorization.
 
     Args:
         aoR_k: (nk, ng, nao) complex Bloch AO values.
         kpts: (nk, 3).
+        keep_xi: retain the interpolation vectors (n_ip x ngrids) — needed
+            by consumers that build phased kernel variants (THC-KMP2's
+            reciprocal-lattice-offset pairs, :func:`w_phased`).
     """
     kpts = np.reshape(np.asarray(kpts), (-1, 3))
     nk, ng, nao = aoR_k.shape
@@ -167,10 +172,42 @@ def build_isdf_k(cell, aoR_k, kpts, n_ip=None, c: float = 8.0,
         coulomb.get_coulG(cell, k=q, exxdiv=None, kpts=kpts) for q in q_list
     ])
     rdtype = jnp.float64 if aoR_k.dtype == jnp.complex128 else jnp.float32
-    Wq = _xi_wq(U, ip_idx, jnp.asarray(coulG_q, rdtype), tuple(cell.mesh),
-                cell.grid_weight)
+    Wq, xi = _xi_wq(U, ip_idx, jnp.asarray(coulG_q, rdtype), tuple(cell.mesh),
+                    cell.grid_weight)
     Ug = U3[:, ip_idx, :]                                    # (nk, nip, nao)
-    return ISDFK(Ug=Ug, Wq=Wq, qmap=qmap, ip_idx=ip_idx)
+    return ISDFK(Ug=Ug, Wq=Wq, qmap=qmap, ip_idx=ip_idx,
+                 xi=(xi if keep_xi else None))
+
+
+def w_phased(isdfk: ISDFK, cell, q, Gshift, kpts=None, fft_chunk: int = 64):
+    """Kernel variant with an e^{iG.r} phase on the second pair:
+
+        W~[P,Q] = w sum_g ifft(coulG(q) fft(xi_P))(g) e^{iG.r_g} xi_Q(g)
+
+    needed when a pair's momentum transfer matches -q only modulo the
+    reciprocal-lattice vector ``Gshift`` (THC-KMP2 assembly). Requires the
+    factorization to have been built with ``keep_xi=True``.
+    """
+    if isdfk.xi is None:
+        raise ValueError("w_phased needs build_isdf_k(..., keep_xi=True)")
+    xi = isdfk.xi
+    cdt = isdfk.Ug.dtype
+    mesh3 = tuple(cell.mesh)
+    coulG_q = jnp.asarray(
+        coulomb.get_coulG(cell, k=np.asarray(q), exxdiv=None, kpts=kpts),
+        jnp.float64 if cdt == jnp.complex128 else jnp.float32)
+    phase = jnp.exp(1j * jnp.asarray(cell.uniform_grid()) @ jnp.asarray(Gshift))
+    nip, ng = xi.shape
+    xi_c = xi.astype(cdt)
+
+    def v_of(block):
+        return ifft3(coulG_q[None, :] * fft3(block, mesh3), mesh3)
+
+    npad = (-nip) % fft_chunk
+    xi_p = jnp.pad(xi_c, ((0, npad), (0, 0)))
+    Vxi = jax.lax.map(v_of, xi_p.reshape(-1, fft_chunk, ng))
+    Vxi = Vxi.reshape(-1, ng)[:nip]
+    return cell.grid_weight * (Vxi @ (xi_c * phase.astype(cdt)[None, :]).T)
 
 
 def get_k_kpts(isdfk: ISDFK, dm_k):

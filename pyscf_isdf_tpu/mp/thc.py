@@ -49,3 +49,77 @@ def thc_mp2_energy(isdf: ISDF, mo_coeff, mo_energy, nocc: int) -> float:
     ii, jj = jnp.meshgrid(idx, idx, indexing="ij")
     energies = jax.vmap(pair_energy)(ii.ravel(), jj.ravel())
     return float(jnp.sum(energies))
+
+
+def thc_kmp2_energy(system, kscf_res, isdfk, nocc=None) -> float:
+    """k-point THC-MP2: KMP2 with ERIs from the k-ISDF factors.
+
+    (i ki, a ka | j kj, b kb) ~= sum_PQ conj(u_i(P)) u_a(P)
+        conj(W_q[P,Q]) conj(u_j(Q)) u_b(Q),  q = ka - ki
+    (same W_q kernels the exchange build uses) — no grid-sized transforms
+    in the MP2 assembly at all, only n_IP-sized GEMMs.
+    """
+    import numpy as np
+    from pyscf_isdf_tpu.kpts_helper import get_kconserv
+
+    cell = system.cell
+    kpts = system.kpts
+    nk = len(kpts)
+    mo_e = kscf_res["mo_energy"]
+    mo_c = kscf_res["mo_coeff"]
+    if nocc is None:
+        nocc = cell.nelectron // 2
+    nmo = mo_c[0].shape[1]
+    nvir = nmo - nocc
+    kconserv = get_kconserv(cell.a, kpts)
+
+    cdt = isdfk.Ug.dtype
+    Uo = jnp.stack([isdfk.Ug[k] @ jnp.asarray(mo_c[k][:, :nocc], cdt)
+                    for k in range(nk)])          # (nk, nip, no)
+    Uv = jnp.stack([isdfk.Ug[k] @ jnp.asarray(mo_c[k][:, nocc:], cdt)
+                    for k in range(nk)])          # (nk, nip, nv)
+    e_o = [np.asarray(mo_e[k][:nocc]) for k in range(nk)]
+    e_v = [np.asarray(mo_e[k][nocc:]) for k in range(nk)]
+
+    def pair_factor(ki, ka):
+        # A[P, ia] = conj(u_i(P)) u_a(P)
+        return (Uo[ki].conj()[:, :, None] * Uv[ka][:, None, :]).reshape(
+            isdfk.n_ip, -1)
+
+    # second-pair reciprocal-lattice offsets G = kb - kj + q need phased
+    # kernel variants (see df/isdf_k.w_phased)
+    from pyscf_isdf_tpu.df.isdf_k import w_phased
+
+    w_cache = {}
+
+    def kernel_for(ki, ka, kj, kb):
+        q = kpts[ka] - kpts[ki]
+        G = kpts[kb] - kpts[kj] + q
+        if np.linalg.norm(G) < 1e-8:
+            return isdfk.Wq[isdfk.qmap[ka, ki]].conj()
+        key = (isdfk.qmap[ka, ki], tuple(np.round(G, 8)))
+        if key not in w_cache:
+            w_cache[key] = w_phased(isdfk, cell, q, G, kpts=kpts)
+        return w_cache[key]
+
+    emp2 = 0.0
+    for ki in range(nk):
+        for kj in range(nk):
+            oovv = {}
+            for ka in range(nk):
+                kb = kconserv[ki, ka, kj]
+                A = pair_factor(ki, ka)
+                B = pair_factor(kj, kb)
+                W = kernel_for(ki, ka, kj, kb)
+                eri = A.T @ W @ B                 # (no*nv, no*nv)
+                oovv[ka] = (np.asarray(eri).reshape(nocc, nvir, nocc, nvir)
+                            .transpose(0, 2, 1, 3) / nk)
+            for ka in range(nk):
+                kb = kconserv[ki, ka, kj]
+                eia = e_o[ki][:, None] - e_v[ka]
+                ejb = e_o[kj][:, None] - e_v[kb]
+                eijab = eia[:, None, :, None] + ejb[None, :, None, :]
+                t2 = np.conj(oovv[ka] / eijab)
+                emp2 += np.einsum("ijab,ijab->", t2, oovv[ka]).real * 2
+                emp2 -= np.einsum("ijab,ijba->", t2, oovv[kb]).real
+    return float(emp2 / nk)

@@ -24,3 +24,19 @@ def test_kmp2_311_golden():
     assert res["e_tot"] == pytest.approx(-1.0585001200928885, abs=1e-7)
     emp = kmp2_energy(system, res)
     assert emp == pytest.approx(-7.9832274354253814e-06, abs=1e-9)
+
+
+def test_thc_kmp2_matches_exact():
+    """k-point THC-MP2 (ISDF factors + phased W kernels) == exact KMP2."""
+    from pyscf_isdf_tpu.models import diamond_primitive
+    from pyscf_isdf_tpu.mp.thc import thc_kmp2_energy
+    from pyscf_isdf_tpu.df import isdf_k
+
+    cell = diamond_primitive(mesh=(15, 15, 15))
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1], with_gamma_point=False)
+    system = build_kscf_system(cell, kpts)
+    res = kscf_kernel(system, xc=None, exxdiv="ewald", conv_tol=1e-10)
+    e_exact = kmp2_energy(system, res)
+    isdfk = isdf_k.build_isdf_k(cell, system.aoR_k, kpts, c=10, keep_xi=True)
+    e_thc = thc_kmp2_energy(system, res, isdfk)
+    assert e_thc == pytest.approx(e_exact, abs=1e-8)
