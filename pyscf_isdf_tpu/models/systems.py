@@ -60,9 +60,7 @@ def graphene(mesh=None, basis="gth-szv", pseudo="gth-pade", vacuum=20.0,
     (3D periodic treatment with large c; the reference's 2D coulomb kernel
     is a separate low-dimension feature.)
     """
-    acc = 1.42  # C-C bond, Angstrom
-    a1 = np.array([1.5 * acc, np.sqrt(3) / 2 * acc * -1, 0]) * 0  # placeholder
-    # standard hexagonal lattice: a = 2.46 A
+    # standard hexagonal lattice: a = 2.46 A (C-C bond 1.42 A)
     a = 2.46
     lat = np.array([[a, 0, 0], [-a / 2, a * np.sqrt(3) / 2, 0],
                     [0, 0, vacuum * BOHR]])

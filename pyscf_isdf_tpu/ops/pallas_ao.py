@@ -102,7 +102,6 @@ def plan_ao_blocks(cell, coords=None, block: int = 512, imax: int | None = None)
         groups.setdefault(sh.l, []).append((ish, sh))
 
     plans = []
-    col_cursor = {l: 0 for l in packed.ls}
     for l in packed.ls:
         shells = groups[l]
         ns = len(shells)
@@ -255,55 +254,4 @@ def eval_ao_pallas(cell, coords=None, block: int = 512, dtype=jnp.float32,
 
     Returns (ngrids, nao) in cell AO ordering (Gamma point, real).
     """
-    plans, nb, NB = plan_ao_blocks(cell, coords, block)
-    if coords is None:
-        coords = cell.uniform_grid()
-    ng = coords.shape[0]
-    npad = (-ng) % NB
-    coordsT = jnp.asarray(
-        np.pad(coords, ((0, npad), (0, 0)), mode="edge").T, dtype)  # (3, ng_p)
-
-    out_cols = []
-    col_index = []
-    for plan in plans:
-        kernel, KM = _make_kernel(plan.l, plan.ns, plan.P, plan.K, NB)
-        grid = (nb, plan.ns)
-        fn = pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=4,
-                grid=grid,
-                in_specs=[
-                    pl.BlockSpec((3, NB), lambda b, s, *_: (0, b),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 1, 3, plan.imgs.shape[3]),
-                                 lambda b, s, *_: (s, b, 0, 0),
-                                 memory_space=pltpu.SMEM),
-                ],
-                out_specs=pl.BlockSpec((KM, NB), lambda b, s, *_: (s, b),
-                                       memory_space=pltpu.VMEM),
-            ),
-            out_shape=jax.ShapeDtypeStruct((plan.ns * KM, ng + npad), dtype),
-            interpret=interpret,
-        )
-        out_l = fn(
-            jnp.asarray(plan.counts.reshape(-1)),
-            jnp.asarray(plan.centers.reshape(-1), dtype),
-            jnp.asarray(plan.exps.reshape(-1), dtype),
-            jnp.asarray(plan.coeffs.reshape(-1), dtype),
-            coordsT,
-            jnp.asarray(plan.imgs, dtype),
-        )
-        out_cols.append(out_l)
-        # expand the per-shell column map to the padded KM row stride
-        km0 = plan.K * (2 * plan.l + 1)
-        cols_pad = np.full((plan.ns, KM), -1, dtype=np.int64)
-        cols_pad[:, :km0] = plan.cols.reshape(plan.ns, km0)
-        col_index.append(cols_pad.reshape(-1))
-
-    allrows = jnp.concatenate(out_cols, axis=0)[:, :ng]         # (rows, ng)
-    cols = np.concatenate(col_index)
-    keep = cols >= 0
-    inv = np.zeros(cell.nao, dtype=np.int64)
-    inv[cols[keep]] = np.nonzero(keep)[0]
-    return allrows[inv].T                                       # (ng, nao)
+    return make_ao_evaluator(cell, coords, block, dtype, interpret)()
