@@ -60,3 +60,18 @@ def test_mulliken_neutral():
     assert charges[0] == pytest.approx(charges[1], abs=1e-3)  # grid breaks sublattice symmetry slightly
     h, l, g = homo_lumo_gap(res["mo_energy"], cell.nelectron // 2)
     assert g > 0.1  # diamond is an insulator
+
+
+def test_jit_scf_driver_matches_host_loop():
+    from pyscf_isdf_tpu.scf import build_scf_system, scf_kernel
+    from pyscf_isdf_tpu.scf.jit_driver import run_scf_jit
+
+    cell = diamond_primitive(mesh=(15, 15, 15))
+    system = build_scf_system(cell)
+    ref = scf_kernel(system, xc="lda,vwn", conv_tol=1e-10)
+    e_jit, _ = run_scf_jit(system, xc="lda,vwn", n_iter=120)
+    assert e_jit == pytest.approx(ref["e_tot"], abs=1e-8)
+    # hybrid with ISDF exchange inside the jitted loop
+    ref0 = scf_kernel(system, xc="pbe0", conv_tol=1e-10)
+    e0, _ = run_scf_jit(system, xc="pbe0", n_iter=120)
+    assert e0 == pytest.approx(ref0["e_tot"], abs=1e-7)
