@@ -35,7 +35,8 @@ import jax.numpy as jnp
 
 from pyscf_isdf_tpu.df.fftdf import fft3, ifft3
 from pyscf_isdf_tpu.ops.interp_points import (
-    pivoted_cholesky_points, cvt_points, atomic_points,
+    pivoted_cholesky_points, pivoted_cholesky_points_blocked, cvt_points,
+    atomic_points,
 )
 
 
@@ -113,6 +114,8 @@ def build_isdf(aoR, coulG, mesh, weight, n_ip=None, c: float = 8.0,
     n_ip = min(n_ip, aoR.shape[0])
     if method == "cholesky":
         ip_idx, _ = pivoted_cholesky_points(aoR, n_ip)
+    elif method == "cholesky-blocked":
+        ip_idx, _ = pivoted_cholesky_points_blocked(aoR, n_ip)
     elif method == "cvt":
         if coords is None or rho is None:
             raise ValueError("cvt selection needs coords and rho")

@@ -105,3 +105,15 @@ def test_isdf_atomic_selection(diamond):
     vk = isdf_mod.get_k(isdf, dm)
     vk_ref = fftdf.get_k(system.aoR, dm, coulG, cell.mesh, cell.grid_weight)
     assert np.abs(np.asarray(vk - vk_ref)).max() < 1e-7
+
+
+def test_isdf_blocked_selection(diamond):
+    """Block-greedy pivot selection has greedy-quality K parity."""
+    cell, system, res = diamond
+    dm = jnp.asarray(res["dm"])
+    coulG = jnp.asarray(system.coulG)
+    isdf = isdf_mod.build_isdf(system.aoR, coulG, cell.mesh, cell.grid_weight,
+                               c=8, method="cholesky-blocked")
+    vk = isdf_mod.get_k(isdf, dm)
+    vk_ref = fftdf.get_k(system.aoR, dm, coulG, cell.mesh, cell.grid_weight)
+    assert np.abs(np.asarray(vk - vk_ref)).max() < 1e-8
