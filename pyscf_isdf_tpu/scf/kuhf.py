@@ -41,8 +41,7 @@ def kuhf_kernel(
     xcspec = XCSpec(xc) if xc is not None else None
     hyb = 1.0 if xcspec is None else xcspec.hyb
     need_k = hyb > 0
-    if xcspec is not None and xcspec.family == "gga":
-        raise NotImplementedError("KUKS GGA: use LDA or the Gamma UKS path")
+    is_gga = xcspec is not None and xcspec.family == "gga"
 
     if nelec is None:
         na = (cell.nelectron + cell.spin) // 2
@@ -57,6 +56,18 @@ def kuhf_kernel(
     coulG_pairs = jnp.asarray(system.coulG_pairs)
     expmikr = jnp.asarray(system.expmikr, dtype=aoR_k.dtype)
     kweight = weight / nk
+
+    ao_grad_k = None
+    if is_gga:
+        from pyscf_isdf_tpu.ops.ao_eval import ao_gradient_fft_k
+
+        coords = jnp.asarray(cell.uniform_grid())
+        Gv = jnp.asarray(cell.get_Gv())
+        ao_grad_k = jnp.stack([
+            ao_gradient_fft_k(aoR_k[k], mesh, Gv,
+                              jnp.asarray(system.kpts[k]), coords)
+            for k in range(nk)
+        ])
 
     S, hcore, X = system.S, system.hcore, system.X
 
@@ -93,16 +104,42 @@ def kuhf_kernel(
         if xcspec is not None:
             dmaj = jnp.asarray(dm_a, aoR_k.dtype)
             dmbj = jnp.asarray(dm_b, aoR_k.dtype)
+            ta = jnp.einsum("kgi,kij->kgj", aoR_k, dmaj)
+            tb = jnp.einsum("kgi,kij->kgj", aoR_k, dmbj)
             rho_a = jnp.maximum(jnp.einsum(
-                "kgi,kij,kgj->g", aoR_k, dmaj, aoR_k.conj()).real / nk, 0.0)
+                "kgj,kgj->g", ta, aoR_k.conj()).real / nk, 0.0)
             rho_b = jnp.maximum(jnp.einsum(
-                "kgi,kij,kgj->g", aoR_k, dmbj, aoR_k.conj()).real / nk, 0.0)
-            exc, (va, vb), _ = xcspec.exc_vxc_spin(rho_a, rho_b)
-            e_xc = float(weight * jnp.sum((rho_a + rho_b) * exc))
-            veff_a += np.asarray(weight * jnp.einsum(
-                "kgi,g,kgj->kij", aoR_k.conj(), va, aoR_k))
-            veff_b += np.asarray(weight * jnp.einsum(
-                "kgi,g,kgj->kij", aoR_k.conj(), vb, aoR_k))
+                "kgj,kgj->g", tb, aoR_k.conj()).real / nk, 0.0)
+            if is_gga:
+                ga = 2.0 / nk * jnp.einsum("kgj,kxgj->xg", ta.conj(),
+                                           ao_grad_k).real
+                gb = 2.0 / nk * jnp.einsum("kgj,kxgj->xg", tb.conj(),
+                                           ao_grad_k).real
+                s_aa = jnp.sum(ga * ga, axis=0)
+                s_ab = jnp.sum(ga * gb, axis=0)
+                s_bb = jnp.sum(gb * gb, axis=0)
+                exc, (va, vb), (vsaa, vsab, vsbb) = xcspec.exc_vxc_spin(
+                    rho_a, rho_b, s_aa, s_ab, s_bb)
+                e_xc = float(weight * jnp.sum((rho_a + rho_b) * exc))
+
+                def vmat_k(vrho, vs_ss, g_s, g_t):
+                    aow = 0.5 * vrho[:, None] * aoR_k + jnp.einsum(
+                        "xg,kxgi->kgi",
+                        2.0 * vs_ss[None, :] * g_s + vsab[None, :] * g_t,
+                        ao_grad_k)
+                    half = weight * jnp.einsum("kgi,kgj->kij",
+                                               aoR_k.conj(), aow)
+                    return np.asarray(half + half.conj().transpose(0, 2, 1))
+
+                veff_a += vmat_k(va, vsaa, ga, gb)
+                veff_b += vmat_k(vb, vsbb, gb, ga)
+            else:
+                exc, (va, vb), _ = xcspec.exc_vxc_spin(rho_a, rho_b)
+                e_xc = float(weight * jnp.sum((rho_a + rho_b) * exc))
+                veff_a += np.asarray(weight * jnp.einsum(
+                    "kgi,g,kgj->kij", aoR_k.conj(), va, aoR_k))
+                veff_b += np.asarray(weight * jnp.einsum(
+                    "kgi,g,kgj->kij", aoR_k.conj(), vb, aoR_k))
         e_k = 0.0
         if need_k:
             vka = np.array(fftdf_k.get_k_kpts(

@@ -31,3 +31,16 @@ def test_kuhf_matches_krhf(h2_system):
     res_u = kuhf_kernel(h2_system, xc=None, exxdiv="ewald", conv_tol=1e-10)
     res_r = kscf_kernel(h2_system, xc=None, exxdiv="ewald", conv_tol=1e-10)
     assert res_u["e_tot"] == pytest.approx(res_r["e_tot"], abs=1e-8)
+
+
+def test_kuks_pbe_matches_krks():
+    """k-point spin GGA (KUKS/PBE) == KRKS/PBE for closed shells."""
+    from pyscf_isdf_tpu.models import diamond_primitive
+
+    cell = diamond_primitive(mesh=(14, 14, 14))
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1])
+    system = build_kscf_system(cell, kpts)
+    r = kscf_kernel(system, xc="pbe", conv_tol=1e-9)
+    u = kuhf_kernel(system, xc="pbe", conv_tol=1e-9)
+    assert u["converged"]
+    assert u["e_tot"] == pytest.approx(r["e_tot"], abs=1e-8)
