@@ -69,6 +69,21 @@ def get_coulG(cell, k=None, exxdiv=None, mesh=None, Gv=None, kpts=None,
         with np.errstate(divide="ignore", invalid="ignore"):
             coulG = 4 * np.pi / absG2 * (1.0 - np.cos(np.sqrt(absG2) * Rc))
         coulG[G0_idx] = 4 * np.pi * 0.5 * Rc**2
+    elif exxdiv == "vcut_ws":
+        ws = precompute_exx(cell, np.asarray(kpts).reshape(-1, 3))
+        alpha = ws["alpha"]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coulG = 4 * np.pi / absG2 * (1.0 - np.exp(-absG2 / (4 * alpha**2)))
+        coulG[G0_idx] = np.pi / alpha**2
+        # index k+G into the precomputed q-grid kernel
+        gxyz = kG @ ws["kcell_a"].T / (2 * np.pi)
+        gxyz = np.rint(gxyz).astype(int)
+        wmesh = ws["mesh"]
+        gxyz = (gxyz + wmesh) % wmesh
+        qidx = (gxyz[:, 0] * wmesh[1] + gxyz[:, 1]) * wmesh[2] + gxyz[:, 2]
+        maxqv = np.abs(ws["q"]).max(axis=0)
+        in_range = (np.abs(kG) <= maxqv).all(axis=1)
+        coulG[in_range] += ws["vq"][qidx[in_range]]
     elif cell.dimension == 2:
         # truncated Coulomb for a slab: Sundararaman-Arias PRB 87 (2013)
         b = cell.reciprocal_vectors()
@@ -97,6 +112,37 @@ def get_coulG(cell, k=None, exxdiv=None, mesh=None, Gv=None, kpts=None,
         else:
             coulG *= 1 - np.exp(-0.25 / omega**2 * absG2)
     return coulG
+
+
+def precompute_exx(cell, kpts):
+    """Wigner-Seitz truncated exchange kernel for exxdiv='vcut_ws'.
+
+    Minimum-image erf potential of the Nk-scaled cell sampled on a fine
+    grid, FFT'd to vq (reference: pyscf/pbc/tools/pbc.py:422-480,
+    PRB 87, 165122).
+    """
+    Nk = _monkhorst_pack_size(cell, np.asarray(kpts).reshape(-1, 3))
+    ka = cell.a * Nk[:, None]
+    Lc = 1.0 / np.linalg.norm(np.linalg.inv(ka), axis=0)
+    Rin = Lc.min() / 2.0
+    alpha = 5.0 / Rin
+    mesh = np.array([4 * int(L * alpha * 3.0) for L in Lc])
+    rs = lattice.uniform_grid(ka, mesh, wrap_around=False)
+    corners = lattice.cartesian_prod([0, 1], [0, 1], [0, 1]) @ ka
+    r = np.min([np.linalg.norm(rs - c, axis=1) for c in corners], axis=0)
+    vR = erf(alpha * r) / (r + 1e-200)
+    vR[r < 1e-9] = 2 * alpha / np.sqrt(np.pi)
+    vol = abs(np.linalg.det(ka))
+    vG = (vol / len(rs)) * np.fft.fftn(vR.reshape(mesh)).ravel()
+    if abs(vG.imag).max() > 1e-6:
+        raise RuntimeError("vcut_ws: unconventional lattice")
+    return {
+        "alpha": alpha,
+        "kcell_a": ka,
+        "mesh": mesh,
+        "q": lattice.get_Gv(ka, mesh),
+        "vq": vG.real.copy(),
+    }
 
 
 def ewald_params(cell, precision=None):

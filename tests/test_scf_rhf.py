@@ -42,3 +42,13 @@ def test_rhf_vcut_sph(he2_system):
     res = scf_kernel(he2_system, xc=None, exxdiv="vcut_sph", conv_tol=1e-11)
     assert res["converged"]
     assert res["e_tot"] == pytest.approx(-4.29190260870812, abs=1e-7)
+
+
+def test_rhf_vcut_ws(he2_system):
+    """Wigner-Seitz truncated exchange: converges, in the exxdiv family
+    range (no reference golden exists for vcut_ws; bracketed sanity)."""
+    res = scf_kernel(he2_system, xc=None, exxdiv="vcut_ws", conv_tol=1e-10)
+    assert res["converged"]
+    # all exxdiv treatments agree in the bulk limit; at this cell they
+    # bracket within ~0.15 Ha
+    assert -4.45 < res["e_tot"] < -4.15
