@@ -203,7 +203,9 @@ def scf_kernel(
         mo_e, mo_c = eig(hcore)
         dm = make_rdm1(mo_c, nocc)
     else:
-        dm = dm0
+        # Gamma-point densities are real; project restarts (e.g. unfolded
+        # k-point densities with broken-degeneracy imaginary parts)
+        dm = np.asarray(dm0).real.astype(np.float64)
 
     diis = DIIS(space=diis_space)
     e_last = 0.0
