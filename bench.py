@@ -27,7 +27,8 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/pyscf_isdf_tpu_jax"))
 
-N_ITER = int(os.environ.get("BENCH_N_ITER", 8))
+N_ITER = int(os.environ.get("BENCH_N_ITER", 8))        # ISDF chain length
+N_ITER_ORACLE = int(os.environ.get("BENCH_N_ORACLE", 3))  # FFTDF chain (compile-heavy)
 
 
 def timeit(fn, *args, warmup=1, reps=5):
@@ -92,12 +93,16 @@ def main():
     jk_isdf = lambda d: (fftdf.get_j(aoR, d, coulG, mesh3, w),
                          isdf_mod.get_k(isdf, d))
     jk_fftdf = lambda d: (fftdf.get_j(aoR, d, coulG, mesh3, w),
-                          fftdf.get_k(aoR, d, coulG, mesh3, w))
+                          fftdf.get_k(aoR, d, coulG, mesh3, w, chunk=8))
 
     f_isdf = chained(jk_isdf)
-    f_fftdf = chained(jk_fftdf)
+    f_fftdf = chained(jk_fftdf, N_ITER_ORACLE)
+    t0 = time.perf_counter()
     t_isdf = timeit(f_isdf, dm) / N_ITER
-    t_fftdf = timeit(f_fftdf, dm) / N_ITER
+    log(f"isdf chain compile+time: {time.perf_counter()-t0:.1f} s")
+    t0 = time.perf_counter()
+    t_fftdf = timeit(f_fftdf, dm) / N_ITER_ORACLE
+    log(f"fftdf chain compile+time: {time.perf_counter()-t0:.1f} s")
 
     # numerics check on the exchange energy
     vk_ref = jax.jit(lambda d: fftdf.get_k(aoR, d, coulG, mesh3, w))(dm)
