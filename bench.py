@@ -27,8 +27,8 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/pyscf_isdf_tpu_jax"))
 
-N_ITER = int(os.environ.get("BENCH_N_ITER", 8))        # ISDF chain length
-N_ITER_ORACLE = int(os.environ.get("BENCH_N_ORACLE", 3))  # FFTDF chain (compile-heavy)
+N_ITER = int(os.environ.get("BENCH_N_ITER", 100))      # ISDF marginal spread
+N_ITER_ORACLE = int(os.environ.get("BENCH_N_ORACLE", 4))  # FFTDF marginal spread
 
 
 def timeit(fn, *args, warmup=1, reps=5):
@@ -42,9 +42,12 @@ def timeit(fn, *args, warmup=1, reps=5):
     return float(np.median(ts))
 
 
-def chained(jk, n=N_ITER):
-    """n damped Fock-mixing iterations in one jitted program."""
-    def run(dm):
+def chained(jk):
+    """Damped Fock-mixing iterations; the trip count is a RUNTIME argument,
+    so one compilation serves every n and the marginal per-iteration cost
+    (T(n2) - T(n1)) / (n2 - n1) cancels dispatch latency and one-time
+    costs exactly."""
+    def run(dm, n):
         def body(i, d):
             vj, vk = jk(d)
             f = vj - 0.5 * vk
@@ -52,6 +55,20 @@ def chained(jk, n=N_ITER):
             return d + 1e-6 * (f - jnp.trace(f) / nao * jnp.eye(nao, dtype=d.dtype))
         return jax.lax.fori_loop(0, n, body, dm)
     return jax.jit(run)
+
+
+def marginal_time(fn, dm, n1, n2, reps=5):
+    for _ in range(1):
+        jax.block_until_ready(fn(dm, n2))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(dm, n1))
+        t1 = time.perf_counter()
+        jax.block_until_ready(fn(dm, n2))
+        t2 = time.perf_counter()
+        ts.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    return float(np.median(ts))
 
 
 def main():
@@ -96,12 +113,12 @@ def main():
                           fftdf.get_k(aoR, d, coulG, mesh3, w, chunk=8))
 
     f_isdf = chained(jk_isdf)
-    f_fftdf = chained(jk_fftdf, N_ITER_ORACLE)
+    f_fftdf = chained(jk_fftdf)
     t0 = time.perf_counter()
-    t_isdf = timeit(f_isdf, dm) / N_ITER
+    t_isdf = marginal_time(f_isdf, dm, 2, 2 + N_ITER)
     log(f"isdf chain compile+time: {time.perf_counter()-t0:.1f} s")
     t0 = time.perf_counter()
-    t_fftdf = timeit(f_fftdf, dm) / N_ITER_ORACLE
+    t_fftdf = marginal_time(f_fftdf, dm, 1, 1 + N_ITER_ORACLE)
     log(f"fftdf chain compile+time: {time.perf_counter()-t0:.1f} s")
 
     # numerics check on the exchange energy
