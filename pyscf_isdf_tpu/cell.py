@@ -11,7 +11,7 @@ Mesh/rcut heuristics mirror the reference so default grids agree
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import cached_property
 
 import numpy as np

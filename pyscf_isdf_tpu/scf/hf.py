@@ -25,9 +25,7 @@ import jax.numpy as jnp
 from pyscf_isdf_tpu.cell import Cell
 from pyscf_isdf_tpu.df import fftdf
 from pyscf_isdf_tpu.ops import coulomb, pp as pp_ops
-from pyscf_isdf_tpu.ops.ao_eval import (
-    PackedBasis, eval_ao, eval_ao_numpy, ao_gradient_fft,
-)
+from pyscf_isdf_tpu.ops.ao_eval import eval_ao_numpy, ao_gradient_fft
 from pyscf_isdf_tpu.ops.ft_ao import overlap_and_kinetic
 from pyscf_isdf_tpu.ops.xc import XCSpec
 from pyscf_isdf_tpu.scf.diis import DIIS

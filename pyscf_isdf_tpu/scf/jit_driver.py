@@ -12,8 +12,6 @@ production runs after a warm start, and as the benchmark shape.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

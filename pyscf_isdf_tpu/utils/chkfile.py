@@ -8,7 +8,6 @@ round-trip bit-exactly. ``init_guess_by_chkfile`` gives the restart path.
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 
 import numpy as np
