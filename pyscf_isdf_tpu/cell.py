@@ -105,7 +105,10 @@ class Cell:
         return lattice.uniform_grid(self.a, mesh or self.mesh)
 
     def lattice_images(self, rcut=None) -> np.ndarray:
-        return lattice.lattice_images(self.a, rcut or self.rcut, self.dimension)
+        # the AO basis stays 3D-periodic in every dimension mode (low-dim
+        # treatments truncate only the Coulomb kernel); reduced-dimension
+        # image sets are an Ewald-sum concern (ops/coulomb.py)
+        return lattice.lattice_images(self.a, rcut or self.rcut, 3)
 
     @property
     def grid_weight(self) -> float:

@@ -84,6 +84,17 @@ def get_coulG(cell, k=None, exxdiv=None, mesh=None, Gv=None, kpts=None,
         maxqv = np.abs(ws["q"]).max(axis=0)
         in_range = (np.abs(kG) <= maxqv).all(axis=1)
         coulG[in_range] += ws["vq"][qidx[in_range]]
+    elif cell.dimension == 0:
+        # isolated system: spherically truncated Coulomb on the FFT mesh
+        # (Martyna-Tuckerman-style; TPU-native alternative to the
+        # reference's non-uniform-grid inf_vacuum quadrature). Exact when
+        # the density fits in a sphere of radius Rc = min cell height / 2.
+        b = cell.reciprocal_vectors()
+        Rc = np.pi / np.linalg.norm(b, axis=1).max()
+        absG = np.sqrt(absG2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coulG = 4 * np.pi / absG2 * (1.0 - np.cos(absG * Rc))
+        coulG[G0_idx] = 2 * np.pi * Rc**2
     elif cell.dimension == 2:
         # truncated Coulomb for a slab: Sundararaman-Arias PRB 87 (2013)
         b = cell.reciprocal_vectors()
@@ -159,10 +170,15 @@ def ewald_params(cell, precision=None):
 
 
 def ewald(cell, ew_eta=None, ew_cut=None) -> float:
-    """Ewald energy of the point charges in ``cell`` (3D)."""
+    """Nuclear repulsion: Ewald sum (3D/2D) or bare Coulomb (0D)."""
     if cell.natm == 0:
         return 0.0
     chargs = cell.charges
+    if cell.dimension == 0:
+        rij = np.linalg.norm(
+            cell.coords[:, None, :] - cell.coords[None, :, :], axis=-1)
+        np.fill_diagonal(rij, np.inf)
+        return float(0.5 * np.einsum("i,j,ij->", chargs, chargs, 1.0 / rij))
     if ew_eta is None or ew_cut is None:
         ew_eta, ew_cut = ewald_params(cell)
 

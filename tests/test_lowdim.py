@@ -39,3 +39,19 @@ def test_rks_2d_slab_golden():
     res = scf_kernel(system, xc="lda,vwn", conv_tol=1e-10)
     assert res["converged"]
     assert res["e_tot"] == pytest.approx(-0.6252695697315944, abs=1e-7)
+
+
+def test_0d_isolated_molecule():
+    """dim=0: spherically truncated Coulomb gives box-size-independent
+    isolated-atom energies (the periodic treatment drifts with L)."""
+    basis = [[0, (3.0, 1.0)], [0, (0.8, 1.0)], [0, (0.25, 1.0)]]
+    es = {}
+    for L, n in [(12.0, 40), (16.0, 54)]:
+        cell = build_cell(np.eye(3) * L, [["He", (L / 2, L / 2, L / 2)]],
+                          basis=basis, mesh=[n] * 3, dimension=0)
+        r = scf_kernel(build_scf_system(cell), xc=None, exxdiv=None,
+                       conv_tol=1e-10)
+        assert r["converged"]
+        es[L] = r["e_tot"]
+    assert abs(es[12.0] - es[16.0]) < 1e-4
+    assert -2.9 < es[12.0] < -2.6  # physical He RHF range for this basis
