@@ -84,29 +84,23 @@ def _select_ips_complex(U, n_ip: int):
 
 
 def unique_q(cell, kpts):
-    """Map (k2, k1) pairs to unique momentum transfers q = k2 - k1 (mod G).
+    """Map (k2, k1) pairs to unique momentum transfers q = k2 - k1.
 
-    Returns (q_list (nq, 3), qmap (nk, nk) int).
+    Vectorized (one np.unique over the nk^2 differences, binned to 1e-8 —
+    MP-mesh differences are exact multiples of b/n so the bins are safe).
+    Returns (q_list (nq, 3), qmap (nk, nk) int) with q_list in first-
+    appearance (row-major pair scan) order.
     """
     kpts = np.reshape(kpts, (-1, 3))
     nk = len(kpts)
-    binv = np.linalg.inv(coulomb.lattice.reciprocal_vectors(cell.a))
-    qs, qmap = [], np.zeros((nk, nk), dtype=np.int64)
-    for i2 in range(nk):
-        for i1 in range(nk):
-            q = kpts[i2] - kpts[i1]
-            found = None
-            for iq, q0 in enumerate(qs):
-                frac = (q - q0) @ binv
-                if np.allclose(frac - np.round(frac), 0, atol=1e-8) and \
-                   np.allclose(q, q0, atol=1e-8):
-                    found = iq
-                    break
-            if found is None:
-                qs.append(q)
-                found = len(qs) - 1
-            qmap[i2, i1] = found
-    return np.array(qs), qmap
+    diffs = (kpts[:, None, :] - kpts[None, :, :]).reshape(-1, 3)
+    _, first, inv = np.unique(np.round(diffs, 8), axis=0,
+                              return_index=True, return_inverse=True)
+    order = np.argsort(first)              # sorted-unique -> first-appearance
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    qmap = rank[inv.ravel()].reshape(nk, nk).astype(np.int64)
+    return diffs[np.sort(first)], qmap
 
 
 @partial(jax.jit, static_argnames=("mesh", "fft_chunk"))
@@ -140,7 +134,8 @@ def _xi_wq(U, ip_idx, coulG_q, mesh, weight, fft_chunk: int = 64):
 
 
 def build_isdf_k(cell, aoR_k, kpts, n_ip=None, c: float = 8.0,
-                 dtype=None, keep_xi: bool = False) -> ISDFK:
+                 dtype=None, keep_xi: bool = False, exxdiv=None,
+                 omega: float = 0.0) -> ISDFK:
     """Build the k-point ISDF factorization.
 
     Args:
@@ -149,6 +144,12 @@ def build_isdf_k(cell, aoR_k, kpts, n_ip=None, c: float = 8.0,
         keep_xi: retain the interpolation vectors (n_ip x ngrids) — needed
             by consumers that build phased kernel variants (THC-KMP2's
             reciprocal-lattice-offset pairs, :func:`w_phased`).
+        exxdiv: divergence treatment baked into the per-q Coulomb kernels
+            (None for the plain kernel; 'ewald' is handled *outside* by the
+            SCF loop's madelung S D S shift, so pass None for it; 'vcut_sph'
+            / 'vcut_ws' change the kernel itself and belong here).
+        omega: range-separation parameter forwarded to get_coulG (>0 LR
+            erf kernel, <0 SR erfc kernel) for RSH exchange W builds.
     """
     kpts = np.reshape(np.asarray(kpts), (-1, 3))
     nk, ng, nao = aoR_k.shape
@@ -169,7 +170,9 @@ def build_isdf_k(cell, aoR_k, kpts, n_ip=None, c: float = 8.0,
 
     q_list, qmap = unique_q(cell, kpts)
     coulG_q = np.stack([
-        coulomb.get_coulG(cell, k=q, exxdiv=None, kpts=kpts) for q in q_list
+        coulomb.get_coulG(cell, k=q, exxdiv=exxdiv, kpts=kpts,
+                          omega=(omega or None))
+        for q in q_list
     ])
     rdtype = jnp.float64 if aoR_k.dtype == jnp.complex128 else jnp.float32
     Wq, xi = _xi_wq(U, ip_idx, jnp.asarray(coulG_q, rdtype), tuple(cell.mesh),

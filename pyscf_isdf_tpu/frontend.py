@@ -95,7 +95,9 @@ class UHF(_MeanField):
     def _kernel(self):
         return _uhf.uhf_kernel(self.system, xc=None, exxdiv=self.exxdiv,
                                conv_tol=self.conv_tol,
-                               max_cycle=self.max_cycle, verbose=self.verbose)
+                               max_cycle=self.max_cycle,
+                               df=self.df, isdf_c=self.isdf_c,
+                               verbose=self.verbose)
 
 
 class UKS(_MeanField):
@@ -105,7 +107,9 @@ class UKS(_MeanField):
     def _kernel(self):
         return _uhf.uhf_kernel(self.system, xc=self.xc, exxdiv=self.exxdiv,
                                conv_tol=self.conv_tol,
-                               max_cycle=self.max_cycle, verbose=self.verbose)
+                               max_cycle=self.max_cycle,
+                               df=self.df, isdf_c=self.isdf_c,
+                               verbose=self.verbose)
 
 
 class ROHF(_MeanField):
@@ -150,6 +154,7 @@ class KRHF(_KMeanField):
                                 conv_tol=self.conv_tol,
                                 max_cycle=self.max_cycle, sigma=self.sigma,
                                 smearing_method=self.smearing_method,
+                                df=self.df, isdf_c=self.isdf_c,
                                 verbose=self.verbose)
 
 
@@ -162,6 +167,7 @@ class KRKS(_KMeanField):
                                 conv_tol=self.conv_tol,
                                 max_cycle=self.max_cycle, sigma=self.sigma,
                                 smearing_method=self.smearing_method,
+                                df=self.df, isdf_c=self.isdf_c,
                                 verbose=self.verbose)
 
 
@@ -174,6 +180,7 @@ class KUHF(_KMeanField):
 
         return kuhf_kernel(self.system, xc=None, exxdiv=self.exxdiv,
                            conv_tol=self.conv_tol, max_cycle=self.max_cycle,
+                           df=self.df, isdf_c=self.isdf_c,
                            verbose=self.verbose)
 
 
@@ -186,6 +193,7 @@ class KUKS(_KMeanField):
 
         return kuhf_kernel(self.system, xc=self.xc, exxdiv=self.exxdiv,
                            conv_tol=self.conv_tol, max_cycle=self.max_cycle,
+                           df=self.df, isdf_c=self.isdf_c,
                            verbose=self.verbose)
 
 

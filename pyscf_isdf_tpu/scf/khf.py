@@ -101,11 +101,19 @@ def kscf_kernel(
     conv_tol: float = 1e-10,
     diis_space: int = 8,
     get_jk=None,
+    df: str = "fftdf",
+    isdf_c: float = 8.0,
     verbose: bool = False,
     sigma: float = 0.0,
     smearing_method: str = "fermi",
 ):
     """Run the k-point SCF to convergence. xc=None -> KRHF, else KRKS.
+
+    ``df='isdf'`` builds the k-point ISDF factorization (shared IPs,
+    per-q W kernels) and routes exchange through GEMM-cost
+    :func:`pyscf_isdf_tpu.df.isdf_k.get_k_kpts` — the reference's
+    ``with_df`` swap (pyscf/pbc/scf/khf.py:409 + hf.py:810-821) as a flag.
+    J stays on the exact FFT path either way.
 
     ``sigma > 0`` enables finite-temperature (smeared) occupations; the
     result then also carries ``entropy``, ``mu`` and the free energy
@@ -138,22 +146,37 @@ def kscf_kernel(
         ])  # (nk, 3, ng, nao)
 
     if get_jk is None:
-        if need_k and exxdiv not in (None, "ewald"):
-            cp, _ = fftdf_k.make_k_kernels(cell, system.kpts, exxdiv=exxdiv)
-            coulG_pairs = jnp.asarray(cp)
-        else:
-            coulG_pairs = jnp.asarray(system.coulG_pairs)
-        expmikr = jnp.asarray(system.expmikr, dtype=aoR_k.dtype)
-        kweight = weight / nk
+        if df not in ("fftdf", "isdf"):
+            raise ValueError(f"unknown df engine {df!r}: use 'fftdf' or 'isdf'")
+        if df == "isdf" and need_k:
+            from pyscf_isdf_tpu.df import isdf_k as isdf_k_mod
 
-        def get_jk(dm_k, with_k):
-            dmj = jnp.asarray(dm_k, dtype=aoR_k.dtype)
-            vj = fftdf_k.get_j_kpts(aoR_k, dmj, coulG, mesh, weight)
-            vk = None
-            if with_k:
-                vk = fftdf_k.get_k_kpts(aoR_k, dmj, coulG_pairs, expmikr,
-                                        mesh, kweight)
-            return vj, vk
+            isdfk = isdf_k_mod.build_isdf_k(
+                cell, aoR_k, system.kpts, c=isdf_c,
+                exxdiv=(exxdiv if exxdiv not in (None, "ewald") else None))
+
+            def get_jk(dm_k, with_k):
+                dmj = jnp.asarray(dm_k, dtype=aoR_k.dtype)
+                vj = fftdf_k.get_j_kpts(aoR_k, dmj, coulG, mesh, weight)
+                vk = isdf_k_mod.get_k_kpts(isdfk, dmj) if with_k else None
+                return vj, vk
+        else:
+            if need_k and exxdiv not in (None, "ewald"):
+                cp, _ = fftdf_k.make_k_kernels(cell, system.kpts, exxdiv=exxdiv)
+                coulG_pairs = jnp.asarray(cp)
+            else:
+                coulG_pairs = jnp.asarray(system.coulG_pairs)
+            expmikr = jnp.asarray(system.expmikr, dtype=aoR_k.dtype)
+            kweight = weight / nk
+
+            def get_jk(dm_k, with_k):
+                dmj = jnp.asarray(dm_k, dtype=aoR_k.dtype)
+                vj = fftdf_k.get_j_kpts(aoR_k, dmj, coulG, mesh, weight)
+                vk = None
+                if with_k:
+                    vk = fftdf_k.get_k_kpts(aoR_k, dmj, coulG_pairs, expmikr,
+                                            mesh, kweight)
+                return vj, vk
 
     S, hcore, X = system.S, system.hcore, system.X
 

@@ -33,9 +33,15 @@ def kuhf_kernel(
     max_cycle: int = 100,
     conv_tol: float = 1e-10,
     diis_space: int = 8,
+    df: str = "fftdf",
+    isdf_c: float = 8.0,
     verbose: bool = False,
 ):
-    """Run k-point spin-polarized SCF. xc=None -> KUHF, else KUKS (LDA)."""
+    """Run k-point spin-polarized SCF. xc=None -> KUHF, else KUKS (LDA).
+
+    ``df='isdf'`` swaps the per-spin exchange onto the k-point ISDF GEMM
+    path (one shared factorization, linear in the density matrix).
+    """
     cell = system.cell
     nk = len(system.kpts)
     xcspec = XCSpec(xc) if xc is not None else None
@@ -56,6 +62,19 @@ def kuhf_kernel(
     coulG_pairs = jnp.asarray(system.coulG_pairs)
     expmikr = jnp.asarray(system.expmikr, dtype=aoR_k.dtype)
     kweight = weight / nk
+
+    if df not in ("fftdf", "isdf"):
+        raise ValueError(f"unknown df engine {df!r}: use 'fftdf' or 'isdf'")
+    get_k_spin = None
+    if df == "isdf" and need_k:
+        from pyscf_isdf_tpu.df import isdf_k as isdf_k_mod
+
+        isdfk = isdf_k_mod.build_isdf_k(
+            cell, aoR_k, system.kpts, c=isdf_c,
+            exxdiv=(exxdiv if exxdiv not in (None, "ewald") else None))
+
+        def get_k_spin(dm_s):
+            return isdf_k_mod.get_k_kpts(isdfk, jnp.asarray(dm_s, aoR_k.dtype))
 
     ao_grad_k = None
     if is_gga:
@@ -142,12 +161,16 @@ def kuhf_kernel(
                     "kgi,g,kgj->kij", aoR_k.conj(), vb, aoR_k))
         e_k = 0.0
         if need_k:
-            vka = np.array(fftdf_k.get_k_kpts(
-                aoR_k, jnp.asarray(dm_a, aoR_k.dtype), coulG_pairs,
-                expmikr, mesh, kweight), dtype=np.complex128)
-            vkb = np.array(fftdf_k.get_k_kpts(
-                aoR_k, jnp.asarray(dm_b, aoR_k.dtype), coulG_pairs,
-                expmikr, mesh, kweight), dtype=np.complex128)
+            if get_k_spin is not None:
+                vka = np.array(get_k_spin(dm_a), dtype=np.complex128)
+                vkb = np.array(get_k_spin(dm_b), dtype=np.complex128)
+            else:
+                vka = np.array(fftdf_k.get_k_kpts(
+                    aoR_k, jnp.asarray(dm_a, aoR_k.dtype), coulG_pairs,
+                    expmikr, mesh, kweight), dtype=np.complex128)
+                vkb = np.array(fftdf_k.get_k_kpts(
+                    aoR_k, jnp.asarray(dm_b, aoR_k.dtype), coulG_pairs,
+                    expmikr, mesh, kweight), dtype=np.complex128)
             if exxdiv == "ewald":
                 for k in range(nk):
                     vka[k] += system.madelung * (S[k] @ dm_a[k] @ S[k])

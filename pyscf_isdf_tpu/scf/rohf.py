@@ -32,9 +32,14 @@ def rohf_kernel(
     max_cycle: int = 100,
     conv_tol: float = 1e-10,
     diis_space: int = 8,
+    df: str = "fftdf",
+    isdf_c: float = 8.0,
     verbose: bool = False,
 ):
-    """Run ROHF (xc=None) or ROKS (LDA/GGA) to convergence."""
+    """Run ROHF (xc=None) or ROKS (LDA/GGA) to convergence.
+
+    df='isdf' routes the per-spin exchange through the ISDF GEMM path.
+    """
     cell = system.cell
     xcspec = XCSpec(xc) if xc is not None else None
     hyb = 1.0 if xcspec is None else xcspec.hyb
@@ -58,6 +63,20 @@ def rohf_kernel(
         from pyscf_isdf_tpu.ops.ao_eval import ao_gradient_fft
 
         ao_grad = ao_gradient_fft(aoR, mesh, jnp.asarray(system.Gv, aoR.dtype))
+
+    if df not in ("fftdf", "isdf"):
+        raise ValueError(f"unknown df engine {df!r}: use 'fftdf' or 'isdf'")
+    if df == "isdf" and need_k:
+        from pyscf_isdf_tpu.df import isdf as isdf_mod
+
+        isdf = isdf_mod.build_isdf(aoR, coulG, mesh, weight, c=isdf_c)
+
+        def get_k(dm_s):
+            return isdf_mod.get_k(isdf, jnp.asarray(dm_s, aoR.dtype))
+    else:
+        def get_k(dm_s):
+            return fftdf.get_k(aoR, jnp.asarray(dm_s, aoR.dtype), coulG,
+                               mesh, weight)
 
     def eig(F):
         Fp = X.T @ F @ X
@@ -89,10 +108,8 @@ def rohf_kernel(
             veff_b += vxc_b
         e_k = 0.0
         if need_k:
-            vka = np.asarray(fftdf.get_k(aoR, jnp.asarray(dm_a, aoR.dtype),
-                                         coulG, mesh, weight), dtype=np.float64)
-            vkb = np.asarray(fftdf.get_k(aoR, jnp.asarray(dm_b, aoR.dtype),
-                                         coulG, mesh, weight), dtype=np.float64)
+            vka = np.asarray(get_k(dm_a), dtype=np.float64)
+            vkb = np.asarray(get_k(dm_b), dtype=np.float64)
             if exxdiv == "ewald":
                 vka = vka + system.madelung * (S @ dm_a @ S)
                 vkb = vkb + system.madelung * (S @ dm_b @ S)

@@ -68,12 +68,15 @@ def uhf_kernel(
     dm0=None,
     breaksym: bool = False,
     get_jk=None,
+    df: str = "fftdf",
+    isdf_c: float = 8.0,
     verbose: bool = False,
 ):
     """Run spin-polarized SCF. xc=None -> UHF; else UKS.
 
     get_jk: optional override ``(dm_spin (2,nao,nao), with_k) -> (vj, (vka,
     vkb))`` with vj built from the total density — the ISDF hook.
+    df='isdf' installs that hook automatically (FFT J + ISDF GEMM K).
     """
     cell = system.cell
     xcspec = XCSpec(xc) if xc is not None else None
@@ -94,6 +97,22 @@ def uhf_kernel(
     coulG_k = coulG
     if need_k and exxdiv not in (None, "ewald"):
         coulG_k = jnp.asarray(coulomb.get_coulG(cell, exxdiv=exxdiv))
+
+    if df not in ("fftdf", "isdf"):
+        raise ValueError(f"unknown df engine {df!r}: use 'fftdf' or 'isdf'")
+    if get_jk is None and df == "isdf" and need_k:
+        from pyscf_isdf_tpu.df import isdf as isdf_mod
+
+        isdf = isdf_mod.build_isdf(aoR, coulG_k, mesh, weight, c=isdf_c)
+
+        def get_jk(dm_spin, with_k):
+            dmj = jnp.asarray(dm_spin[0] + dm_spin[1], dtype=aoR.dtype)
+            vj = fftdf.get_j(aoR, dmj, coulG, mesh, weight)
+            vk = None
+            if with_k:
+                vk = (isdf_mod.get_k(isdf, jnp.asarray(dm_spin[0], aoR.dtype)),
+                      isdf_mod.get_k(isdf, jnp.asarray(dm_spin[1], aoR.dtype)))
+            return vj, vk
 
     ao_grad = None
     if is_gga:
