@@ -27,15 +27,18 @@ def _cdtype(dt):
     return jnp.complex128 if dt in (jnp.float64, jnp.complex128) else jnp.complex64
 
 
-@partial(jax.jit, static_argnames=("mesh",))
-def get_j_kpts(aoR_k, dm_k, coulG, mesh, weight):
-    """Coulomb matrices at all k.
+@partial(jax.jit, static_argnames=("mesh", "k_idx"))
+def get_j_kpts(aoR_k, dm_k, coulG, mesh, weight, k_idx=None):
+    """Coulomb matrices at all k (or at the static subset ``k_idx``).
 
     Args:
         aoR_k: (nk, ng, nao) complex Bloch AOs.
         dm_k: (nk, nao, nao) density matrices.
         coulG: (ng,) kernel at q=0.
-    Returns (nk, nao, nao) complex vj.
+        k_idx: optional tuple of band k indices — the density still sums
+            over every k in aoR_k/dm_k, but vj is only assembled at these
+            (the IBZ fast path: matrix elements of one shared potential).
+    Returns (nk, nao, nao) complex vj (len(k_idx) first axis if given).
     """
     nk = aoR_k.shape[0]
     t = jnp.einsum("kgi,kij->kgj", aoR_k, dm_k)
@@ -43,7 +46,8 @@ def get_j_kpts(aoR_k, dm_k, coulG, mesh, weight):
     cd = _cdtype(aoR_k.dtype)
     vG = coulG * fft3(rho.astype(cd), mesh)
     vR = ifft3(vG, mesh).real
-    return weight * jnp.einsum("kgi,g,kgj->kij", aoR_k.conj(), vR, aoR_k)
+    ao_b = aoR_k if k_idx is None else aoR_k[jnp.asarray(k_idx)]
+    return weight * jnp.einsum("kgi,g,kgj->kij", ao_b.conj(), vR, ao_b)
 
 
 def make_k_kernels(cell, kpts, exxdiv=None):
@@ -69,24 +73,29 @@ def make_k_kernels(cell, kpts, exxdiv=None):
     return coulG, expmikr
 
 
-@partial(jax.jit, static_argnames=("mesh", "chunk"))
-def get_k_kpts(aoR_k, dm_k, coulG_pairs, expmikr, mesh, weight, chunk: int = 8):
+@partial(jax.jit, static_argnames=("mesh", "chunk", "k1_idx"))
+def get_k_kpts(aoR_k, dm_k, coulG_pairs, expmikr, mesh, weight, chunk: int = 8,
+               k1_idx=None):
     """Exchange matrices at all k (double k-loop pair-density FFTs).
 
     Args:
         coulG_pairs: (nk, nk, ng) kernels coulG(k2-k1) from make_k_kernels.
         expmikr: (nk, nk, ng) phases exp(-i(k2-k1).r).
         weight: (1/nk) * vol/ngrids.
+        k1_idx: optional static tuple restricting the *band* k-points
+            (exchange is still summed over every density k2) — the IBZ
+            fast path. Output order follows k1_idx.
     """
     nk, ng, nao = aoR_k.shape
+    k1_list = tuple(range(nk)) if k1_idx is None else tuple(k1_idx)
     cd = _cdtype(aoR_k.dtype)
-    vk = [jnp.zeros((nao, nao), cd) for _ in range(nk)]
+    vk = {k1: jnp.zeros((nao, nao), cd) for k1 in k1_list}
     npad = (-nao) % chunk
 
     for k2 in range(nk):
         ao2T = aoR_k[k2].T                               # (nao, ng)
         ao_dms = dm_k[k2] @ ao2T.conj()                  # (nao, ng)
-        for k1 in range(nk):
+        for k1 in k1_list:
             cG = coulG_pairs[k2, k1]
             phase = expmikr[k2, k1].astype(cd)
             ao1T = aoR_k[k1].T
@@ -102,4 +111,4 @@ def get_k_kpts(aoR_k, dm_k, coulG_pairs, expmikr, mesh, weight, chunk: int = 8):
             vR_dm = vR_dm.reshape(-1, ng)[:nao]
             vR_dm = vR_dm * phase.conj()[None, :]
             vk[k1] = vk[k1] + weight * (vR_dm @ ao1T.T)
-    return jnp.stack(vk)
+    return jnp.stack([vk[k1] for k1 in k1_list])

@@ -213,20 +213,26 @@ def w_phased(isdfk: ISDFK, cell, q, Gshift, kpts=None, fft_chunk: int = 64):
     return cell.grid_weight * (Vxi @ (xi_c * phase.astype(cdt)[None, :]).T)
 
 
-def get_k_kpts(isdfk: ISDFK, dm_k):
-    """Exchange at all k via per-q GEMMs: (1/nk) sum_k2 Ug1^H (W_q o M) Ug1."""
+def get_k_kpts(isdfk: ISDFK, dm_k, k1_idx=None):
+    """Exchange via per-q GEMMs: (1/nk) sum_k2 Ug1^H (W_q o M) Ug1.
+
+    k1_idx: optional tuple restricting the band k-points (the exchange sum
+    still runs over all density k2) — the IBZ fast path. Output order
+    follows k1_idx.
+    """
     nk = isdfk.Ug.shape[0]
     qmap = isdfk.qmap
+    k1_list = tuple(range(nk)) if k1_idx is None else tuple(k1_idx)
 
     @jax.jit
     def _run(Ug, Wq, dm):
+        M_all = [Ug[k2] @ dm[k2] @ Ug[k2].conj().T for k2 in range(nk)]
         vk = []
-        for k1 in range(nk):
+        for k1 in k1_list:
             acc = jnp.zeros((Ug.shape[2], Ug.shape[2]), Ug.dtype)
             for k2 in range(nk):
-                M = Ug[k2] @ dm[k2] @ Ug[k2].conj().T        # (nip, nip)
                 W = Wq[qmap[k2, k1]]
-                acc = acc + Ug[k1].conj().T @ (M * W.conj()) @ Ug[k1]
+                acc = acc + Ug[k1].conj().T @ (M_all[k2] * W.conj()) @ Ug[k1]
             vk.append(acc / nk)
         return jnp.stack(vk)
 

@@ -124,11 +124,24 @@ class ROHF(_MeanField):
 
 
 class _KMeanField(_MeanField):
-    def __init__(self, cell, kpts, xc=None, exxdiv="ewald"):
+    def __init__(self, cell, kpts, xc=None, exxdiv="ewald", symmetry=False):
         super().__init__(cell, xc=xc, exxdiv=exxdiv)
         self.kpts = np.reshape(np.asarray(kpts, dtype=np.float64), (-1, 3))
         self.sigma = 0.0
         self.smearing_method = "fermi"
+        self.symmetry = symmetry
+
+    def _kernel_ibz(self):
+        """IBZ-reduced SCF (space-group + time-reversal symmetry)."""
+        from pyscf_isdf_tpu.scf.khf_ksymm import kscf_ibz_kernel
+
+        if self.sigma:
+            raise NotImplementedError("smearing with symmetry=True")
+        return kscf_ibz_kernel(self.system, xc=self.xc, exxdiv=self.exxdiv,
+                               conv_tol=self.conv_tol,
+                               max_cycle=self.max_cycle,
+                               df=self.df, isdf_c=self.isdf_c,
+                               verbose=self.verbose)
 
     @property
     def system(self):
@@ -146,10 +159,13 @@ class _KMeanField(_MeanField):
 
 
 class KRHF(_KMeanField):
-    def __init__(self, cell, kpts, exxdiv="ewald"):
-        super().__init__(cell, kpts, xc=None, exxdiv=exxdiv)
+    def __init__(self, cell, kpts, exxdiv="ewald", symmetry=False):
+        super().__init__(cell, kpts, xc=None, exxdiv=exxdiv,
+                         symmetry=symmetry)
 
     def _kernel(self):
+        if self.symmetry:
+            return self._kernel_ibz()
         return _khf.kscf_kernel(self.system, xc=None, exxdiv=self.exxdiv,
                                 conv_tol=self.conv_tol,
                                 max_cycle=self.max_cycle, sigma=self.sigma,
@@ -159,10 +175,13 @@ class KRHF(_KMeanField):
 
 
 class KRKS(_KMeanField):
-    def __init__(self, cell, kpts, xc="lda,vwn", exxdiv="ewald"):
-        super().__init__(cell, kpts, xc=xc, exxdiv=exxdiv)
+    def __init__(self, cell, kpts, xc="lda,vwn", exxdiv="ewald",
+                 symmetry=False):
+        super().__init__(cell, kpts, xc=xc, exxdiv=exxdiv, symmetry=symmetry)
 
     def _kernel(self):
+        if self.symmetry:
+            return self._kernel_ibz()
         return _khf.kscf_kernel(self.system, xc=self.xc, exxdiv=self.exxdiv,
                                 conv_tol=self.conv_tol,
                                 max_cycle=self.max_cycle, sigma=self.sigma,
