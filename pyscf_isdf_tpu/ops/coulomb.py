@@ -122,6 +122,13 @@ def get_coulG(cell, k=None, exxdiv=None, mesh=None, Gv=None, kpts=None,
             coulG *= np.exp(-0.25 / omega**2 * absG2)
         else:
             coulG *= 1 - np.exp(-0.25 / omega**2 * absG2)
+            # the SR (erfc) kernel is finite at G=0:
+            # lim 4pi/G^2 (1 - e^{-G^2/4w^2}) = pi/w^2 — no divergence, so
+            # SR exchange needs no ewald/madelung treatment (this replaces
+            # the reference's omega-aware probe-charge route,
+            # pyscf/pbc/tools/pbc.py:408-418 + cell.omega madelung)
+            if exxdiv is None and cell.dimension == 3:
+                coulG[absG2 < 1e-12] = np.pi / omega**2
     return coulG
 
 
@@ -252,6 +259,40 @@ def madelung(cell, kpts=None) -> float:
     import dataclasses
     scaled = dataclasses.replace(cell.madelung_cell(), a=cell.a * Nk[:, None])
     return -2.0 * ewald(scaled)
+
+
+def madelung_omega(cell, kpts, omega: float) -> float:
+    """Probe-charge Madelung constant under the long-range erf(w r)/r kernel.
+
+    Self-interaction of one probe charge in the Nk-scaled supercell with the
+    LR-attenuated Coulomb operator (reference semantics:
+    pyscf/pbc/tools/pbc.py:492-512 madelung omega branch):
+
+        M_w = 2 w / sqrt(pi) - (1/vol) sum_{G != 0} 4 pi/G^2 e^{-G^2/4w^2}
+
+    No Ewald split needed — the LR kernel decays fast in G; the mesh is
+    chosen from the precision-driven cutoff of the reference formula.
+    """
+    omega = abs(float(omega))
+    if kpts is None:
+        Nk = np.ones(3, dtype=int)
+    else:
+        Nk = _monkhorst_pack_size(cell, np.asarray(kpts).reshape(-1, 3))
+    a = cell.a * Nk[:, None]
+    precision = getattr(cell, "precision", 1e-8)
+    Ecut = 10.0
+    for _ in range(2):
+        Ecut = np.log(
+            16 * np.pi**2 / (2 * omega**2 * np.sqrt(2 * Ecut)) / precision
+            + 1.0) * 2 * omega**2
+    mesh = lattice.cutoff_to_mesh(a, Ecut)
+    Gv = lattice.get_Gv(a, mesh)
+    absG2 = np.einsum("gi,gi->g", Gv, Gv)
+    vol = abs(np.linalg.det(a))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        wcoul = 4 * np.pi / absG2 * np.exp(-0.25 / omega**2 * absG2)
+    wcoul[absG2 < 1e-12] = 0.0
+    return 2 * omega / np.sqrt(np.pi) - wcoul.sum() / vol
 
 
 def _monkhorst_pack_size(cell, kpts, tol=1e-5):

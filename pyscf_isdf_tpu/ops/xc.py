@@ -80,6 +80,64 @@ def _ec_pbe(rho, sigma):
     return ec0 + H
 
 
+# ------------------------------------------------ range-separated exchange
+def _sr_lda_factor(a):
+    """Exact erfc(w r)/r attenuation of the UEG exchange energy.
+
+    a = w / (2 kF). Closed form of the UEG exchange-hole integral against
+    the short-range kernel (Gill & Adamson CPL 261, 105 (1996); used by
+    the HSE construction, JCP 118, 8207 (2003)) — validated in
+    tests/test_rsh.py against direct numerical integration of the exact
+    hole. Series expansion below a ~ 1e-3 for autodiff stability.
+    """
+    a = jnp.asarray(a)
+    a2 = a * a
+    exp4 = jnp.exp(-1.0 / jnp.maximum(4 * a2, 1e-8))
+    full = 1.0 - (8.0 / 3.0) * a * (
+        jnp.sqrt(jnp.pi) * jax.scipy.special.erf(1.0 / (2 * jnp.maximum(a, 1e-12)))
+        + (2 * a - 4 * a2 * a) * exp4
+        - 3 * a + 4 * a2 * a
+    )
+    small = 1.0 - (8.0 / 3.0) * a * (jnp.sqrt(jnp.pi) - 3 * a + 4 * a2 * a)
+    return jnp.where(a < 1e-3, small, full)
+
+
+def _fx_pbe(s2):
+    """PBE exchange enhancement factor F(s^2)."""
+    kappa, mu = 0.804, 0.2195149727645171
+    return 1 + kappa - kappa / (1 + mu * s2 / kappa)
+
+
+def _fx_sr(s2, nu):
+    """Short-range (erfc-screened) PBE exchange enhancement F(s, nu).
+
+    Local-wavevector screening (Iikura-Tsuneda-Yanai-Hirao, JCP 115, 3540
+    (2001)): the GGA energy density at reduced gradient s equals that of a
+    UEG with kF_eff = kF * F_PBE(s), so the screened enhancement is
+
+        F_SR(s, nu) = F_PBE(s) * f_srLDA( nu / (2 F_PBE(s)) ),
+        nu = omega / kF.
+
+    Exact limits by construction (pinned in tests/test_rsh.py):
+      nu -> 0:  F_PBE(s)   (so hse06(omega->0) == pbe0 exactly),
+      s  -> 0:  the exact UEG erfc attenuation,
+      nu -> oo: 0.
+    This is a published alternative to the HJS/wPBEh model holes (libxc's
+    GGA_X_WPBEH); the two SR splits differ by O(1%) of the exchange
+    energy at intermediate s, the same spread as HSE03-vs-HSE06 holes.
+    """
+    F = _fx_pbe(s2)
+    return F * _sr_lda_factor(nu / (2.0 * F))
+
+
+def _ex_wpbe_sr(rho, sigma, omega):
+    """Short-range (erfc-screened) PBE exchange energy per particle."""
+    kf = (3 * jnp.pi**2 * rho) ** (1.0 / 3)
+    s2 = sigma / (4 * kf**2 * rho**2 + _TINY)
+    nu = omega / kf
+    return _ex_slater(rho) * _fx_sr(s2, nu)
+
+
 # ------------------------------------------------------------ spin-polarized
 _VWN5_F = dict(A=0.01554535, b=7.06042, c=18.0578, x0=-0.32500)
 _VWN5_A = dict(A=-1.0 / (6 * jnp.pi**2), b=1.13107, c=13.0045, x0=-0.00475840)
@@ -175,11 +233,23 @@ def _exc_pbe_spin(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb, ex_frac=1.0):
 # --------------------------------------------------------------- public specs
 class XCSpec:
     """Resolved functional: type ('lda'|'gga'), hybrid exact-exchange weight,
-    and the energy-per-particle function exc(rho[, sigma])."""
+    and the energy-per-particle function exc(rho[, sigma]).
+
+    Range separation follows the reference (omega, alpha, hyb) convention
+    (pyscf rsh_and_hybrid_coeff, pbc/dft/rks.py:108-121):
+
+        K_eff = alpha * K_full + (hyb - alpha) * K_SR(omega)
+
+    with alpha == hyb (and omega == 0) for ordinary global hybrids. For
+    hse06: omega=0.11, hyb=0.25, alpha=0 (pure short-range exchange — the
+    SR Coulomb kernel is finite at G=0, so no ewald/madelung correction is
+    needed on the SR part).
+    """
 
     def __init__(self, name: str):
         name = name.lower().replace(" ", "")
         self.name = name
+        self.omega = 0.0
         if name in ("lda", "lda,vwn", "lda,vwn5", "svwn"):
             self.family = "lda"
             self.hyb = 0.0
@@ -198,12 +268,23 @@ class XCSpec:
             self._exc = lambda rho, sigma: (
                 0.75 * _ex_pbe(rho, sigma) + _ec_pbe(rho, sigma)
             )
+        elif name == "hse06":
+            # E_xc = 0.25 K_SR(w) + [E_x^PBE - 0.25 E_x^{SR-PBE}(w)] + E_c^PBE
+            self.family = "gga"
+            self.hyb = 0.25
+            self.omega = 0.11
+            w = self.omega
+            self._exc = lambda rho, sigma: (
+                _ex_pbe(rho, sigma) - 0.25 * _ex_wpbe_sr(rho, sigma, w)
+                + _ec_pbe(rho, sigma)
+            )
         elif name in ("hf", "hartree-fock"):
             self.family = "hf"
             self.hyb = 1.0
             self._exc = None
         else:
             raise NotImplementedError(f"xc functional {name!r}")
+        self.alpha = 0.0 if name == "hse06" else self.hyb
 
     def exc_vxc_spin(self, rho_a, rho_b, sigma_aa=None, sigma_ab=None,
                      sigma_bb=None):
@@ -234,8 +315,20 @@ class XCSpec:
             sigma_aa = jnp.maximum(sigma_aa, _TINY)
             sigma_ab = sigma_ab
             sigma_bb = jnp.maximum(sigma_bb, _TINY)
-            exc_fn = lambda ra, rb, saa, sab, sbb: _exc_pbe_spin(
-                ra, rb, saa, sab, sbb, ex_frac)
+            if name == "hse06":
+                w = self.omega
+
+                def exc_fn(ra, rb, saa, sab, sbb):
+                    rho = ra + rb
+                    sr = 0.5 * (
+                        _ex_wpbe_sr(2 * ra, 4 * saa, w) * 2 * ra
+                        + _ex_wpbe_sr(2 * rb, 4 * sbb, w) * 2 * rb
+                    ) / (rho + _TINY)
+                    return _exc_pbe_spin(ra, rb, saa, sab, sbb, 1.0) \
+                        - 0.25 * sr
+            else:
+                exc_fn = lambda ra, rb, saa, sab, sbb: _exc_pbe_spin(
+                    ra, rb, saa, sab, sbb, ex_frac)
             f = lambda *args: (args[0] + args[1]) * exc_fn(*args)
             args = (rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb)
             exc = exc_fn(*args)

@@ -153,8 +153,21 @@ def scf_kernel(
     cell = system.cell
     xcspec = XCSpec(xc) if xc is not None else None
     hyb = 1.0 if xcspec is None else xcspec.hyb
-    need_k = hyb > 0
+    alpha = hyb if xcspec is None else xcspec.alpha
+    omega = 0.0 if xcspec is None else xcspec.omega
+    rsh = omega != 0.0
+    need_k = hyb > 0 or alpha > 0
     is_gga = xcspec is not None and xcspec.family == "gga"
+    # RSH (LR formulation, reference pbc/dft/rks.py:108-121 semantics):
+    # get_jk returns the pre-combined hyb*K_full + (alpha-hyb)*K_LR(w), the
+    # loop's scale is 1, and each part carries its own probe-charge
+    # madelung (standard for full-range, the erf-kernel one for LR) — this
+    # cancels the leading finite-size error of the screened exchange.
+    k_scale = 1.0 if rsh else hyb
+    mad_add = system.madelung
+    if rsh:
+        mad_add = hyb * system.madelung \
+            + (alpha - hyb) * coulomb.madelung_omega(cell, None, omega)
 
     aoR = system.aoR
     mesh = system.mesh
@@ -167,28 +180,45 @@ def scf_kernel(
         ao_grad = ao_gradient_fft(aoR, mesh, jnp.asarray(system.Gv, dtype=aoR.dtype))
 
     if get_jk is None:
+        if df not in ("fftdf", "isdf"):
+            raise ValueError(f"unknown df engine {df!r}: use 'fftdf' or 'isdf'")
         coulG_k = coulG
         if need_k and exxdiv not in (None, "ewald"):
             coulG_k = jnp.asarray(coulomb.get_coulG(cell, exxdiv=exxdiv))
+        coulG_lr = None
+        if rsh and need_k:
+            coulG_lr = jnp.asarray(
+                coulomb.get_coulG(cell, exxdiv=None, omega=omega))
 
         if df == "isdf" and need_k:
             from pyscf_isdf_tpu.df import isdf as isdf_mod
 
-            isdf = isdf_mod.build_isdf(aoR, coulG_k, mesh, weight, c=isdf_c)
+            if rsh:
+                isdfs = isdf_mod.build_isdf_multi(
+                    aoR, [coulG_k, coulG_lr], mesh, weight, c=isdf_c)
 
-            def get_jk(dm, with_k):
-                dmj = jnp.asarray(dm, dtype=aoR.dtype)
-                vj = fftdf.get_j(aoR, dmj, coulG, mesh, weight)
-                vk = isdf_mod.get_k(isdf, dmj) if with_k else None
-                return vj, vk
+                def get_k_fn(dmj):
+                    return hyb * isdf_mod.get_k(isdfs[0], dmj) \
+                        + (alpha - hyb) * isdf_mod.get_k(isdfs[1], dmj)
+            else:
+                isdf = isdf_mod.build_isdf(aoR, coulG_k, mesh, weight,
+                                           c=isdf_c)
+
+                def get_k_fn(dmj):
+                    return isdf_mod.get_k(isdf, dmj)
         else:
-            def get_jk(dm, with_k):
-                dmj = jnp.asarray(dm, dtype=aoR.dtype)
-                vj = fftdf.get_j(aoR, dmj, coulG, mesh, weight)
-                vk = None
-                if with_k:
-                    vk = fftdf.get_k(aoR, dmj, coulG_k, mesh, weight)
-                return vj, vk
+            def get_k_fn(dmj):
+                if not rsh:
+                    return fftdf.get_k(aoR, dmj, coulG_k, mesh, weight)
+                return hyb * fftdf.get_k(aoR, dmj, coulG_k, mesh, weight) \
+                    + (alpha - hyb) * fftdf.get_k(aoR, dmj, coulG_lr, mesh,
+                                                  weight)
+
+        def get_jk(dm, with_k):
+            dmj = jnp.asarray(dm, dtype=aoR.dtype)
+            vj = fftdf.get_j(aoR, dmj, coulG, mesh, weight)
+            vk = get_k_fn(dmj) if with_k else None
+            return vj, vk
 
     S, hcore, X = system.S, system.hcore, system.X
 
@@ -227,9 +257,9 @@ def scf_kernel(
         if need_k:
             vk = np.asarray(vk, dtype=np.float64)
             if exxdiv == "ewald":
-                vk = vk + system.madelung * (S @ dm @ S)
-            veff -= 0.5 * hyb * vk
-            e_k = -0.25 * hyb * np.einsum("ij,ji->", dm, vk)
+                vk = vk + mad_add * (S @ dm @ S)
+            veff -= 0.5 * k_scale * vk
+            e_k = -0.25 * k_scale * np.einsum("ij,ji->", dm, vk)
 
         F = hcore + veff
         if level_shift > 0:

@@ -124,7 +124,15 @@ def kscf_kernel(
     nk = len(system.kpts)
     xcspec = XCSpec(xc) if xc is not None else None
     hyb = 1.0 if xcspec is None else xcspec.hyb
-    need_k = hyb > 0
+    alpha = hyb if xcspec is None else xcspec.alpha
+    omega = 0.0 if xcspec is None else xcspec.omega
+    rsh = omega != 0.0
+    need_k = hyb > 0 or alpha > 0
+    k_scale = 1.0 if rsh else hyb
+    mad_add = system.madelung
+    if rsh:
+        mad_add = hyb * system.madelung \
+            + (alpha - hyb) * coulomb.madelung_omega(cell, system.kpts, omega)
     is_gga = xcspec is not None and xcspec.family == "gga"
 
     aoR_k = system.aoR_k
@@ -148,35 +156,55 @@ def kscf_kernel(
     if get_jk is None:
         if df not in ("fftdf", "isdf"):
             raise ValueError(f"unknown df engine {df!r}: use 'fftdf' or 'isdf'")
+        ex_kern = exxdiv if exxdiv not in (None, "ewald") else None
         if df == "isdf" and need_k:
             from pyscf_isdf_tpu.df import isdf_k as isdf_k_mod
 
-            isdfk = isdf_k_mod.build_isdf_k(
-                cell, aoR_k, system.kpts, c=isdf_c,
-                exxdiv=(exxdiv if exxdiv not in (None, "ewald") else None))
+            if rsh:
+                isdfk_full = isdf_k_mod.build_isdf_k(
+                    cell, aoR_k, system.kpts, c=isdf_c, exxdiv=ex_kern)
+                isdfk_lr = isdf_k_mod.build_isdf_k(
+                    cell, aoR_k, system.kpts, c=isdf_c, omega=omega)
 
-            def get_jk(dm_k, with_k):
-                dmj = jnp.asarray(dm_k, dtype=aoR_k.dtype)
-                vj = fftdf_k.get_j_kpts(aoR_k, dmj, coulG, mesh, weight)
-                vk = isdf_k_mod.get_k_kpts(isdfk, dmj) if with_k else None
-                return vj, vk
-        else:
-            if need_k and exxdiv not in (None, "ewald"):
+                def get_k_fn(dmj):
+                    return hyb * isdf_k_mod.get_k_kpts(isdfk_full, dmj) \
+                        + (alpha - hyb) * isdf_k_mod.get_k_kpts(isdfk_lr, dmj)
+            else:
+                isdfk = isdf_k_mod.build_isdf_k(
+                    cell, aoR_k, system.kpts, c=isdf_c, exxdiv=ex_kern)
+
+                def get_k_fn(dmj):
+                    return isdf_k_mod.get_k_kpts(isdfk, dmj)
+        elif need_k:
+            if ex_kern is not None:
                 cp, _ = fftdf_k.make_k_kernels(cell, system.kpts, exxdiv=exxdiv)
                 coulG_pairs = jnp.asarray(cp)
             else:
                 coulG_pairs = jnp.asarray(system.coulG_pairs)
+            coulG_pairs_lr = None
+            if rsh:
+                cpl, _ = fftdf_k.make_k_kernels(cell, system.kpts,
+                                                omega=omega)
+                coulG_pairs_lr = jnp.asarray(cpl)
             expmikr = jnp.asarray(system.expmikr, dtype=aoR_k.dtype)
             kweight = weight / nk
 
-            def get_jk(dm_k, with_k):
-                dmj = jnp.asarray(dm_k, dtype=aoR_k.dtype)
-                vj = fftdf_k.get_j_kpts(aoR_k, dmj, coulG, mesh, weight)
-                vk = None
-                if with_k:
-                    vk = fftdf_k.get_k_kpts(aoR_k, dmj, coulG_pairs, expmikr,
-                                            mesh, kweight)
-                return vj, vk
+            def get_k_fn(dmj):
+                if not rsh:
+                    return fftdf_k.get_k_kpts(aoR_k, dmj, coulG_pairs,
+                                              expmikr, mesh, kweight)
+                return hyb * fftdf_k.get_k_kpts(
+                    aoR_k, dmj, coulG_pairs, expmikr, mesh, kweight) \
+                    + (alpha - hyb) * fftdf_k.get_k_kpts(
+                        aoR_k, dmj, coulG_pairs_lr, expmikr, mesh, kweight)
+        else:
+            get_k_fn = None
+
+        def get_jk(dm_k, with_k):
+            dmj = jnp.asarray(dm_k, dtype=aoR_k.dtype)
+            vj = fftdf_k.get_j_kpts(aoR_k, dmj, coulG, mesh, weight)
+            vk = get_k_fn(dmj) if with_k else None
+            return vj, vk
 
     S, hcore, X = system.S, system.hcore, system.X
 
@@ -245,9 +273,9 @@ def kscf_kernel(
             vk = np.array(vk, dtype=np.complex128)
             if exxdiv == "ewald":
                 for k in range(nk):
-                    vk[k] += system.madelung * (S[k] @ dm[k] @ S[k])
-            veff -= 0.5 * hyb * vk
-            e_k = -0.25 * hyb * np.einsum("kij,kji->", dm, vk).real / nk
+                    vk[k] += mad_add * (S[k] @ dm[k] @ S[k])
+            veff -= 0.5 * k_scale * vk
+            e_k = -0.25 * k_scale * np.einsum("kij,kji->", dm, vk).real / nk
 
         F = hcore + veff
         err = np.concatenate([

@@ -70,6 +70,10 @@ def kscf_ibz_kernel(
     w = info.weights
 
     xcspec = XCSpec(xc) if xc is not None else None
+    if xcspec is not None and getattr(xcspec, "omega", 0.0):
+        raise NotImplementedError(
+            f"range-separated functional {xc!r} not wired into this driver "
+            "yet; use scf_kernel / kscf_kernel / uhf_kernel")
     hyb = 1.0 if xcspec is None else xcspec.hyb
     need_k = hyb > 0
     is_gga = xcspec is not None and xcspec.family == "gga"

@@ -81,7 +81,15 @@ def uhf_kernel(
     cell = system.cell
     xcspec = XCSpec(xc) if xc is not None else None
     hyb = 1.0 if xcspec is None else xcspec.hyb
-    need_k = hyb > 0
+    alpha = hyb if xcspec is None else xcspec.alpha
+    omega = 0.0 if xcspec is None else xcspec.omega
+    rsh = omega != 0.0
+    need_k = hyb > 0 or alpha > 0
+    k_scale = 1.0 if rsh else hyb
+    mad_add = system.madelung
+    if rsh:
+        mad_add = hyb * system.madelung \
+            + (alpha - hyb) * coulomb.madelung_omega(cell, None, omega)
     is_gga = xcspec is not None and xcspec.family == "gga"
 
     if nelec is None:
@@ -100,18 +108,42 @@ def uhf_kernel(
 
     if df not in ("fftdf", "isdf"):
         raise ValueError(f"unknown df engine {df!r}: use 'fftdf' or 'isdf'")
-    if get_jk is None and df == "isdf" and need_k:
-        from pyscf_isdf_tpu.df import isdf as isdf_mod
+    if get_jk is None and need_k:
+        coulG_lr = None
+        if rsh:
+            coulG_lr = jnp.asarray(
+                coulomb.get_coulG(cell, exxdiv=None, omega=omega))
+        if df == "isdf":
+            from pyscf_isdf_tpu.df import isdf as isdf_mod
 
-        isdf = isdf_mod.build_isdf(aoR, coulG_k, mesh, weight, c=isdf_c)
+            if rsh:
+                isdfs = isdf_mod.build_isdf_multi(
+                    aoR, [coulG_k, coulG_lr], mesh, weight, c=isdf_c)
+
+                def get_k_one(dmj):
+                    return hyb * isdf_mod.get_k(isdfs[0], dmj) \
+                        + (alpha - hyb) * isdf_mod.get_k(isdfs[1], dmj)
+            else:
+                isdf = isdf_mod.build_isdf(aoR, coulG_k, mesh, weight,
+                                           c=isdf_c)
+
+                def get_k_one(dmj):
+                    return isdf_mod.get_k(isdf, dmj)
+        else:
+            def get_k_one(dmj):
+                if not rsh:
+                    return fftdf.get_k(aoR, dmj, coulG_k, mesh, weight)
+                return hyb * fftdf.get_k(aoR, dmj, coulG_k, mesh, weight) \
+                    + (alpha - hyb) * fftdf.get_k(aoR, dmj, coulG_lr, mesh,
+                                                  weight)
 
         def get_jk(dm_spin, with_k):
             dmj = jnp.asarray(dm_spin[0] + dm_spin[1], dtype=aoR.dtype)
             vj = fftdf.get_j(aoR, dmj, coulG, mesh, weight)
             vk = None
             if with_k:
-                vk = (isdf_mod.get_k(isdf, jnp.asarray(dm_spin[0], aoR.dtype)),
-                      isdf_mod.get_k(isdf, jnp.asarray(dm_spin[1], aoR.dtype)))
+                vk = (get_k_one(jnp.asarray(dm_spin[0], aoR.dtype)),
+                      get_k_one(jnp.asarray(dm_spin[1], aoR.dtype)))
             return vj, vk
 
     ao_grad = None
@@ -168,12 +200,12 @@ def uhf_kernel(
                 vkb = np.asarray(fftdf.get_k(aoR, jnp.asarray(dm_b, aoR.dtype),
                                              coulG_k, mesh, weight), dtype=np.float64)
             if exxdiv == "ewald":
-                vka = vka + system.madelung * (S @ dm_a @ S)
-                vkb = vkb + system.madelung * (S @ dm_b @ S)
-            veff_a -= hyb * vka
-            veff_b -= hyb * vkb
-            e_k = -0.5 * hyb * (np.einsum("ij,ji->", dm_a, vka)
-                                + np.einsum("ij,ji->", dm_b, vkb))
+                vka = vka + mad_add * (S @ dm_a @ S)
+                vkb = vkb + mad_add * (S @ dm_b @ S)
+            veff_a -= k_scale * vka
+            veff_b -= k_scale * vkb
+            e_k = -0.5 * k_scale * (np.einsum("ij,ji->", dm_a, vka)
+                                    + np.einsum("ij,ji->", dm_b, vkb))
 
         Fa = hcore + veff_a
         Fb = hcore + veff_b
