@@ -1,0 +1,63 @@
+"""Fully-jitted SCF with in-graph CDIIS: parity with the host loops.
+
+VERDICT r1 weak #5 done-bar: the jitted driver converges (while_loop
+early exit, CDIIS history in the carry) matching the host CDIIS loop.
+"""
+import numpy as np
+import pytest
+
+from pyscf_isdf_tpu import lattice
+from pyscf_isdf_tpu.models import diamond_primitive
+from pyscf_isdf_tpu.scf import build_scf_system, scf_kernel
+from pyscf_isdf_tpu.scf.jit_diis import run_scf_jit_diis, run_kscf_jit_diis
+from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+
+
+@pytest.fixture(scope="module")
+def gamma_sys():
+    return build_scf_system(diamond_primitive(mesh=(15, 15, 15)))
+
+
+def test_jit_diis_rks_lda(gamma_sys):
+    ref = scf_kernel(gamma_sys, xc="lda,vwn", conv_tol=1e-10)
+    e, dm, it, conv = run_scf_jit_diis(gamma_sys, xc="lda,vwn",
+                                       conv_tol=1e-10, df="fftdf")
+    assert conv
+    assert e == pytest.approx(ref["e_tot"], abs=1e-11)
+    assert np.abs(dm - ref["dm"]).max() < 1e-7
+
+
+def test_jit_diis_rks_pbe0_isdf(gamma_sys):
+    """Hybrid with ISDF exchange inside the jitted while_loop (the
+    deployment shape): converges to the host loop at the same engine."""
+    ref = scf_kernel(gamma_sys, xc="pbe0", conv_tol=1e-10, df="isdf",
+                     isdf_c=10)
+    e, dm, it, conv = run_scf_jit_diis(gamma_sys, xc="pbe0", conv_tol=1e-10,
+                                       df="isdf", isdf_c=10)
+    assert conv
+    assert e == pytest.approx(ref["e_tot"], abs=1e-11)
+    # comparable iteration count (host starts from an hcore eigensolve,
+    # the jit driver from a uniform density)
+    assert it <= ref["niter"] + 5
+
+
+def test_jit_diis_krhf_isdf():
+    cell = diamond_primitive(mesh=(14, 14, 14))
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1], with_gamma_point=False)
+    ksys = build_kscf_system(cell, kpts)
+    ref = kscf_kernel(ksys, xc=None, conv_tol=1e-10, df="isdf", isdf_c=10)
+    e, dm, it, conv = run_kscf_jit_diis(ksys, xc=None, conv_tol=1e-10,
+                                        df="isdf", isdf_c=10)
+    assert conv
+    assert e == pytest.approx(ref["e_tot"], abs=1e-10)
+
+
+def test_jit_diis_krks_lda_fftdf():
+    cell = diamond_primitive(mesh=(14, 14, 14))
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1], with_gamma_point=False)
+    ksys = build_kscf_system(cell, kpts)
+    ref = kscf_kernel(ksys, xc="lda,vwn", conv_tol=1e-10)
+    e, dm, it, conv = run_kscf_jit_diis(ksys, xc="lda,vwn", conv_tol=1e-10,
+                                        df="fftdf")
+    assert conv
+    assert e == pytest.approx(ref["e_tot"], abs=1e-11)
