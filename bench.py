@@ -1,19 +1,29 @@
-"""Benchmark: ISDF vs FFTDF exchange+Coulomb build on diamond 2x2x2 (TPU).
+"""Benchmark: ISDF vs FFTDF exchange+Coulomb build on diamond 3x3x3 (TPU).
 
-The BASELINE.json headline metric: per-SCF-iteration J+K wall-clock on the
-diamond 2x2x2 supercell — the reference's FFTDF algorithm (per-iteration
-O(nao * ngrids) pair-density FFTs, pyscf/pbc/df/fft_jk.py:276-291,
-reimplemented on-device as the oracle) vs this framework's ISDF engine
-(one-time W build, then GEMM-cost exchange).
+The BASELINE.json north-star metric: per-SCF-iteration J+K wall-clock on
+the diamond 3x3x3 supercell — the reference's FFTDF algorithm
+(per-iteration O(nao * ngrids) pair-density FFTs,
+pyscf/pbc/df/fft_jk.py:276-291) vs this framework's ISDF engine (one-time
+W build, then GEMM-cost exchange), with the exchange energy within
+1e-6 Ha. ``--small`` runs the diamond 2x2x2 config instead.
+
+Baselines recorded:
+  - vs_baseline: speedup over the *CPU reference estimate* — the
+    fft_jk K-build algorithm executed with numpy (the reference's
+    pbc_tools_pbc_fft_engine='NUMPY' CI configuration), measured on a few
+    AO chunks of one iteration and extrapolated linearly over the known
+    chunk count (the per-chunk work is identical by construction).
+  - vs_fftdf_tpu: speedup over the same FFTDF algorithm running
+    on-device (the algorithmic win with hardware held fixed).
 
 Timing methodology: N SCF-like iterations chained inside ONE jitted
-fori_loop (the deployment shape — a jitted SCF loop), so per-call dispatch
-latency of the host<->TPU link is amortized away.
+fori_loop with a runtime trip count, so (T(n2)-T(n1))/(n2-n1) cancels
+dispatch latency and one-time costs exactly.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
-value = ISDF J+K per-iteration wall time (ms); vs_baseline = speedup over
-the FFTDF J+K build on the same device.
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
+     "vs_fftdf_tpu": ..., "dE_k_ha": ...}
+value = ISDF J+K per-iteration wall time (ms).
 """
 import json
 import os
@@ -71,19 +81,53 @@ def marginal_time(fn, dm, n1, n2, reps=5):
     return float(np.median(ts))
 
 
+def cpu_reference_periter(aoR, coulG, mesh, weight, chunk=2, n_chunks=3):
+    """Per-iteration J+K wall-clock of the reference fft_jk algorithm in
+    numpy (float64, NUMPY fft engine — the reference CI configuration,
+    pyscf/pbc/df/fft_jk.py:276-291 semantics at Gamma).
+
+    Times ``n_chunks`` AO chunks of the K build and extrapolates over the
+    known chunk count; the per-chunk work (chunk*nao grid FFTs + einsums)
+    is identical across chunks by construction. Adds one measured J build.
+    """
+    aoR = np.asarray(aoR, dtype=np.float64)
+    coulG3 = np.asarray(coulG, dtype=np.float64).reshape(mesh)
+    ng, nao = aoR.shape
+    dm = 2.0 / nao * np.eye(nao)
+
+    # J: rho -> FFT -> coulG -> iFFT -> quadrature
+    t0 = time.perf_counter()
+    rho = np.einsum("gi,ij,gj->g", aoR, dm, aoR, optimize=True)
+    vR = np.fft.ifftn(coulG3 * np.fft.fftn(rho.reshape(mesh))).real.ravel()
+    vj = weight * (aoR.T * vR) @ aoR  # noqa: F841
+    t_j = time.perf_counter() - t0
+
+    ao_dm = dm @ aoR.T                                     # (nao, ng)
+    total_chunks = -(-nao // chunk)
+    t0 = time.perf_counter()
+    for ic in range(n_chunks):
+        blk = aoR.T[ic * chunk:(ic + 1) * chunk]           # (b, ng)
+        rho1 = blk[:, None, :] * aoR.T[None, :, :]         # (b, nao, ng)
+        vG = np.fft.fftn(rho1.reshape(-1, *mesh), axes=(1, 2, 3))
+        vG *= coulG3[None]
+        vR1 = np.fft.ifftn(vG, axes=(1, 2, 3)).reshape(-1, nao, ng)
+        np.einsum("ijg,jg->ig", vR1.real, ao_dm, optimize=True)
+    t_k = (time.perf_counter() - t0) / n_chunks * total_chunks
+    return t_j + t_k
+
+
 def main():
     from pyscf_isdf_tpu.models import diamond_supercell
-    from pyscf_isdf_tpu.ops.ao_eval import eval_ao_numpy
     from pyscf_isdf_tpu.ops import coulomb
     from pyscf_isdf_tpu.df import fftdf, isdf as isdf_mod
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
     dtype = jnp.float32
-    if "--large" in sys.argv:
-        # the BASELINE north-star scale (diamond 3x3x3)
-        nrep, mesh, name = (3, 3, 3), (48, 48, 48), "diamond333"
-    else:
+    if "--small" in sys.argv:
         nrep, mesh, name = (2, 2, 2), (32, 32, 32), "diamond222"
+    else:
+        # the BASELINE north-star scale (diamond 3x3x3) is the default
+        nrep, mesh, name = (3, 3, 3), (48, 48, 48), "diamond333"
     cell = diamond_supercell(nrep=nrep, mesh=mesh)
     log(f"system: {name}, natm={cell.natm} nao={cell.nao} "
         f"ngrids={cell.ngrids} mesh={cell.mesh}")
@@ -102,7 +146,8 @@ def main():
     dm = jnp.asarray(2.0 / nao * np.eye(nao), dtype)
 
     t0 = time.perf_counter()
-    isdf = isdf_mod.build_isdf(aoR, coulG, mesh3, w, c=8.0)
+    isdf = isdf_mod.build_isdf(aoR, coulG, mesh3, w,
+                               c=float(os.environ.get("BENCH_ISDF_C", 10.0)))
     jax.block_until_ready(isdf.W)
     log(f"ISDF build (n_ip={isdf.n_ip}): {time.perf_counter()-t0:.2f} s "
         "(incl compile)")
@@ -121,19 +166,31 @@ def main():
     t_fftdf = marginal_time(f_fftdf, dm, 1, 1 + N_ITER_ORACLE)
     log(f"fftdf chain compile+time: {time.perf_counter()-t0:.1f} s")
 
-    # numerics check on the exchange energy
+    # numerics check on the exchange energy (the BASELINE 1e-6 Ha bar)
     vk_ref = jax.jit(lambda d: fftdf.get_k(aoR, d, coulG, mesh3, w))(dm)
     vk_new = jax.jit(lambda d: isdf_mod.get_k(isdf, d))(dm)
     dek = abs(float(jnp.einsum("ij,ji->", dm, vk_ref - vk_new)))
-    log(f"FFTDF J+K per iter: {t_fftdf*1e3:.2f} ms; "
+    log(f"FFTDF(TPU) J+K per iter: {t_fftdf*1e3:.2f} ms; "
         f"ISDF J+K per iter: {t_isdf*1e3:.2f} ms; "
-        f"speedup {t_fftdf/t_isdf:.1f}x; |dEk|={dek:.2e} Ha")
+        f"speedup {t_fftdf/t_isdf:.1f}x; |dEk|={dek:.2e} Ha "
+        f"({'PASS' if dek < 1e-6 else 'FAIL'} vs 1e-6 bar)")
+
+    # CPU reference estimate (numpy fft_jk, float64)
+    t0 = time.perf_counter()
+    t_cpu = cpu_reference_periter(np.asarray(aoR, np.float64),
+                                  np.asarray(coulomb.get_coulG(cell)),
+                                  mesh3, w)
+    log(f"CPU reference (numpy fft_jk) J+K per iter: {t_cpu:.1f} s "
+        f"(measured in {time.perf_counter()-t0:.0f} s); "
+        f"ISDF-TPU vs CPU-reference: {t_cpu/t_isdf:.0f}x")
 
     print(json.dumps({
         "metric": f"{name}_jk_per_scf_iter_ms",
         "value": round(t_isdf * 1e3, 3),
         "unit": "ms",
-        "vs_baseline": round(t_fftdf / t_isdf, 2),
+        "vs_baseline": round(t_cpu / t_isdf, 1),
+        "vs_fftdf_tpu": round(t_fftdf / t_isdf, 2),
+        "dE_k_ha": float(f"{dek:.3e}"),
     }))
 
 

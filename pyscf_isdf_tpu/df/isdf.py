@@ -63,7 +63,12 @@ class ISDF:
 
 @partial(jax.jit, static_argnames=("mesh", "fft_chunk"))
 def _build_from_idx(aoR, ip_idx, coulG, mesh, weight, fft_chunk: int = 128):
-    """Steps 2+3 of the ISDF build for a given IP set."""
+    """Steps 2+3 of the ISDF build for a given IP set.
+
+    ``coulG`` may be one kernel (ng,) or a stack (nw, ng): the expensive
+    IP fit (xi) is shared and one W is built per kernel (the RSH path
+    builds the full-range and short-range W from one factorization).
+    """
     aoRg = aoR[ip_idx]                                    # (nip, nao)
     nip = aoRg.shape[0]
 
@@ -76,20 +81,30 @@ def _build_from_idx(aoR, ip_idx, coulG, mesh, weight, fft_chunk: int = 128):
     cho = jax.scipy.linalg.cho_factor(C1r)
     xi = jax.scipy.linalg.cho_solve(cho, C2.T)            # (nip, ng)
 
-    # W = w * xi V xi^T with V the Coulomb kernel on the mesh
+    # W = w * xi V xi^T with V the Coulomb kernel on the mesh, streamed:
+    # each fft_chunk of xi is FFT'd once (shared across kernels) and
+    # immediately contracted into W columns — no grid-sized V xi tensor.
     cdtype = jnp.complex128 if aoR.dtype == jnp.float64 else jnp.complex64
-
-    def v_of(block):                                       # (b, ng) -> (b, ng)
-        vG = coulG[None, :] * fft3(block.astype(cdtype), mesh)
-        return ifft3(vG, mesh).real.astype(aoR.dtype)
+    squeeze = coulG.ndim == 1
+    coulG_s = coulG[None, :] if squeeze else coulG        # (nw, ng)
+    nw = coulG_s.shape[0]
+    ng = xi.shape[1]
 
     npad = (-nip) % fft_chunk
     xi_p = jnp.pad(xi, ((0, npad), (0, 0)))
-    Vxi = jax.lax.map(v_of, xi_p.reshape(-1, fft_chunk, xi.shape[1]))
-    Vxi = Vxi.reshape(-1, xi.shape[1])[:nip]               # (nip, ng)
-    W = weight * (xi @ Vxi.T)
-    W = 0.5 * (W + W.T)
-    return aoRg, W
+
+    def w_cols(block):                                     # (fc, ng)
+        fG = fft3(block.astype(cdtype), mesh)
+        cols = []
+        for iw in range(nw):
+            v = ifft3(coulG_s[iw][None, :] * fG, mesh).real.astype(aoR.dtype)
+            cols.append(xi @ v.T)                          # (nip, fc)
+        return jnp.stack(cols)                             # (nw, nip, fc)
+
+    Wc = jax.lax.map(w_cols, xi_p.reshape(-1, fft_chunk, ng))
+    W_all = weight * jnp.moveaxis(Wc, 0, 2).reshape(nw, nip, -1)[:, :, :nip]
+    W_all = 0.5 * (W_all + jnp.swapaxes(W_all, 1, 2))
+    return aoRg, (W_all[0] if squeeze else W_all)
 
 
 def build_isdf(aoR, coulG, mesh, weight, n_ip=None, c: float = 8.0,
@@ -129,6 +144,30 @@ def build_isdf(aoR, coulG, mesh, weight, n_ip=None, c: float = 8.0,
         raise ValueError(f"unknown IP selection method {method!r}")
     aoRg, W = _build_from_idx(aoR, ip_idx, jnp.asarray(coulG), tuple(mesh), weight)
     return ISDF(aoRg=aoRg, W=W, ip_idx=ip_idx)
+
+
+def build_isdf_multi(aoR, coulGs, mesh, weight, n_ip=None, c: float = 8.0,
+                     method: str = "cholesky") -> tuple:
+    """One factorization, several Coulomb kernels (e.g. full + SR for RSH).
+
+    Returns a tuple of :class:`ISDF` sharing aoRg/ip_idx, one per kernel
+    in ``coulGs`` — the IP selection and interpolation-vector solve are
+    done once.
+    """
+    nao = aoR.shape[1]
+    if n_ip is None:
+        n_ip = int(c * nao)
+    n_ip = min(n_ip, aoR.shape[0])
+    if method == "cholesky":
+        ip_idx, _ = pivoted_cholesky_points(aoR, n_ip)
+    elif method == "cholesky-blocked":
+        ip_idx, _ = pivoted_cholesky_points_blocked(aoR, n_ip)
+    else:
+        raise ValueError(f"unknown IP selection method {method!r}")
+    stack = jnp.stack([jnp.asarray(g) for g in coulGs])
+    aoRg, W_all = _build_from_idx(aoR, ip_idx, stack, tuple(mesh), weight)
+    return tuple(ISDF(aoRg=aoRg, W=W_all[i], ip_idx=ip_idx)
+                 for i in range(len(coulGs)))
 
 
 @jax.jit
