@@ -51,6 +51,81 @@ def get_eri(aoR, coulG, mesh, weight, chunk: int = 32):
     return general(aoR, aoR, aoR, aoR, coulG, mesh, weight, chunk=chunk)
 
 
+def get_eri_kpts(system, kpts_idx, chunk: int = 16):
+    """Public 4-k-point AO ERIs (p k1, q k2 | r k3, s k4).
+
+    The reference's FFTDF.get_eri k-point cases (pyscf/pbc/df/fft_ao2mo.py
+    :45-99 — 0000/0011/0110/0123): momentum conservation
+    k2 - k1 + k4 - k3 = G is required (ValueError otherwise).
+
+    Args:
+        system: a built KSCFSystem (provides aoR_k and kpts).
+        kpts_idx: 4 indices into system.kpts.
+    Returns (nao^2, nao^2) complex ERI matrix in (12|34) chemist order.
+    """
+    import numpy as np
+    from pyscf_isdf_tpu.ops import coulomb
+    from pyscf_isdf_tpu import lattice
+
+    k1, k2, k3, k4 = kpts_idx
+    kpts = system.kpts
+    cell = system.cell
+    q = kpts[k2] - kpts[k1]
+    cons = kpts[k4] - kpts[k3] + q
+    b = lattice.reciprocal_vectors(cell.a)
+    frac = cons @ np.linalg.inv(b)
+    if not np.allclose(frac - np.round(frac), 0, atol=1e-8):
+        raise ValueError("momentum conservation violated: k2-k1+k4-k3 != G")
+    coulG_q = jnp.asarray(coulomb.get_coulG(cell, k=q, exxdiv=None,
+                                            kpts=kpts))
+    coords = cell.uniform_grid()
+    expmiqr = jnp.asarray(np.exp(-1j * coords @ q))
+    # a nonzero conserving G-shift (k2-k1+k4-k3 = G) needs no explicit
+    # phase: both screened pair densities are exactly periodic and the
+    # grid quadrature pairs every Fourier component (incl. the G offset)
+    ao = system.aoR_k
+    return general_kpts(ao[k1], ao[k2], ao[k3], ao[k4], coulG_q, expmiqr,
+                        tuple(system.mesh), system.weight, chunk=chunk)
+
+
+def ao2mo_7d(system, mo_coeff_kpts, chunk: int = 16):
+    """Full k-conserving MO ERI tensor (reference fft_ao2mo.py:342).
+
+    Args:
+        mo_coeff_kpts: (nk, nao, nmo) MO coefficients at every k.
+    Returns (nk, nk, nk, nmo, nmo, nmo, nmo) complex array out[kp,kq,kr]
+    = (p kp, q kq | r kr, s ks) with ks fixed by momentum conservation.
+    """
+    import numpy as np
+    from pyscf_isdf_tpu.kpts_helper import get_kconserv
+    from pyscf_isdf_tpu.ops import coulomb
+
+    cell = system.cell
+    kpts = system.kpts
+    nk = len(kpts)
+    mo = [jnp.asarray(m) for m in mo_coeff_kpts]
+    nmo = mo[0].shape[1]
+    moR = [system.aoR_k[k] @ mo[k] for k in range(nk)]
+    kconserv = get_kconserv(cell.a, kpts)
+    coords = cell.uniform_grid()
+    mesh = tuple(system.mesh)
+
+    out = np.empty((nk, nk, nk, nmo, nmo, nmo, nmo), dtype=np.complex128)
+    for kp in range(nk):
+        for kq in range(nk):
+            q = kpts[kq] - kpts[kp]
+            coulG_q = jnp.asarray(
+                coulomb.get_coulG(cell, k=q, exxdiv=None, kpts=kpts))
+            expmiqr = jnp.asarray(np.exp(-1j * coords @ q))
+            for kr in range(nk):
+                ks = kconserv[kp, kq, kr]
+                eri = general_kpts(moR[kp], moR[kq], moR[kr], moR[ks],
+                                   coulG_q, expmiqr, mesh, system.weight,
+                                   chunk=chunk)
+                out[kp, kq, kr] = np.asarray(eri).reshape(nmo, nmo, nmo, nmo)
+    return out
+
+
 @partial(jax.jit, static_argnames=("mesh", "chunk"))
 def general_kpts(moR_p, moR_q, moR_r, moR_s, coulG_q, expmiqr, mesh, weight,
                  chunk: int = 16):
