@@ -30,9 +30,18 @@ class _MeanField:
         self.max_cycle = 60
         self.df = "fftdf"
         self.isdf_c = 8.0
+        self.sigma = 0.0
+        self.smearing_method = "fermi"
         self.verbose = False
         self._system = None
         self._res = None
+
+    def smearing(self, sigma, method="fermi"):
+        """Finite-temperature occupations (reference addons.py:216 applies
+        to every SCF class, Gamma point included)."""
+        self.sigma = sigma
+        self.smearing_method = method
+        return self
 
     @property
     def system(self):
@@ -74,6 +83,8 @@ class RHF(_MeanField):
         return _hf.scf_kernel(self.system, xc=None, exxdiv=self.exxdiv,
                               conv_tol=self.conv_tol, max_cycle=self.max_cycle,
                               df=self.df, isdf_c=self.isdf_c,
+                              sigma=self.sigma,
+                              smearing_method=self.smearing_method,
                               verbose=self.verbose)
 
 
@@ -85,6 +96,8 @@ class RKS(_MeanField):
         return _hf.scf_kernel(self.system, xc=self.xc, exxdiv=self.exxdiv,
                               conv_tol=self.conv_tol, max_cycle=self.max_cycle,
                               df=self.df, isdf_c=self.isdf_c,
+                              sigma=self.sigma,
+                              smearing_method=self.smearing_method,
                               verbose=self.verbose)
 
 
@@ -127,8 +140,6 @@ class _KMeanField(_MeanField):
     def __init__(self, cell, kpts, xc=None, exxdiv="ewald", symmetry=False):
         super().__init__(cell, xc=xc, exxdiv=exxdiv)
         self.kpts = np.reshape(np.asarray(kpts, dtype=np.float64), (-1, 3))
-        self.sigma = 0.0
-        self.smearing_method = "fermi"
         self.symmetry = symmetry
 
     def _kernel_ibz(self):
@@ -148,11 +159,6 @@ class _KMeanField(_MeanField):
         if self._system is None:
             self._system = _khf.build_kscf_system(self.cell, self.kpts)
         return self._system
-
-    def smearing(self, sigma, method="fermi"):
-        self.sigma = sigma
-        self.smearing_method = method
-        return self
 
     def get_bands(self, kpts_band):
         return _get_bands(self.system, self._res, kpts_band, xc=self.xc)
@@ -214,6 +220,20 @@ class KUKS(_KMeanField):
                            conv_tol=self.conv_tol, max_cycle=self.max_cycle,
                            df=self.df, isdf_c=self.isdf_c,
                            verbose=self.verbose)
+
+
+class KROHF(_KMeanField):
+    def __init__(self, cell, kpts, exxdiv="ewald"):
+        super().__init__(cell, kpts, xc=None, exxdiv=exxdiv)
+
+    def _kernel(self):
+        from pyscf_isdf_tpu.scf.krohf import krohf_kernel
+
+        return krohf_kernel(self.system, xc=None, exxdiv=self.exxdiv,
+                            conv_tol=self.conv_tol,
+                            max_cycle=self.max_cycle,
+                            df=self.df, isdf_c=self.isdf_c,
+                            verbose=self.verbose)
 
 
 def MP2(mf: _MeanField):

@@ -135,6 +135,8 @@ def scf_kernel(
     isdf_c: float = 8.0,
     level_shift: float = 0.0,
     damping: float = 0.0,
+    sigma: float = 0.0,
+    smearing_method: str = "fermi",
     verbose: bool = False,
 ):
     """Run the SCF to convergence.
@@ -147,6 +149,9 @@ def scf_kernel(
         df: 'fftdf' (exact pair-density FFT exchange) or 'isdf' (build the
             ISDF factorization here and use GEMM-cost exchange + exact
             FFT J) — the reference's ``mf.with_df`` swap as a flag.
+        sigma: smearing width — the reference applies smearing() to every
+            SCF class (pyscf/pbc/scf/addons.py:216), Gamma point included.
+            The result then carries entropy/mu/e_free.
 
     Returns a dict with e_tot, mo_energy, mo_coeff, dm, converged, niter.
     """
@@ -227,13 +232,28 @@ def scf_kernel(
         e, u = np.linalg.eigh(Fp)
         return e, X @ u
 
+    entropy = 0.0
+    mu = None
+
+    def make_dm(mo_e, mo_c):
+        nonlocal entropy, mu
+        if sigma and sigma > 0:
+            from pyscf_isdf_tpu.scf.occupations import smearing_occ_rhf
+
+            occs, entropy, mu = smearing_occ_rhf(
+                [mo_e], system.nelec, sigma, smearing_method)
+            occ = occs[0]
+            return (mo_c * occ) @ mo_c.T, occ
+        return make_rdm1(mo_c, nocc), None
+
     if dm0 is None:
         mo_e, mo_c = eig(hcore)
-        dm = make_rdm1(mo_c, nocc)
+        dm, mo_occ = make_dm(mo_e, mo_c)
     else:
         # Gamma-point densities are real; project restarts (e.g. unfolded
         # k-point densities with broken-degeneracy imaginary parts)
         dm = np.asarray(dm0).real.astype(np.float64)
+        mo_occ = None
 
     diis = DIIS(space=diis_space)
     e_last = 0.0
@@ -274,7 +294,7 @@ def scf_kernel(
         F = diis.update(F, err)
 
         mo_e, mo_c = eig(F)
-        dm_new = make_rdm1(mo_c, nocc)
+        dm_new, mo_occ = make_dm(mo_e, mo_c)
 
         e_elec = (
             np.einsum("ij,ji->", dm, hcore)
@@ -297,7 +317,11 @@ def scf_kernel(
         "e_tot": e_tot,
         "mo_energy": mo_e,
         "mo_coeff": mo_c,
+        "mo_occ": mo_occ,
         "dm": dm,
         "converged": conv,
         "niter": it + 1,
+        "entropy": entropy,
+        "mu": mu,
+        "e_free": e_tot - sigma * entropy if sigma else e_tot,
     }
