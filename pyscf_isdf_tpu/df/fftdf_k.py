@@ -75,6 +75,44 @@ def make_k_kernels(cell, kpts, exxdiv=None, omega=None):
     return coulG, expmikr
 
 
+@partial(jax.jit, static_argnames=("mesh", "chunk"))
+def get_k_band(aoRb, aoR_k, dm_k, coulG_bk, expmikr_bk, mesh, kweight,
+               chunk: int = 8):
+    """Exchange matrix at ONE band k-point from the converged k-sampled
+    density (reference get_bands exchange, pyscf/pbc/scf/khf.py:581 +
+    fft_jk kpts_band path).
+
+    Args:
+        aoRb: (ng, nao) Bloch AOs at the band k-point.
+        aoR_k / dm_k: (nk, ng, nao) / (nk, nao, nao) SCF-set quantities.
+        coulG_bk: (nk, ng) kernels coulG(k2 - kb).
+        expmikr_bk: (nk, ng) phases exp(-i (k2-kb).r).
+        kweight: (1/nk) * vol/ngrids.
+    """
+    nk, ng, nao = aoR_k.shape
+    cd = _cdtype(aoR_k.dtype)
+    vk = jnp.zeros((nao, nao), cd)
+    npad = (-nao) % chunk
+    ao1T = aoRb.T.astype(cd)
+    for k2 in range(nk):
+        ao2T = aoR_k[k2].T
+        ao_dms = dm_k[k2] @ ao2T.conj()
+        cG = coulG_bk[k2]
+        phase = expmikr_bk[k2].astype(cd)
+
+        def k_chunk(blk):
+            rho1 = blk[:, None, :] * ao2T[None, :, :]
+            vG = cG[None, None, :] * fft3(rho1, mesh)
+            vR = ifft3(vG, mesh)
+            return jnp.einsum("ijg,jg->ig", vR, ao_dms)
+
+        blks = jnp.pad(ao1T.conj() * phase[None, :], ((0, npad), (0, 0)))
+        vR_dm = jax.lax.map(k_chunk, blks.reshape(-1, chunk, ng))
+        vR_dm = vR_dm.reshape(-1, ng)[:nao] * phase.conj()[None, :]
+        vk = vk + kweight * (vR_dm @ ao1T.T)
+    return vk
+
+
 @partial(jax.jit, static_argnames=("mesh", "chunk", "k1_idx"))
 def get_k_kpts(aoR_k, dm_k, coulG_pairs, expmikr, mesh, weight, chunk: int = 8,
                k1_idx=None):
