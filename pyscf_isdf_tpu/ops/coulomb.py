@@ -95,6 +95,14 @@ def get_coulG(cell, k=None, exxdiv=None, mesh=None, Gv=None, kpts=None,
         with np.errstate(divide="ignore", invalid="ignore"):
             coulG = 4 * np.pi / absG2 * (1.0 - np.cos(absG * Rc))
         coulG[G0_idx] = 2 * np.pi * Rc**2
+    elif cell.dimension == 1:
+        # cylindrically truncated Coulomb for a wire, periodic along a1:
+        # Rozzi et al. PRB 73, 205119 (2006). (The reference's 1D branch is
+        # unreachable dead code — pyscf/pbc/tools/pbc.py:371-374 raises —
+        # so this exceeds reference coverage.)
+        coulG = _coulG_cyl1d(cell, kG)
+        if exxdiv == "ewald" and G0_idx.any():
+            coulG[G0_idx] += Nk * cell.vol * madelung(cell, kpts)
     elif cell.dimension == 2:
         # truncated Coulomb for a slab: Sundararaman-Arias PRB 87 (2013)
         b = cell.reciprocal_vectors()
@@ -129,6 +137,42 @@ def get_coulG(cell, k=None, exxdiv=None, mesh=None, Gv=None, kpts=None,
             # pyscf/pbc/tools/pbc.py:408-418 + cell.omega madelung)
             if exxdiv is None and cell.dimension == 3:
                 coulG[absG2 < 1e-12] = np.pi / omega**2
+    return coulG
+
+
+def _cyl_radius(cell) -> float:
+    """Cylinder radius for the 1D truncated kernel: half the transverse
+    extent (Rozzi convention; exact when the density fits the cylinder)."""
+    return float(np.sqrt(cell.vol / np.linalg.norm(cell.a[0])) / 2)
+
+
+def _coulG_cyl1d(cell, kG) -> np.ndarray:
+    """Fourier coefficients of the cylindrically truncated Coulomb kernel
+    (periodic along a1 = x): Rozzi PRB 73, 205119 (2006) Eq. (24)-type.
+
+      Gx != 0:  (4 pi/G^2) [1 + Gp Rc J1(Gp Rc) K0(|Gx| Rc)
+                              - |Gx| Rc J0(Gp Rc) K1(|Gx| Rc)]
+      Gx == 0, Gp != 0:  -4 pi int_0^Rc r J0(Gp r) ln(r) dr  (quadrature)
+      G == 0:           -pi Rc^2 (2 ln Rc - 1)
+    """
+    from scipy.special import j0, j1, k0, k1
+
+    Rc = _cyl_radius(cell)
+    Gx = np.abs(kG[:, 0])
+    Gp = np.linalg.norm(kG[:, 1:], axis=1)
+    G2 = np.einsum("gi,gi->g", kG, kG)       # raw |k+G|^2 (ignore masking)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        w = (1.0 + Gp * Rc * j1(Gp * Rc) * k0(Gx * Rc)
+             - Gx * Rc * j0(Gp * Rc) * k1(Gx * Rc))
+        coulG = 4 * np.pi / np.where(G2 < 1e-12, np.inf, G2) * w
+    line = (Gx < 1e-12) & (Gp > 1e-12)
+    if line.any():
+        x, wq = np.polynomial.legendre.leggauss(256)
+        r = 0.5 * Rc * (x + 1.0)
+        wr = 0.5 * Rc * wq
+        integ = (wr * r * np.log(r)) @ j0(np.outer(r, Gp[line]))
+        coulG[line] = -4 * np.pi * integ
+    coulG[G2 < 1e-12] = -np.pi * Rc**2 * (2 * np.log(Rc) - 1.0)
     return coulG
 
 
@@ -168,10 +212,15 @@ def ewald_params(cell, precision=None):
     precision = precision or cell.precision
     if cell.dimension == 2:
         ew_cut = cell.a[2, 2] / 2
-        log_precision = np.log(precision / (cell.charges.sum() * 16 * np.pi**2))
+        log_precision = np.log(precision / (max(np.abs(cell.charges).sum(), 1.0) * 16 * np.pi**2))
         ew_eta = (-log_precision) ** 0.5 / ew_cut
         return ew_eta, ew_cut
     ew_eta = 1.0 / cell.vol ** (1.0 / 6)
+    if cell.dimension == 1:
+        # the G-space term smears charges against the TRUNCATED kernel —
+        # the Ewald identity then only holds to O(exp(-(eta Rc)^2)), so
+        # the Gaussians must stay well inside the cylinder radius
+        ew_eta = max(ew_eta, 6.0 / _cyl_radius(cell))
     ew_cut = _estimate_rcut(ew_eta**2, 0, 1.0, precision)
     return ew_eta, ew_cut
 
@@ -200,7 +249,7 @@ def ewald(cell, ew_eta=None, ew_cut=None) -> float:
     if cell.dimension == 3:
         ewself += -0.5 * np.sum(chargs) ** 2 * np.pi / (ew_eta**2 * cell.vol)
 
-    log_precision = np.log(cell.precision / (chargs.sum() * 16 * np.pi**2))
+    log_precision = np.log(cell.precision / (max(np.abs(chargs).sum(), 1.0) * 16 * np.pi**2))
     ke_cutoff = -2 * ew_eta**2 * log_precision
     mesh = lattice.cutoff_to_mesh(cell.a, ke_cutoff)
     Gv = lattice.get_Gv(cell.a, mesh)
@@ -244,6 +293,16 @@ def ewald(cell, ew_eta=None, ew_cut=None) -> float:
                         gn(ew_eta, absG, rij[:, :, 2:3]))
         ewg += np.einsum("i,j,ij->", chargs, chargs, gn0(ew_eta, rij[:, :, 2]))
         ewg *= inv_area * 0.5
+    elif cell.dimension == 1:
+        # Gaussian-smeared charges against the cylindrical kernel on the
+        # G mesh (the truncated kernel is finite at G=0, so the sum
+        # includes G=0 and needs no neutralizing background)
+        absG2_raw = np.einsum("gi,gi->g", Gv, Gv)
+        vG = _coulG_cyl1d(cell, Gv)
+        ZSI = np.einsum("i,ij->j", chargs, lattice.get_SI(cell.a, coords,
+                                                          Gv=Gv))
+        ZexpG2 = ZSI * np.exp(-absG2_raw / (4 * ew_eta**2))
+        ewg = 0.5 * np.einsum("i,i,i", ZSI.conj(), ZexpG2, vG).real / cell.vol
     else:
         raise NotImplementedError(f"ewald for dimension {cell.dimension}")
 

@@ -55,3 +55,42 @@ def test_0d_isolated_molecule():
         es[L] = r["e_tot"]
     assert abs(es[12.0] - es[16.0]) < 1e-4
     assert -2.9 < es[12.0] < -2.6  # physical He RHF range for this basis
+
+
+def test_ewald_1d_exact_pair():
+    """1D (cylindrically truncated, Rozzi PRB 73, 205119) Ewald matches the
+    exact regularized lattice sum for a neutral +1/-1 pair to 1e-12.
+    Exceeds the reference, whose 1D branch is unreachable
+    (pyscf/pbc/tools/pbc.py:371-374 raises)."""
+    d, L, Lt = 2.0, 20.0, 12.0
+    a = np.diag([L, Lt, Lt])
+    cell = build_cell(a, [["H", (1.0, Lt / 2, Lt / 2)],
+                          ["H", (1.0 + d, Lt / 2, Lt / 2)]],
+                      basis=[[0, (1.0, 1.0)]], mesh=[8, 8, 8], dimension=1)
+    cell = dataclasses.replace(cell, charges=np.array([1.0, -1.0]))
+    e = coulomb.ewald(cell)
+    n = np.arange(1, 2000000)
+    ex = -1.0 / d + np.sum(2.0 / (n * L) - 1.0 / (n * L + d)
+                           - 1.0 / (n * L - d))
+    assert e == pytest.approx(ex, abs=1e-11)
+
+
+def test_1d_wire_isolated_limit():
+    """A widely separated 1D chain reproduces the isolated-atom (0D)
+    energy and is independent of the transverse box."""
+    basis = [[0, (3.0, 1.0)], [0, (0.8, 1.0)], [0, (0.25, 1.0)]]
+    es = {}
+    for Lt, n in [(12.0, 40), (16.0, 54)]:
+        a = np.diag([14.0, Lt, Lt])
+        cell = build_cell(a, [["He", (7.0, Lt / 2, Lt / 2)]], basis=basis,
+                          mesh=[48, n, n], dimension=1)
+        r = scf_kernel(build_scf_system(cell), xc=None, exxdiv="ewald",
+                       conv_tol=1e-10)
+        assert r["converged"]
+        es[Lt] = r["e_tot"]
+    assert abs(es[12.0] - es[16.0]) < 1e-4
+    cell0 = build_cell(np.eye(3) * 14.0, [["He", (7.0, 7.0, 7.0)]],
+                      basis=basis, mesh=[48] * 3, dimension=0)
+    r0 = scf_kernel(build_scf_system(cell0), xc=None, exxdiv=None,
+                    conv_tol=1e-10)
+    assert abs(es[16.0] - r0["e_tot"]) < 1e-4
