@@ -222,6 +222,25 @@ class KUKS(_KMeanField):
                            verbose=self.verbose)
 
 
+class KRKSpU(_KMeanField):
+    """KRKS with a Hubbard U correction (reference pbc/dft/krkspu.py).
+
+    ``hubbard``: list of (atom_index_or_symbol, l, U_hartree).
+    """
+
+    def __init__(self, cell, kpts, xc="lda,vwn", exxdiv="ewald", hubbard=()):
+        super().__init__(cell, kpts, xc=xc, exxdiv=exxdiv)
+        self.hubbard = list(hubbard)
+
+    def _kernel(self):
+        return _khf.kscf_kernel(self.system, xc=self.xc, exxdiv=self.exxdiv,
+                                conv_tol=self.conv_tol,
+                                max_cycle=self.max_cycle, sigma=self.sigma,
+                                smearing_method=self.smearing_method,
+                                df=self.df, isdf_c=self.isdf_c,
+                                hubbard=self.hubbard, verbose=self.verbose)
+
+
 class KROHF(_KMeanField):
     def __init__(self, cell, kpts, exxdiv="ewald"):
         super().__init__(cell, kpts, xc=None, exxdiv=exxdiv)

@@ -106,6 +106,7 @@ def kscf_kernel(
     verbose: bool = False,
     sigma: float = 0.0,
     smearing_method: str = "fermi",
+    hubbard=None,
 ):
     """Run the k-point SCF to convergence. xc=None -> KRHF, else KRKS.
 
@@ -119,6 +120,9 @@ def kscf_kernel(
     result then also carries ``entropy``, ``mu`` and the free energy
     ``e_free = e_tot - sigma * entropy`` (fermi) following the reference
     addons conventions.
+
+    ``hubbard`` enables DFT+U (reference pyscf/pbc/dft/krkspu.py): a list
+    of (atom_index_or_symbol, l, U_hartree) subspace specs.
     """
     cell = system.cell
     nk = len(system.kpts)
@@ -208,6 +212,12 @@ def kscf_kernel(
 
     S, hcore, X = system.S, system.hcore, system.X
 
+    hub = None
+    if hubbard:
+        from pyscf_isdf_tpu.scf.dftu import HubbardU
+
+        hub = HubbardU(cell, S, hubbard)
+
     def eig_all(F_k):
         es, cs = [], []
         for k in range(nk):
@@ -277,6 +287,11 @@ def kscf_kernel(
             veff -= 0.5 * k_scale * vk
             e_k = -0.25 * k_scale * np.einsum("kij,kji->", dm, vk).real / nk
 
+        e_u = 0.0
+        if hub is not None:
+            e_u, v_u = hub.energy_and_potential(dm)
+            veff += v_u
+
         F = hcore + veff
         err = np.concatenate([
             (X[k].conj().T @ (S[k] @ dm[k] @ F[k] - F[k] @ dm[k] @ S[k]) @ X[k]).ravel()
@@ -290,7 +305,7 @@ def kscf_kernel(
 
         e1 = np.einsum("kij,kji->", dm, hcore).real / nk
         ecoul = 0.5 * np.einsum("kij,kji->", dm, vj).real / nk
-        e_tot = float(e1 + ecoul + e_xc + e_k + system.e_nuc)
+        e_tot = float(e1 + ecoul + e_xc + e_k + e_u + system.e_nuc)
         de = abs(e_tot - e_last)
         err_norm = np.linalg.norm(err) / max(1, err.size) ** 0.5
         if verbose:
