@@ -48,9 +48,12 @@ class ISDF:
     aoRg: jnp.ndarray      # (n_ip, nao) AO values at interpolation points
     W: jnp.ndarray         # (n_ip, n_ip) Coulomb kernel between xi vectors
     ip_idx: jnp.ndarray    # (n_ip,) grid indices
+    Vxi: jnp.ndarray | None = None   # (n_ip, ng) Coulomb-transformed xi
+    # (kept when built with keep_v=True; enables the robust-fit K whose
+    # error is QUADRATIC in the fit residual — the fork's robust-fit mode)
 
     def tree_flatten(self):
-        return (self.aoRg, self.W, self.ip_idx), None
+        return (self.aoRg, self.W, self.ip_idx, self.Vxi), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -61,13 +64,16 @@ class ISDF:
         return self.aoRg.shape[0]
 
 
-@partial(jax.jit, static_argnames=("mesh", "fft_chunk"))
-def _build_from_idx(aoR, ip_idx, coulG, mesh, weight, fft_chunk: int = 128):
+@partial(jax.jit, static_argnames=("mesh", "fft_chunk", "keep_v"))
+def _build_from_idx(aoR, ip_idx, coulG, mesh, weight, fft_chunk: int = 128,
+                    keep_v: bool = False):
     """Steps 2+3 of the ISDF build for a given IP set.
 
     ``coulG`` may be one kernel (ng,) or a stack (nw, ng): the expensive
     IP fit (xi) is shared and one W is built per kernel (the RSH path
     builds the full-range and short-range W from one factorization).
+    ``keep_v`` also returns V xi = ifft(coulG fft(xi)) per kernel
+    (needed by the robust-fit K).
     """
     aoRg = aoR[ip_idx]                                    # (nip, nao)
     nip = aoRg.shape[0]
@@ -76,7 +82,13 @@ def _build_from_idx(aoR, ip_idx, coulG, mesh, weight, fft_chunk: int = 128):
     C1 = (aoRg @ aoRg.T) ** 2                             # (nip, nip)
     C2 = (aoR @ aoRg.T) ** 2                              # (ng, nip)
     # regularized Cholesky solve (C1 is PSD, near-singular for large c)
-    eps = jnp.asarray(1e-12, aoR.dtype) * jnp.trace(C1) / nip
+    # dtype-aware regularization: 1e-12 is below f32 resolution and
+    # leaves the near-singular Gram factorization unstable on TPU
+    is_f64 = jnp.finfo(aoR.dtype).bits >= 64
+    # f32 needs the shift relative to the LARGEST eigenvalue
+    # (~trace), not the mean diagonal, to keep Cholesky finite
+    eps = jnp.asarray(1e-12 if is_f64 else 3e-7, aoR.dtype) \
+        * (jnp.trace(C1) / nip if is_f64 else jnp.trace(C1))
     C1r = C1 + eps * jnp.eye(nip, dtype=aoR.dtype)
     cho = jax.scipy.linalg.cho_factor(C1r)
     xi = jax.scipy.linalg.cho_solve(cho, C2.T)            # (nip, ng)
@@ -95,21 +107,31 @@ def _build_from_idx(aoR, ip_idx, coulG, mesh, weight, fft_chunk: int = 128):
 
     def w_cols(block):                                     # (fc, ng)
         fG = fft3(block.astype(cdtype), mesh)
-        cols = []
+        cols, vs = [], []
         for iw in range(nw):
             v = ifft3(coulG_s[iw][None, :] * fG, mesh).real.astype(aoR.dtype)
             cols.append(xi @ v.T)                          # (nip, fc)
-        return jnp.stack(cols)                             # (nw, nip, fc)
+            if keep_v:
+                vs.append(v)
+        out = jnp.stack(cols)                              # (nw, nip, fc)
+        return (out, jnp.stack(vs)) if keep_v else out
 
-    Wc = jax.lax.map(w_cols, xi_p.reshape(-1, fft_chunk, ng))
+    mapped = jax.lax.map(w_cols, xi_p.reshape(-1, fft_chunk, ng))
+    Wc = mapped[0] if keep_v else mapped
     W_all = weight * jnp.moveaxis(Wc, 0, 2).reshape(nw, nip, -1)[:, :, :nip]
     W_all = 0.5 * (W_all + jnp.swapaxes(W_all, 1, 2))
-    return aoRg, (W_all[0] if squeeze else W_all)
+    Vxi = None
+    if keep_v:
+        # (nb, nw, fc, ng) -> (nw, nb*fc, ng) -> trim padding rows
+        Vxi = jnp.moveaxis(mapped[1], 0, 1).reshape(nw, -1, ng)[:, :nip]
+    if squeeze:
+        return aoRg, W_all[0], (Vxi[0] if keep_v else None)
+    return aoRg, W_all, Vxi
 
 
 def build_isdf(aoR, coulG, mesh, weight, n_ip=None, c: float = 8.0,
                method: str = "cholesky", coords=None, rho=None,
-               atom_coords=None) -> ISDF:
+               atom_coords=None, keep_v: bool = False) -> ISDF:
     """Build the ISDF factorization from gridded AOs.
 
     Args:
@@ -142,12 +164,13 @@ def build_isdf(aoR, coulG, mesh, weight, n_ip=None, c: float = 8.0,
         ip_idx = jnp.asarray(atomic_points(aoR, coords, atom_coords, per_atom))
     else:
         raise ValueError(f"unknown IP selection method {method!r}")
-    aoRg, W = _build_from_idx(aoR, ip_idx, jnp.asarray(coulG), tuple(mesh), weight)
-    return ISDF(aoRg=aoRg, W=W, ip_idx=ip_idx)
+    aoRg, W, Vxi = _build_from_idx(aoR, ip_idx, jnp.asarray(coulG),
+                                   tuple(mesh), weight, keep_v=keep_v)
+    return ISDF(aoRg=aoRg, W=W, ip_idx=ip_idx, Vxi=Vxi)
 
 
 def build_isdf_multi(aoR, coulGs, mesh, weight, n_ip=None, c: float = 8.0,
-                     method: str = "cholesky") -> tuple:
+                     method: str = "cholesky", keep_v: bool = False) -> tuple:
     """One factorization, several Coulomb kernels (e.g. full + SR for RSH).
 
     Returns a tuple of :class:`ISDF` sharing aoRg/ip_idx, one per kernel
@@ -165,8 +188,10 @@ def build_isdf_multi(aoR, coulGs, mesh, weight, n_ip=None, c: float = 8.0,
     else:
         raise ValueError(f"unknown IP selection method {method!r}")
     stack = jnp.stack([jnp.asarray(g) for g in coulGs])
-    aoRg, W_all = _build_from_idx(aoR, ip_idx, stack, tuple(mesh), weight)
-    return tuple(ISDF(aoRg=aoRg, W=W_all[i], ip_idx=ip_idx)
+    aoRg, W_all, Vxi = _build_from_idx(aoR, ip_idx, stack, tuple(mesh),
+                                       weight, keep_v=keep_v)
+    return tuple(ISDF(aoRg=aoRg, W=W_all[i], ip_idx=ip_idx,
+                      Vxi=(Vxi[i] if keep_v else None))
                  for i in range(len(coulGs)))
 
 
@@ -175,6 +200,37 @@ def get_k(isdf: ISDF, dm):
     """Exchange via 3 GEMMs: K = aoRg^T (W o (aoRg D aoRg^T)) aoRg."""
     M = isdf.aoRg @ dm @ isdf.aoRg.T
     return isdf.aoRg.T @ (isdf.W * M) @ isdf.aoRg
+
+
+@jax.jit
+def get_k_robust(isdf: ISDF, aoR, dm, weight):
+    """Robust-fit exchange: error QUADRATIC in the ISDF fit residual.
+
+    Standard (interpolative) ISDF replaces BOTH pair densities by their
+    fits — the energy error is linear in the residual. The robust form
+    (the fork's robust-fit mode; standard robust density fitting)
+
+        (ab|cd) ~= (ab~|cd) + (ab|cd~) - (ab~|cd~)
+
+    keeps one exact pair per term:
+
+        K = T1 + T1^T - K_isdf,
+        T1[mu,nu] = w sum_P aoRg[P,mu] sum_g Vxi[P,g] aoR[g,nu] t[g,P],
+        t = aoR (aoRg D)^T .
+
+    Cost: two (ng x n_ip x nao) MXU GEMMs per iteration — more than the
+    plain 3-GEMM K but still grid-FFT-free; requires build_isdf(...,
+    keep_v=True).
+    """
+    if isdf.Vxi is None:
+        raise ValueError("robust K needs build_isdf(..., keep_v=True)")
+    B = isdf.aoRg @ dm                       # (nip, nao)
+    t = aoR @ B.T                            # (ng, nip)
+    Z = isdf.Vxi.T * t                       # (ng, nip)
+    T1 = weight * (isdf.aoRg.T @ (Z.T @ aoR))
+    M = isdf.aoRg @ dm @ isdf.aoRg.T
+    K3 = isdf.aoRg.T @ (isdf.W * M) @ isdf.aoRg
+    return T1 + T1.T - K3
 
 
 @jax.jit

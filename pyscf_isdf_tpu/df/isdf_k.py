@@ -167,7 +167,13 @@ def _xi_wq(U, ip_idx, coulG_q, mesh, weight, fft_chunk: int = 64,
     nip = Ug.shape[0]
     R1 = Ug @ Ug.conj().T
     C1 = (R1 * R1.conj()).real                              # (nip, nip)
-    eps = jnp.asarray(1e-12, C1.dtype) * jnp.trace(C1) / nip
+    # dtype-aware regularization: 1e-12 is below f32 resolution and
+    # leaves the near-singular Gram factorization unstable on TPU
+    is_f64 = jnp.finfo(C1.dtype).bits >= 64
+    # f32 needs the shift relative to the LARGEST eigenvalue
+    # (~trace), not the mean diagonal, to keep Cholesky finite
+    eps = jnp.asarray(1e-12 if is_f64 else 3e-7, C1.dtype) \
+        * (jnp.trace(C1) / nip if is_f64 else jnp.trace(C1))
     cho = jax.scipy.linalg.cho_factor(C1 + eps * jnp.eye(nip, dtype=C1.dtype))
 
     # xi columns solved per grid chunk: xi[:, gc] = C1^{-1} C2[gc]^T

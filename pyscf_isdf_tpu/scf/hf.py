@@ -185,8 +185,9 @@ def scf_kernel(
         ao_grad = ao_gradient_fft(aoR, mesh, jnp.asarray(system.Gv, dtype=aoR.dtype))
 
     if get_jk is None:
-        if df not in ("fftdf", "isdf"):
-            raise ValueError(f"unknown df engine {df!r}: use 'fftdf' or 'isdf'")
+        if df not in ("fftdf", "isdf", "isdf-robust"):
+            raise ValueError(f"unknown df engine {df!r}: use 'fftdf', "
+                             "'isdf' or 'isdf-robust'")
         coulG_k = coulG
         if need_k and exxdiv not in (None, "ewald"):
             coulG_k = jnp.asarray(coulomb.get_coulG(cell, exxdiv=exxdiv))
@@ -195,21 +196,30 @@ def scf_kernel(
             coulG_lr = jnp.asarray(
                 coulomb.get_coulG(cell, exxdiv=None, omega=omega))
 
-        if df == "isdf" and need_k:
+        if df in ("isdf", "isdf-robust") and need_k:
             from pyscf_isdf_tpu.df import isdf as isdf_mod
 
+            robust = df == "isdf-robust"
             if rsh:
                 isdfs = isdf_mod.build_isdf_multi(
-                    aoR, [coulG_k, coulG_lr], mesh, weight, c=isdf_c)
+                    aoR, [coulG_k, coulG_lr], mesh, weight, c=isdf_c,
+                    keep_v=robust)
+
+                def _one_k(f, dmj):
+                    if robust:
+                        return isdf_mod.get_k_robust(f, aoR, dmj, weight)
+                    return isdf_mod.get_k(f, dmj)
 
                 def get_k_fn(dmj):
-                    return hyb * isdf_mod.get_k(isdfs[0], dmj) \
-                        + (alpha - hyb) * isdf_mod.get_k(isdfs[1], dmj)
+                    return hyb * _one_k(isdfs[0], dmj) \
+                        + (alpha - hyb) * _one_k(isdfs[1], dmj)
             else:
                 isdf = isdf_mod.build_isdf(aoR, coulG_k, mesh, weight,
-                                           c=isdf_c)
+                                           c=isdf_c, keep_v=robust)
 
                 def get_k_fn(dmj):
+                    if robust:
+                        return isdf_mod.get_k_robust(isdf, aoR, dmj, weight)
                     return isdf_mod.get_k(isdf, dmj)
         else:
             def get_k_fn(dmj):

@@ -92,3 +92,45 @@ def test_sharded_scf_step(setup):
     assert np.abs(np.asarray(dm_new) - res["dm"]).max() < 1e-6
     e_ref = res["e_tot"] - system.e_nuc
     assert float(e_elec) == pytest.approx(e_ref, abs=1e-9)
+
+
+@pytest.mark.slow
+def test_sharded_blocked_build_large():
+    """SPMD panel-pivoted build at n_ip=4096 (VERDICT r1 next-step 7):
+    the distributed xi/W math must match a single-device rebuild from the
+    SAME interpolation points to 1e-9, and the resulting exchange matrix
+    must agree with a single-device blocked factorization at fit accuracy."""
+    from pyscf_isdf_tpu.models import diamond_supercell
+
+    cell = diamond_supercell(nrep=(2, 2, 2), mesh=(32, 32, 32))
+    system = build_scf_system(cell)
+    mesh_dev = grid_mesh(8)
+    aoR_sh = jax.device_put(system.aoR,
+                            NamedSharding(mesh_dev, P(GRID_AXIS, None)))
+    coulG = jnp.asarray(system.coulG)
+    mesh3 = tuple(cell.mesh)
+    w = cell.grid_weight
+    n_ip = 4096
+
+    sh = build_isdf_sharded(mesh_dev, aoR_sh, coulG, mesh3, w, n_ip=n_ip,
+                            method="blocked", blk=64)
+    assert sh.n_ip == n_ip
+    # IP indices must be unique (no device double-picks a point)
+    assert len(np.unique(np.asarray(sh.ip_idx))) == n_ip
+
+    # strict check: rebuild xi/W single-device FROM THE SAME points
+    from pyscf_isdf_tpu.df.isdf import _build_from_idx
+
+    aoRg_1, W_1, _ = _build_from_idx(system.aoR, jnp.asarray(sh.ip_idx),
+                                     coulG, mesh3, w)
+    assert np.abs(np.asarray(sh.aoRg) - np.asarray(aoRg_1)).max() < 1e-9
+    assert np.abs(np.asarray(sh.W) - np.asarray(W_1)).max() < 1e-9
+
+    # quality check: exchange parity against a single-device blocked build
+    ref = isdf_mod.build_isdf(system.aoR, coulG, mesh3, w, n_ip=n_ip,
+                              method="cholesky-blocked")
+    dm = jnp.asarray(2.0 / cell.nao * np.eye(cell.nao))
+    vk_sh = isdf_mod.get_k(sh, dm)
+    vk_ref = isdf_mod.get_k(ref, dm)
+    de = abs(float(jnp.einsum("ij,ji->", dm, vk_sh - vk_ref)))
+    assert de < 1e-6
