@@ -89,3 +89,143 @@ def overlap_and_kinetic(cell, mesh=None, kpt=None):
     if kpt is None or np.allclose(kpt, 0):
         return s.real, t.real
     return s, t
+
+
+# ------------------------------------------------- analytic AO-pair FTs
+def _solid_monomials(l: int):
+    """Exact Cartesian monomial coefficients of the real solid harmonics:
+    S_lm(v) = sum_alpha c[m][alpha] x^ax y^ay z^az with |alpha| = l.
+
+    Obtained by solving the (exact) linear system on sample points — the
+    harmonics are homogeneous degree-l polynomials, so the fit is exact.
+    """
+    monos = [(i, j, l - i - j) for i in range(l + 1) for j in range(l + 1 - i)]
+    rng = np.random.default_rng(7 + l)
+    pts = rng.normal(size=(2 * len(monos) + 4, 3))
+    M = np.stack([pts[:, 0] ** a * pts[:, 1] ** b * pts[:, 2] ** c
+                  for (a, b, c) in monos], axis=1)
+    Y = solid_harmonics(l, pts, np)                      # (npts, 2l+1)
+    C, *_ = np.linalg.lstsq(M, Y, rcond=None)            # (nmono, 2l+1)
+    C[np.abs(C) < 1e-12] = 0.0
+    return monos, C.T                                    # (2l+1, nmono)
+
+
+_MONO_CACHE: dict = {}
+
+
+def _monos(l: int):
+    if l not in _MONO_CACHE:
+        _MONO_CACHE[l] = _solid_monomials(l)
+    return _MONO_CACHE[l]
+
+
+def _hermite_1d(Gd: np.ndarray, p: float, nmax: int):
+    """I_n(g) = int x^n e^{-p x^2} e^{-i g x} dx for n = 0..nmax.
+
+    I_n = (i/(2 sqrt(p)))^n H_n(g/(2 sqrt(p))) sqrt(pi/p) e^{-g^2/(4p)}
+    with physicists' Hermite H_n. Returns (nmax+1, ng) complex.
+    """
+    s = 1.0 / (2.0 * np.sqrt(p))
+    x = Gd * s
+    H = np.empty((nmax + 1, len(Gd)))
+    H[0] = 1.0
+    if nmax >= 1:
+        H[1] = 2 * x
+    for n in range(2, nmax + 1):
+        H[n] = 2 * x * H[n - 1] - 2 * (n - 1) * H[n - 2]
+    base = np.sqrt(np.pi / p) * np.exp(-(Gd * Gd) / (4 * p))
+    fac = (-1j * s) ** np.arange(nmax + 1)
+    return fac[:, None] * H * base[None, :]
+
+
+def ft_aopair(cell, Gv: np.ndarray, q=None, ktol: float = 1e-12) -> np.ndarray:
+    """Analytic Fourier transform of periodic AO pair products (Gamma).
+
+    out[g, mu, nu] = sum_T int phi_mu(r) phi_nu(r - T) e^{-i (q+G).r} dr
+    (Poisson summation: these are exactly the Fourier-series coefficients
+    of the periodic pair density). Functional counterpart of the
+    reference's ft_aopair_kpts (pyscf/pbc/df/ft_ao.py:63 -> lib/pbc/
+    ft_ao.c), built from the Gaussian product theorem + Hermite closed
+    forms — no integral library. Host float64, vectorized over lattice
+    images; intended for the AFTDF engine and cross-checks (the FFT
+    collocation path remains the production J/K route on TPU).
+    """
+    from math import comb
+
+    kG = Gv + np.asarray(q)[None, :] if q is not None else Gv
+    ng = kG.shape[0]
+    nao = cell.nao
+    ao_loc = cell.ao_loc
+    images = cell.lattice_images()
+    out = np.zeros((ng, nao, nao), dtype=np.complex128)
+
+    shells = list(enumerate(cell.shells))
+    for ish, shi in shells:
+        A = cell.coords[shi.atom]
+        mi, Ci = _monos(shi.l)
+        for jsh, shj in shells:
+            B0 = cell.coords[shj.atom]
+            mj, Cj = _monos(shj.l)
+            lt = shi.l + shj.l
+            nm_i, nm_j = len(mi), len(mj)
+            for ip, a in enumerate(shi.exps):
+                for jp, b in enumerate(shj.exps):
+                    p = a + b
+                    AB = A - B0 - images                       # (nimg, 3)
+                    K = np.exp(-(a * b / p)
+                               * np.einsum("ti,ti->t", AB, AB))
+                    sel = K > ktol
+                    if not sel.any():
+                        continue
+                    Ksel = K[sel]
+                    B = B0 + images[sel]                       # (nt, 3)
+                    P = (a * A[None, :] + b * B) / p
+                    dA = P - A[None, :]                        # (nt, 3)
+                    dB = P - B
+                    I1d = np.stack([_hermite_1d(kG[:, d], p, lt)
+                                    for d in range(3)])        # (3,lt+1,ng)
+                    phase = np.exp(-1j * (P @ kG.T)) * Ksel[:, None]  # (nt,ng)
+                    # per-image coefficient tensor C[t, ii, jj, nx, ny, nz]
+                    nt = len(Ksel)
+                    Cten = np.zeros((nt, nm_i, nm_j,
+                                     lt + 1, lt + 1, lt + 1))
+                    for ii, al in enumerate(mi):
+                        for jj, be in enumerate(mj):
+                            for ex in range(al[0] + 1):
+                                cx = comb(al[0], ex) * dA[:, 0] ** (al[0] - ex)
+                                for fx in range(be[0] + 1):
+                                    cfx = cx * comb(be[0], fx) \
+                                        * dB[:, 0] ** (be[0] - fx)
+                                    for ey in range(al[1] + 1):
+                                        cy = cfx * comb(al[1], ey) \
+                                            * dA[:, 1] ** (al[1] - ey)
+                                        for fy in range(be[1] + 1):
+                                            cfy = cy * comb(be[1], fy) \
+                                                * dB[:, 1] ** (be[1] - fy)
+                                            for ez in range(al[2] + 1):
+                                                cz = cfy * comb(al[2], ez) \
+                                                    * dA[:, 2] ** (al[2] - ez)
+                                                for fz in range(be[2] + 1):
+                                                    cf = cz * comb(be[2], fz) \
+                                                        * dB[:, 2] ** (be[2] - fz)
+                                                    Cten[:, ii, jj,
+                                                         ex + fx, ey + fy,
+                                                         ez + fz] += cf
+                    # I products on distinct (nx,ny,nz): (lt+1)^3 x ng
+                    Iprod = np.einsum("xg,yg,zg->xyzg", I1d[0], I1d[1],
+                                      I1d[2], optimize=True)
+                    # sum images into G-space with phases, then contract I
+                    Cg = np.einsum("tg,tijxyz->gijxyz", phase, Cten,
+                                   optimize=True)
+                    contrib = np.einsum("gijxyz,xyzg->gij", Cg,
+                                        Iprod, optimize=True)
+                    ci = shi.coeffs[ip]
+                    cj = shj.coeffs[jp]
+                    mcomp = np.einsum("gij,mi,nj->gmn", contrib, Ci, Cj,
+                                      optimize=True)
+                    piece = np.einsum("gmn,k,l->gkmln", mcomp, ci, cj,
+                                      optimize=True)
+                    out[:, ao_loc[ish]:ao_loc[ish + 1],
+                        ao_loc[jsh]:ao_loc[jsh + 1]] += piece.reshape(
+                            ng, shi.nao, shj.nao)
+    return out
