@@ -145,12 +145,29 @@ def davidson(matvec, diag, nstates=3, tol=1e-8, max_space=60, max_iter=100):
     AV = np.zeros((n, 0))
     Vb = np.zeros((n, 0))
     theta = np.zeros(nstates)
+    def _orthonormal_extension(Vb_, Vcand, drop=1e-6):
+        """Column-wise MGS with re-orthogonalization: blocked QR amplifies
+        roundoff overlaps by 1/r_ii for nearly dependent corrections and
+        corrupts the subspace (spurious zero Ritz values)."""
+        cols = []
+        for v in Vcand.T:
+            n0 = np.linalg.norm(v)
+            if n0 < 1e-300:
+                continue
+            v = v / n0
+            for _ in range(2):
+                if Vb_.shape[1]:
+                    v = v - Vb_ @ (Vb_.T @ v)
+                for c in cols:
+                    v = v - c * (c @ v)
+            n1 = np.linalg.norm(v)
+            if n1 > drop:
+                cols.append(v / n1)
+        return (np.stack(cols, axis=1) if cols
+                else np.zeros((Vcand.shape[0], 0)))
+
     for it in range(max_iter):
-        # orthonormalize new directions against the space
-        Vnew = V - Vb @ (Vb.T @ V)
-        q, r = np.linalg.qr(Vnew)
-        keep = np.abs(np.diag(r)) > 1e-10
-        Vnew = q[:, keep]
+        Vnew = _orthonormal_extension(Vb, V)
         if Vnew.shape[1] == 0:
             break
         AVnew = np.column_stack([

@@ -98,15 +98,38 @@ def test_davidson_matches_dense(ground_state):
     assert np.abs(e_dav - e_dense).max() < 1e-9
 
 
-def test_gga_tda_runs(ground_state):
-    """PBE TDA through the JVP kernel (no dense GGA path exists to compare;
-    the kernel is the exact derivative of the validated Vxc)."""
+def test_gga_tda_dense_matches_davidson(ground_state):
+    """PBE TDA: the dense JVP-assembled kernel (VERDICT r1 weak #7) must
+    match the matrix-free Davidson path, singlet and triplet."""
     from pyscf_isdf_tpu.tdscf.response import tda_davidson
 
     cell, system, _ = ground_state
     res = scf_kernel(system, xc="pbe", conv_tol=1e-9)
-    e, _ = tda_davidson(system, res, xc="pbe", nstates=2)
-    assert np.all(e > 0) and np.all(np.isfinite(e))
+    for singlet in (True, False):
+        e_dense, _ = tda_kernel(system, res, xc="pbe", nstates=3,
+                                singlet=singlet)
+        e_dav, _ = tda_davidson(system, res, xc="pbe", nstates=3,
+                                singlet=singlet)
+        assert np.abs(e_dav - e_dense).max() < 1e-8
+    assert np.all(e_dense > 0)
+
+
+def test_ktda_gga_gamma_limit(ground_state):
+    """k-TDA with the JVP GGA kernel at a single Gamma point reproduces the
+    dense Gamma PBE TDA (VERDICT r1 weak #7: this path used to raise)."""
+    from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+    from pyscf_isdf_tpu.tdscf.ktda import ktda_davidson
+
+    cell, system, _ = ground_state
+    res = scf_kernel(system, xc="pbe", conv_tol=1e-9)
+    e_g, _ = tda_kernel(system, res, xc="pbe", nstates=3)
+    ksys = build_kscf_system(cell, np.zeros((1, 3)))
+    kres = kscf_kernel(ksys, xc="pbe", conv_tol=1e-9)
+    e_k, _ = ktda_davidson(ksys, kres, xc="pbe", nstates=8)
+    uniq_k = np.unique(np.round(e_k, 7))
+    uniq_g = np.unique(np.round(e_g, 7))
+    # bound set by the two independently converged SCF references
+    assert np.abs(uniq_k[:2] - uniq_g[:2]).max() < 5e-6
 
 
 def test_ktda_gamma_limit(ground_state):
