@@ -102,8 +102,11 @@ def load_basis(basis_name: str, symbol: str) -> list[tuple[int, np.ndarray, np.n
     Zero-coefficient contraction columns are dropped (the reference's
     ``remove_zero`` behavior, pyscf/gto/basis/parse_nwchem.py).
     """
-    table = _load_json("gth_basis.json")
     key = basis_name.lower()
+    if key.startswith("sto-"):
+        table = _load_json("sto_basis.json")   # all-electron STO-nG
+    else:
+        table = _load_json("gth_basis.json")
     if key not in table:
         raise KeyError(f"unknown basis {basis_name!r}; have {sorted(table)}")
     if symbol not in table[key]:

@@ -102,7 +102,10 @@ def test_sharded_blocked_build_large():
     must agree with a single-device blocked factorization at fit accuracy."""
     from pyscf_isdf_tpu.models import diamond_supercell
 
-    cell = diamond_supercell(nrep=(2, 2, 2), mesh=(32, 32, 32))
+    # dzvp so the pair rank (~21.7k) exceeds n_ip — with szv the rank is
+    # 2080 and picks beyond it are degenerate by construction
+    cell = diamond_supercell(nrep=(2, 2, 2), mesh=(32, 32, 32),
+                             basis="gth-dzvp")
     system = build_scf_system(cell)
     mesh_dev = grid_mesh(8)
     aoR_sh = jax.device_put(system.aoR,
