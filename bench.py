@@ -41,13 +41,21 @@ N_ITER = int(os.environ.get("BENCH_N_ITER", 100))      # ISDF marginal spread
 N_ITER_ORACLE = int(os.environ.get("BENCH_N_ORACLE", 4))  # FFTDF marginal spread
 
 
+def _sync(x):
+    """Force execution AND completion. On the tunneled runtime
+    jax.block_until_ready can return before the work runs (lazy remote
+    execution) — only a host value read is a true barrier."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.real(leaf).ravel()[0])
+
+
 def timeit(fn, *args, warmup=1, reps=5):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -56,10 +64,12 @@ def chained(jk):
     """Damped Fock-mixing iterations; the trip count is a RUNTIME argument,
     so one compilation serves every n and the marginal per-iteration cost
     (T(n2) - T(n1)) / (n2 - n1) cancels dispatch latency and one-time
-    costs exactly."""
-    def run(dm, n):
+    costs exactly. Grid-sized operands are passed as ARGUMENTS (a closure
+    would bake them into the HLO as constants — a >1 GB compile payload
+    breaks the tunneled remote-compile RPC at 3x3x3 scale)."""
+    def run(dm, n, *ops):
         def body(i, d):
-            vj, vk = jk(d)
+            vj, vk = jk(d, *ops)
             f = vj - 0.5 * vk
             nao = d.shape[0]
             return d + 1e-6 * (f - jnp.trace(f) / nao * jnp.eye(nao, dtype=d.dtype))
@@ -67,15 +77,19 @@ def chained(jk):
     return jax.jit(run)
 
 
-def marginal_time(fn, dm, n1, n2, reps=5):
-    for _ in range(1):
-        jax.block_until_ready(fn(dm, n2))
+def marginal_time(fn, dm, n1, n2, ops=(), reps=5):
+    _sync(fn(dm, n2, *ops))   # compile warmup
     ts = []
-    for _ in range(reps):
+    rng = np.random.default_rng()   # time-seeded: values unique per run
+    for r in range(reps):
+        # fresh input each rep, and _sync (host read) as the barrier —
+        # the tunneled runtime executes lazily and can replay cached
+        # results for previously-seen inputs
+        d = dm * np.float32(1.0 + 1e-6 * rng.uniform(0.5, 1.5))
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(dm, n1))
+        _sync(fn(d, n1, *ops))
         t1 = time.perf_counter()
-        jax.block_until_ready(fn(dm, n2))
+        _sync(fn(d, n2, *ops))
         t2 = time.perf_counter()
         ts.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
     return float(np.median(ts))
@@ -136,7 +150,7 @@ def main():
     from pyscf_isdf_tpu.ops.pallas_ao import make_ao_evaluator
     evaluator = make_ao_evaluator(cell, dtype=dtype)
     aoR = evaluator()
-    jax.block_until_ready(aoR)
+    _sync(aoR)
     coulG = jnp.asarray(coulomb.get_coulG(cell), dtype)
     log(f"aoR (Pallas) + kernels build: {time.perf_counter()-t0:.1f} s")
 
@@ -155,22 +169,23 @@ def main():
                                c=float(os.environ.get("BENCH_ISDF_C",
                                                       c_default)),
                                method="cholesky-blocked", keep_v=True)
-    jax.block_until_ready(isdf.W)
+    _sync(isdf.W)
     log(f"ISDF build (n_ip={isdf.n_ip}): {time.perf_counter()-t0:.2f} s "
         "(incl compile)")
 
-    jk_isdf = lambda d: (fftdf.get_j(aoR, d, coulG, mesh3, w),
-                         isdf_mod.get_k_robust(isdf, aoR, d, w))
-    jk_fftdf = lambda d: (fftdf.get_j(aoR, d, coulG, mesh3, w),
-                          fftdf.get_k(aoR, d, coulG, mesh3, w, chunk=8))
+    jk_isdf = lambda d, ao, cg, fct: (fftdf.get_j(ao, d, cg, mesh3, w),
+                                      isdf_mod.get_k_robust(fct, ao, d, w))
+    jk_fftdf = lambda d, ao, cg: (fftdf.get_j(ao, d, cg, mesh3, w),
+                                  fftdf.get_k(ao, d, cg, mesh3, w, chunk=8))
 
     f_isdf = chained(jk_isdf)
     f_fftdf = chained(jk_fftdf)
     t0 = time.perf_counter()
-    t_isdf = marginal_time(f_isdf, dm, 2, 2 + N_ITER)
+    t_isdf = marginal_time(f_isdf, dm, 2, 2 + N_ITER, ops=(aoR, coulG, isdf))
     log(f"isdf chain compile+time: {time.perf_counter()-t0:.1f} s")
     t0 = time.perf_counter()
-    t_fftdf = marginal_time(f_fftdf, dm, 1, 1 + N_ITER_ORACLE)
+    t_fftdf = marginal_time(f_fftdf, dm, 1, 1 + N_ITER_ORACLE,
+                            ops=(aoR, coulG))
     log(f"fftdf chain compile+time: {time.perf_counter()-t0:.1f} s")
 
     # numerics check on the exchange energy. NOTE: both engines run f32
@@ -178,8 +193,8 @@ def main():
     # O(10 Ha) trace); the BASELINE 1e-6 bar is assessed in float64 on CPU
     # (BENCH_NOTES accuracy table: robust c=24 -> 5.5e-7 on diamond222 at
     # the converged density).
-    vk_ref = jax.jit(lambda d: fftdf.get_k(aoR, d, coulG, mesh3, w))(dm)
-    vk_new = jax.jit(lambda d: isdf_mod.get_k_robust(isdf, aoR, d, w))(dm)
+    vk_ref = fftdf.get_k(aoR, dm, coulG, mesh3, w)
+    vk_new = isdf_mod.get_k_robust(isdf, aoR, dm, w)
     dek = abs(float(jnp.einsum("ij,ji->", dm, vk_ref - vk_new)))
     log(f"FFTDF(TPU) J+K per iter: {t_fftdf*1e3:.2f} ms; "
         f"ISDF(robust) J+K per iter: {t_isdf*1e3:.2f} ms; "

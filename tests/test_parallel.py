@@ -101,16 +101,22 @@ def test_sharded_blocked_build_large():
     SAME interpolation points to 1e-9, and the resulting exchange matrix
     must agree with a single-device blocked factorization at fit accuracy."""
     from pyscf_isdf_tpu.models import diamond_supercell
+    from pyscf_isdf_tpu.ops.ao_eval import PackedBasis, eval_ao
+    from pyscf_isdf_tpu.ops import coulomb
 
     # dzvp so the pair rank (~21.7k) exceeds n_ip — with szv the rank is
-    # 2080 and picks beyond it are degenerate by construction
+    # 2080 and picks beyond it are degenerate by construction. Only aoR
+    # and the kernel are needed (skip the full hcore/PP system build);
+    # the XLA evaluator is used (host numpy eval of a dzvp supercell
+    # takes tens of minutes).
     cell = diamond_supercell(nrep=(2, 2, 2), mesh=(32, 32, 32),
                              basis="gth-dzvp")
-    system = build_scf_system(cell)
+    packed = PackedBasis.from_cell(cell)
+    aoR = eval_ao(packed, jnp.asarray(cell.uniform_grid()),
+                  jnp.asarray(cell.lattice_images()))
     mesh_dev = grid_mesh(8)
-    aoR_sh = jax.device_put(system.aoR,
-                            NamedSharding(mesh_dev, P(GRID_AXIS, None)))
-    coulG = jnp.asarray(system.coulG)
+    aoR_sh = jax.device_put(aoR, NamedSharding(mesh_dev, P(GRID_AXIS, None)))
+    coulG = jnp.asarray(coulomb.get_coulG(cell))
     mesh3 = tuple(cell.mesh)
     w = cell.grid_weight
     n_ip = 4096
@@ -124,13 +130,13 @@ def test_sharded_blocked_build_large():
     # strict check: rebuild xi/W single-device FROM THE SAME points
     from pyscf_isdf_tpu.df.isdf import _build_from_idx
 
-    aoRg_1, W_1, _ = _build_from_idx(system.aoR, jnp.asarray(sh.ip_idx),
+    aoRg_1, W_1, _ = _build_from_idx(aoR, jnp.asarray(sh.ip_idx),
                                      coulG, mesh3, w)
     assert np.abs(np.asarray(sh.aoRg) - np.asarray(aoRg_1)).max() < 1e-9
     assert np.abs(np.asarray(sh.W) - np.asarray(W_1)).max() < 1e-9
 
     # quality check: exchange parity against a single-device blocked build
-    ref = isdf_mod.build_isdf(system.aoR, coulG, mesh3, w, n_ip=n_ip,
+    ref = isdf_mod.build_isdf(aoR, coulG, mesh3, w, n_ip=n_ip,
                               method="cholesky-blocked")
     dm = jnp.asarray(2.0 / cell.nao * np.eye(cell.nao))
     vk_sh = isdf_mod.get_k(sh, dm)
