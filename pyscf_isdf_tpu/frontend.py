@@ -255,6 +255,27 @@ class KROHF(_KMeanField):
                             verbose=self.verbose)
 
 
+class KGHF(_KMeanField):
+    """k-point generalized (2-component spinor) HF — reference
+    pyscf/pbc/scf/kghf.py. ``density_fit`` is not supported (the spinor
+    exchange runs on the exact pair-density FFT path)."""
+
+    def __init__(self, cell, kpts, exxdiv="ewald"):
+        super().__init__(cell, kpts, xc=None, exxdiv=exxdiv)
+
+    def density_fit(self, kind: str = "isdf", c: float = 8.0):
+        raise NotImplementedError("KGHF: ISDF exchange for spinor blocks "
+                                  "is not wired up; use the FFT path")
+
+    def _kernel(self):
+        from pyscf_isdf_tpu.scf.kghf import kghf_kernel
+
+        return kghf_kernel(self.system, exxdiv=self.exxdiv,
+                           conv_tol=self.conv_tol,
+                           max_cycle=self.max_cycle,
+                           verbose=self.verbose)
+
+
 def MP2(mf: _MeanField):
     """Gamma-point MP2 on a converged RHF object; returns (e_corr, e_tot)."""
     from pyscf_isdf_tpu.mp import mp2_energy
@@ -268,4 +289,14 @@ def KMP2(mf: _KMeanField):
     from pyscf_isdf_tpu.mp.kmp2 import kmp2_energy
 
     e_corr = kmp2_energy(mf.system, mf._res)
+    return e_corr, mf._res["e_tot"] + e_corr
+
+
+def KMP2_stagger(mf: _KMeanField, flag_submesh: bool = False):
+    """Staggered-mesh k-point MP2 (reference pyscf/pbc/mp/kmp2_stagger.py)
+    on a converged KRHF object; returns (e_corr, e_tot)."""
+    from pyscf_isdf_tpu.mp.kmp2_stagger import kmp2_stagger_energy
+
+    e_corr = kmp2_stagger_energy(mf.system, mf._res,
+                                 flag_submesh=flag_submesh, xc=mf.xc)
     return e_corr, mf._res["e_tot"] + e_corr

@@ -126,9 +126,13 @@ def get_bands(system, scf_res, kpts_band, xc=None, exxdiv="ewald"):
             half = weight * jnp.einsum("gi,gj->ij", aoRb_j.conj(), aow)
             F = F + np.asarray(half + half.conj().T)
         if hyb > 0:
+            # exxdiv='vcut_sph' modifies the kernel itself (finite at q=0,
+            # no probe-charge shift needed) — used by the staggered-mesh
+            # MP2 non-SCF bands (reference kmp2_stagger.py:268-272)
+            pair_exxdiv = "vcut_sph" if exxdiv == "vcut_sph" else None
             coulG_bk = jnp.asarray(np.stack([
-                coulomb.get_coulG(cell, k=kpts_scf[k2] - kb, exxdiv=None,
-                                  kpts=kpts_scf)
+                coulomb.get_coulG(cell, k=kpts_scf[k2] - kb,
+                                  exxdiv=pair_exxdiv, kpts=kpts_scf)
                 for k2 in range(nk)
             ]))
             expmikr_bk = jnp.asarray(np.stack([

@@ -137,6 +137,7 @@ def scf_kernel(
     damping: float = 0.0,
     sigma: float = 0.0,
     smearing_method: str = "fermi",
+    v_ext: Optional[np.ndarray] = None,
     verbose: bool = False,
 ):
     """Run the SCF to convergence.
@@ -152,6 +153,11 @@ def scf_kernel(
         sigma: smearing width — the reference applies smearing() to every
             SCF class (pyscf/pbc/scf/addons.py:216), Gamma point included.
             The result then carries entropy/mu/e_free.
+        v_ext: optional (nao, nao) external one-body potential added to the
+            Fock operator each cycle but NOT to the reported energy — the
+            constrained-DFT seam (reference pyscf/pbc/dft/cdft.py:64-71
+            shifts veff while keeping ecoul/exc, i.e. the reported total
+            energy is the ordinary functional of the constrained density).
 
     Returns a dict with e_tot, mo_energy, mo_coeff, dm, converged, niter.
     """
@@ -292,6 +298,8 @@ def scf_kernel(
             e_k = -0.25 * k_scale * np.einsum("ij,ji->", dm, vk)
 
         F = hcore + veff
+        if v_ext is not None:
+            F = F + v_ext
         if level_shift > 0:
             # shift virtual levels up: F += shift (S - S D/2 S)
             F = F + level_shift * (S - S @ (0.5 * dm) @ S)

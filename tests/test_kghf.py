@@ -1,0 +1,50 @@
+"""KGHF contracts: exact KRHF limit (closed shell) and exact KUHF limit
+(collinear spin-polarized), matching the reference's class relationships
+(pyscf/pbc/scf/kghf.py is the spinor generalization of khf/kuhf)."""
+import numpy as np
+import pytest
+
+from pyscf_isdf_tpu import build_cell, lattice
+from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+from pyscf_isdf_tpu.scf.kghf import kghf_kernel
+from pyscf_isdf_tpu.scf.kuhf import kuhf_kernel
+
+
+@pytest.fixture(scope="module")
+def h2_system():
+    a = 6.0 * np.eye(3)
+    cell = build_cell(a, [["H", (3.0, 3.0, 2.4)], ["H", (3.0, 3.0, 3.6)]],
+                      basis="gth-szv", pseudo="gth-pade", mesh=[18] * 3)
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1], with_gamma_point=True)
+    return build_kscf_system(cell, kpts)
+
+
+def test_kghf_closed_shell_equals_krhf(h2_system):
+    res_r = kscf_kernel(h2_system, xc=None, exxdiv="ewald", conv_tol=1e-11)
+    res_g = kghf_kernel(h2_system, exxdiv="ewald", conv_tol=1e-11)
+    assert res_g["converged"]
+    assert res_g["e_tot"] == pytest.approx(res_r["e_tot"], abs=1e-8)
+    sx, sy, sz = res_g["spin"]
+    assert abs(sx) < 1e-6 and abs(sy) < 1e-6 and abs(sz) < 1e-6
+
+
+def test_kghf_collinear_equals_kuhf():
+    # spin-polarized H chain cell: 1 H per cell, odd electron count
+    a = np.diag([6.0, 6.0, 3.0])
+    cell = build_cell(a, [["H", (3.0, 3.0, 1.5)]],
+                      basis="gth-szv", pseudo="gth-pade", mesh=[15, 15, 9],
+                      spin=1)
+    kpts = lattice.make_kpts(cell.a, [1, 1, 2], with_gamma_point=True)
+    system = build_kscf_system(cell, kpts)
+    res_u = kuhf_kernel(system, xc=None, exxdiv="ewald", conv_tol=1e-11)
+    # embed the collinear KUHF density in the spinor diagonal blocks
+    dm_a, dm_b = np.asarray(res_u["dm"][0]), np.asarray(res_u["dm"][1])
+    nk, nao = dm_a.shape[0], dm_a.shape[1]
+    dm0 = np.zeros((nk, 2 * nao, 2 * nao), dtype=np.complex128)
+    dm0[:, :nao, :nao] = dm_a
+    dm0[:, nao:, nao:] = dm_b
+    res_g = kghf_kernel(system, exxdiv="ewald", conv_tol=1e-11, dm0=dm0)
+    assert res_g["converged"]
+    assert res_g["e_tot"] == pytest.approx(res_u["e_tot"], abs=1e-8)
+    # net collinear moment preserved: <Sz> = (N_a - N_b)/2 per cell
+    assert res_g["spin"][2] == pytest.approx(0.5, abs=1e-6)
