@@ -89,6 +89,35 @@ def get_k(aoR, dm, coulG, mesh, weight, chunk: int = 16):
     return vk_blocks.reshape(-1, nao)[:nao]
 
 
+def get_k_occ(aoR, mo_w, coulG, mesh, weight, chunk: int = 16):
+    """Exchange via occupied-MO pair-density FFTs (Gamma point).
+
+    The reference's tagged-DM fast path (pyscf/pbc/df/fft_jk.py:235-259:
+    when the density matrix carries mo_coeff/mo_occ, exchange pairs are
+    built against the nocc occupied orbitals instead of all nao AOs) —
+    nao*nocc grid FFTs per build instead of nao^2, an nao/nocc speedup.
+
+    Args:
+        mo_w: (ng, nocc) occupied MOs on the grid, each scaled by
+            sqrt(occ) — K[dm] with dm = (C*occ) C^T exactly.
+    """
+    ng, nao = aoR.shape
+    no = mo_w.shape[1]
+    aoT = aoR.T                                               # (nao, ng)
+    cdtype = jnp.complex128 if aoR.dtype == jnp.float64 else jnp.complex64
+
+    def k_chunk(blk):                                         # (b, ng) AOs
+        rho1 = blk[:, None, :] * mo_w.T[None, :, :]           # (b, no, ng)
+        vG = coulG[None, None, :] * fft3(rho1.astype(cdtype), mesh)
+        vR = ifft3(vG, mesh).real.astype(aoR.dtype)
+        return jnp.einsum("big,ig->bg", vR, mo_w.T)           # (b, ng)
+
+    npad = (-nao) % chunk
+    blocks = jnp.pad(aoT, ((0, npad), (0, 0))).reshape(-1, chunk, ng)
+    acc = jax.lax.map(k_chunk, blocks).reshape(-1, ng)[:nao]  # (nao, ng)
+    return weight * (acc @ aoR)
+
+
 def apply_ewald_exxdiv(vk, dm, ovlp, madelung):
     """Probe-charge G=0 exchange correction: vk += madelung * S D S.
 

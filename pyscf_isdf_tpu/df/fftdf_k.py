@@ -114,6 +114,46 @@ def get_k_band(aoRb, aoR_k, dm_k, coulG_bk, expmikr_bk, mesh, kweight,
 
 
 @partial(jax.jit, static_argnames=("mesh", "chunk", "k1_idx"))
+def get_k_kpts_occ(aoR_k, mo_w_k, coulG_pairs, expmikr, mesh, weight,
+                   chunk: int = 8, k1_idx=None):
+    """Exchange at all k via occupied-MO pair densities.
+
+    k-point analog of the reference's tagged-DM fast path
+    (pyscf/pbc/df/fft_jk.py:235-259): per (k1, k2) block the FFT batch
+    is (nao x nocc) instead of (nao x nao).
+
+    Args:
+        mo_w_k: (nk, ng, nocc) occupied Bloch MOs on the grid, each
+            column scaled by sqrt(occ) — equals K[dm] for
+            dm_k = (C_k * occ_k) C_k^H.
+    """
+    nk, ng, nao = aoR_k.shape
+    no = mo_w_k.shape[2]
+    k1_list = tuple(range(nk)) if k1_idx is None else tuple(k1_idx)
+    cd = _cdtype(aoR_k.dtype)
+    vk = {k1: jnp.zeros((nao, nao), cd) for k1 in k1_list}
+    npad = (-nao) % chunk
+
+    for k2 in range(nk):
+        moT = mo_w_k[k2].T                                   # (no, ng)
+        for k1 in k1_list:
+            cG = coulG_pairs[k2, k1]
+            phase = expmikr[k2, k1].astype(cd)
+            ao1T = aoR_k[k1].T
+
+            def k_chunk(blk):                  # (b, ng) of conj(ao1T)*phase
+                rho1 = blk[:, None, :] * moT[None, :, :]      # (b, no, ng)
+                vG = cG[None, None, :] * fft3(rho1, mesh)
+                vR = ifft3(vG, mesh)
+                return jnp.einsum("big,ig->bg", vR, moT.conj())
+
+            blks = jnp.pad(ao1T.conj() * phase[None, :], ((0, npad), (0, 0)))
+            acc = jax.lax.map(k_chunk, blks.reshape(-1, chunk, ng))
+            acc = acc.reshape(-1, ng)[:nao] * phase.conj()[None, :]
+            vk[k1] = vk[k1] + weight * (acc @ ao1T.T)
+    return jnp.stack([vk[k1] for k1 in k1_list])
+
+
 def get_k_kpts(aoR_k, dm_k, coulG_pairs, expmikr, mesh, weight, chunk: int = 8,
                k1_idx=None):
     """Exchange matrices at all k (double k-loop pair-density FFTs).

@@ -70,7 +70,8 @@ def _q_kernel(cell, kpts, coords, ki, ka):
     return jnp.asarray(coulG_q), jnp.asarray(expmiqr)
 
 
-def kmp2_energy(system, kscf_res, nocc=None, frozen: int = 0) -> float:
+def kmp2_energy(system, kscf_res, nocc=None, frozen: int = 0,
+                ki_list=None, ki_weights=None) -> float:
     """KMP2 correlation energy from a converged KRHF result.
 
     Args:
@@ -79,6 +80,11 @@ def kmp2_energy(system, kscf_res, nocc=None, frozen: int = 0) -> float:
         nocc: occupied count — int (uniform), per-k list, or None (from
             mo_occ when present, else nelectron/2).
         frozen: number of frozen-core orbitals per k-point.
+        ki_list / ki_weights: optional restriction of the outer ki loop
+            to symmetry-irreducible k-points with orbit-size weights
+            (sum = nk) — the reference's kmp2_ksymm reduction
+            (pyscf/pbc/mp/kmp2_ksymm.py); exact by the invariance of the
+            (kj, ka) inner sums under the ki orbit.
     """
     cell = system.cell
     kpts = system.kpts
@@ -105,8 +111,12 @@ def kmp2_energy(system, kscf_res, nocc=None, frozen: int = 0) -> float:
     no = moR_o[0].shape[1]
     nv = moR_v[0].shape[1]
 
+    if ki_list is None:
+        ki_list = range(nk)
+        ki_weights = [1.0] * nk
+
     emp2 = 0.0
-    for ki in range(nk):
+    for ki, w_i in zip(ki_list, ki_weights):
         for kj in range(nk):
             oovv = {}
             for ka in range(nk):
@@ -129,8 +139,31 @@ def kmp2_energy(system, kscf_res, nocc=None, frozen: int = 0) -> float:
                 edi = np.einsum("ijab,ijab->", t2, oovv[ka]).real * 2
                 exi = -np.einsum("ijab,ijab->", t2,
                                  oovv[kb].transpose(0, 1, 3, 2)).real
-                emp2 += edi + exi
+                emp2 += w_i * (edi + exi)
     return float(emp2 / nk)
+
+
+def kmp2_ksymm_energy(system, ibz_res, nocc=None, frozen: int = 0) -> float:
+    """KMP2 on an IBZ-symmetry SCF result (reference kmp2_ksymm.py).
+
+    Expands the IBZ MOs to the full BZ through the space-group AO
+    rotations (symm.expand_mos) and restricts the outer ki loop to the
+    irreducible wedge with orbit weights — an nk/nk_ibz reduction of
+    both the SCF that produced the orbitals and the MP2 triple loop.
+
+    Args:
+        system: KSCFSystem built on the FULL k-point set.
+        ibz_res: result dict of kscf_ibz_kernel (carries the IBZInfo).
+    """
+    from pyscf_isdf_tpu import symm
+
+    info = ibz_res["ibz"]
+    mo_e, mo_c = symm.expand_mos(system.cell, info, ibz_res["mo_coeff"],
+                                 ibz_res["mo_energy"])
+    res_full = {"mo_energy": mo_e, "mo_coeff": mo_c}
+    return kmp2_energy(system, res_full, nocc=nocc, frozen=frozen,
+                       ki_list=[int(i) for i in info.ibz_idx],
+                       ki_weights=[float(w) for w in info.weights])
 
 
 def kump2_energy(system, kuhf_res, nocc=None, frozen: int = 0) -> float:

@@ -69,14 +69,18 @@ def converged_st_mesh(cell) -> tuple:
 
 
 def overlap_and_kinetic(cell, mesh=None, kpt=None):
-    """Analytic-FT overlap and kinetic matrices via G-space quadrature.
+    """Overlap and kinetic matrices, exact lattice sums.
 
-    The quadrature mesh is chosen independently of the SCF mesh so the
-    G-sum is converged to machine precision (matching the reference's
-    analytic lattice-sum integrals). Returns (S, T) real float64 at Gamma,
+    Dispatches to the closed-form real-space path
+    (:func:`overlap_and_kinetic_analytic`) — O(nshell^2 nprim^2 nimg)
+    host work, independent of basis steepness — unless an explicit
+    quadrature ``mesh`` is requested, in which case the G-space
+    formulation below is used (kept as an independent cross-check; the
+    two agree to ~1e-12, tested). Returns (S, T) real float64 at Gamma,
     complex at finite k.
     """
-    mesh = mesh or converged_st_mesh(cell)
+    if mesh is None:
+        return overlap_and_kinetic_analytic(cell, kpt=kpt)
     Gv = cell.get_Gv(mesh)
     if kpt is not None:
         kG = Gv + np.asarray(kpt)[None, :]
@@ -89,6 +93,115 @@ def overlap_and_kinetic(cell, mesh=None, kpt=None):
     if kpt is None or np.allclose(kpt, 0):
         return s.real, t.real
     return s, t
+
+
+def overlap_and_kinetic_analytic(cell, kpt=None, ktol=1e-16):
+    """Closed-form lattice-sum overlap and kinetic matrices.
+
+    Real-space analog of the G-space quadrature (functional counterpart
+    of the reference's libcint ``pbc_intor('int1e_ovlp'/'int1e_kin')``,
+    pyscf/pbc/scf/hf.py:633-658): per primitive pair and lattice image,
+    the Gaussian product theorem reduces both integrals to 1-D moments
+    E_n = int x^n e^{-p x^2} dx. The kinetic operator uses the identity
+    (S_lm harmonic, homogeneous degree l):
+
+        -1/2 nabla^2 [S_lm(u) e^{-b u^2}] = b(2l+3) phi - 2 b^2 u^2 phi
+
+    so T needs only the same moments with the ket monomial raised by 2.
+    Cost is O(nshell^2 nprim^2 nimg) — INDEPENDENT of basis steepness,
+    unlike the G-space route whose quadrature mesh grows like a_max^{3/2}
+    (prohibitive for all-electron cores). Agreement with the G-space
+    version is ~1e-13 (tested).
+    """
+    from math import comb
+
+    nao = cell.nao
+    ao_loc = cell.ao_loc
+    images = cell.lattice_images()
+    kv = np.zeros(3) if kpt is None else np.asarray(kpt, dtype=np.float64)
+    cplx = np.abs(kv).sum() > 1e-12
+    dt = np.complex128 if cplx else np.float64
+    S = np.zeros((nao, nao), dtype=dt)
+    T = np.zeros((nao, nao), dtype=dt)
+
+    shells = list(enumerate(cell.shells))
+    for ish, shi in shells:
+        A = cell.coords[shi.atom]
+        mi, Ci = _monos(shi.l)
+        for jsh, shj in shells:
+            B0 = cell.coords[shj.atom]
+            mj, Cj = _monos(shj.l)
+            lj = shj.l
+            nm_i, nm_j = len(mi), len(mj)
+            s_shell = np.zeros((nm_i, nm_j), dtype=dt)
+            t_shell = np.zeros((nm_i, nm_j), dtype=dt)
+            s_kl = np.zeros((shi.coeffs.shape[1], shj.coeffs.shape[1],
+                             nm_i, nm_j), dtype=dt)
+            t_kl = np.zeros_like(s_kl)
+            for ip, a in enumerate(shi.exps):
+                for jp, b in enumerate(shj.exps):
+                    p = a + b
+                    AB = A[None, :] - B0[None, :] - images
+                    K = np.exp(-(a * b / p)
+                               * np.einsum("ti,ti->t", AB, AB))
+                    sel = K > ktol
+                    if not sel.any():
+                        continue
+                    Ksel = K[sel]
+                    Timg = images[sel]
+                    B = B0[None, :] + Timg
+                    P = (a * A[None, :] + b * B) / p
+                    dA = P - A[None, :]
+                    dB = P - B
+                    ph = Ksel * np.exp(1j * Timg @ kv) if cplx else Ksel
+                    nmax = shi.l + lj + 2
+                    E = np.zeros(nmax + 1)
+                    E[0] = np.sqrt(np.pi / p)
+                    for n in range(2, nmax + 1, 2):
+                        E[n] = E[n - 2] * (n - 1) / (2 * p)
+
+                    def axis_val(na, nb, d):
+                        v = np.zeros(len(Ksel))
+                        for e in range(na + 1):
+                            ca = comb(na, e) * dA[:, d] ** (na - e)
+                            for f in range(nb + 1):
+                                if E[e + f] == 0.0:
+                                    continue
+                                v += ca * comb(nb, f) \
+                                    * dB[:, d] ** (nb - f) * E[e + f]
+                        return v
+
+                    def accum(al, be):
+                        return (axis_val(al[0], be[0], 0)
+                                * axis_val(al[1], be[1], 1)
+                                * axis_val(al[2], be[2], 2))
+
+                    s_ij = np.empty((len(Ksel), nm_i, nm_j))
+                    m_ij = np.empty_like(s_ij)
+                    for ii, al in enumerate(mi):
+                        for jj, be in enumerate(mj):
+                            s_ij[:, ii, jj] = accum(al, be)
+                            mm = 0.0
+                            for d in range(3):
+                                be2 = list(be)
+                                be2[d] += 2
+                                mm = mm + accum(al, tuple(be2))
+                            m_ij[:, ii, jj] = mm
+                    s_blk = np.einsum("t,tij->ij", ph, s_ij)
+                    t_blk = b * (2 * lj + 3) * s_blk \
+                        - 2.0 * b * b * np.einsum("t,tij->ij", ph, m_ij)
+                    ckl = np.einsum("k,l->kl", shi.coeffs[ip],
+                                    shj.coeffs[jp])
+                    s_kl += ckl[:, :, None, None] * s_blk[None, None]
+                    t_kl += ckl[:, :, None, None] * t_blk[None, None]
+            # monomials -> solid harmonics, contractions -> AO block
+            s_shell = np.einsum("klij,mi,nj->kmln", s_kl, Ci, Cj)
+            t_shell = np.einsum("klij,mi,nj->kmln", t_kl, Ci, Cj)
+            i0, i1 = ao_loc[ish], ao_loc[ish + 1]
+            j0, j1 = ao_loc[jsh], ao_loc[jsh + 1]
+            S[i0:i1, j0:j1] += s_shell.reshape(shi.nao, shj.nao)
+            T[i0:i1, j0:j1] += t_shell.reshape(shi.nao, shj.nao)
+    return S, T
 
 
 # ------------------------------------------------- analytic AO-pair FTs

@@ -190,6 +190,7 @@ def scf_kernel(
     if is_gga:
         ao_grad = ao_gradient_fft(aoR, mesh, jnp.asarray(system.Gv, dtype=aoR.dtype))
 
+    internal_jk = get_jk is None
     if get_jk is None:
         if df not in ("fftdf", "isdf", "isdf-robust"):
             raise ValueError(f"unknown df engine {df!r}: use 'fftdf', "
@@ -235,10 +236,20 @@ def scf_kernel(
                     + (alpha - hyb) * fftdf.get_k(aoR, dmj, coulG_lr, mesh,
                                                   weight)
 
-        def get_jk(dm, with_k):
+        occ_k_capable = df == "fftdf" and not rsh
+
+        def get_jk(dm, with_k, C_w=None):
             dmj = jnp.asarray(dm, dtype=aoR.dtype)
             vj = fftdf.get_j(aoR, dmj, coulG, mesh, weight)
-            vk = get_k_fn(dmj) if with_k else None
+            if not with_k:
+                return vj, None
+            if C_w is not None and occ_k_capable:
+                # occupied-MO fast exchange (reference's tagged-DM path,
+                # fft_jk.py:235-259): nao*nocc FFTs instead of nao^2
+                mo_grid = aoR @ jnp.asarray(C_w, aoR.dtype)
+                vk = fftdf.get_k_occ(aoR, mo_grid, coulG_k, mesh, weight)
+            else:
+                vk = get_k_fn(dmj)
             return vj, vk
 
     S, hcore, X = system.S, system.hcore, system.X
@@ -275,8 +286,12 @@ def scf_kernel(
     e_last = 0.0
     conv = False
 
+    C_w = None
     for it in range(max_cycle):
-        vj, vk = get_jk(dm, need_k)
+        if internal_jk:
+            vj, vk = get_jk(dm, need_k, C_w)
+        else:
+            vj, vk = get_jk(dm, need_k)
         vj = np.asarray(vj, dtype=np.float64)
         veff = vj.copy()
         e_xc = 0.0
@@ -313,6 +328,10 @@ def scf_kernel(
 
         mo_e, mo_c = eig(F)
         dm_new, mo_occ = make_dm(mo_e, mo_c)
+        # integer occupations -> occupied-MO exchange next cycle (smeared
+        # occupations vary in count and would retrigger jit compiles)
+        C_w = None if (sigma and sigma > 0) \
+            else mo_c[:, :nocc] * np.sqrt(2.0)
 
         e_elec = (
             np.einsum("ij,ji->", dm, hcore)

@@ -157,6 +157,7 @@ def kscf_kernel(
             for k in range(nk)
         ])  # (nk, 3, ng, nao)
 
+    internal_jk = get_jk is None
     if get_jk is None:
         if df not in ("fftdf", "isdf"):
             raise ValueError(f"unknown df engine {df!r}: use 'fftdf' or 'isdf'")
@@ -204,10 +205,23 @@ def kscf_kernel(
         else:
             get_k_fn = None
 
-        def get_jk(dm_k, with_k):
+        occ_k_capable = df == "fftdf" and not rsh and ex_kern is None
+
+        def get_jk(dm_k, with_k, C_w_k=None):
             dmj = jnp.asarray(dm_k, dtype=aoR_k.dtype)
             vj = fftdf_k.get_j_kpts(aoR_k, dmj, coulG, mesh, weight)
-            vk = get_k_fn(dmj) if with_k else None
+            if not with_k:
+                return vj, None
+            if C_w_k is not None and occ_k_capable:
+                # occupied-MO fast exchange (reference tagged-DM path,
+                # fft_jk.py:235-259): nao*nocc FFTs per (k1,k2) block
+                mo_w_k = jnp.einsum(
+                    "kgm,kmi->kgi", aoR_k,
+                    jnp.asarray(C_w_k, dtype=aoR_k.dtype))
+                vk = fftdf_k.get_k_kpts_occ(
+                    aoR_k, mo_w_k, coulG_pairs, expmikr, mesh, kweight)
+            else:
+                vk = get_k_fn(dmj)
             return vj, vk
 
     S, hcore, X = system.S, system.hcore, system.X
@@ -249,8 +263,12 @@ def kscf_kernel(
     e_last = 0.0
     conv = False
 
+    C_w_k = None
     for it in range(max_cycle):
-        vj, vk = get_jk(dm, need_k)
+        if internal_jk:
+            vj, vk = get_jk(dm, need_k, C_w_k)
+        else:
+            vj, vk = get_jk(dm, need_k)
         vj = np.asarray(vj, dtype=np.complex128)
         veff = vj.copy()
         e_xc = 0.0
@@ -302,6 +320,17 @@ def kscf_kernel(
         mo_e, mo_c = eig_all(F)
         occs = occupations(mo_e)
         dm_new = np.stack([(c * o) @ c.conj().T for c, o in zip(mo_c, occs)])
+        # occupied-MO exchange next cycle: only for a uniform integer
+        # fill (per-k counts must agree for the static (nk,nao,no) stack)
+        C_w_k = None
+        if not (sigma and sigma > 0):
+            counts = [int(np.sum(o > 0)) for o in occs]
+            if len(set(counts)) == 1 and counts[0] > 0:
+                no_k = counts[0]
+                C_w_k = np.stack([
+                    c[:, :no_k] * np.sqrt(o[:no_k])
+                    for c, o in zip(mo_c, occs)
+                ])
 
         e1 = np.einsum("kij,kji->", dm, hcore).real / nk
         ecoul = 0.5 * np.einsum("kij,kji->", dm, vj).real / nk

@@ -249,6 +249,33 @@ def expand_dm(cell, info: IBZInfo, dm_ibz) -> np.ndarray:
     return out
 
 
+def expand_mos(cell, info: IBZInfo, mo_c_ibz, mo_e_ibz):
+    """Expand IBZ MO coefficients/energies to the full BZ.
+
+    C^{k_j} = [conj if tr](P_op C^{k_i}) with k_j = (-1)^tr R_op k_i —
+    the rotated orbitals diagonalize the rotated Fock exactly when the
+    mesh respects the symmetry (reference analog: the MO transforms of
+    pyscf/pbc/lib/kpts.py:441-631 consumed by kmp2_ksymm). MO energies
+    are orbit-invariant. Returns (mo_e_full list, mo_c_full list).
+    """
+    Pcache: dict[tuple[int, int], np.ndarray] = {}
+    es, cs = [], []
+    for j in range(info.nk):
+        r = int(info.bz2ibz[j])
+        i = int(info.ibz_idx[r])
+        iop = int(info.op_idx[j])
+        key = (iop, i)
+        if key not in Pcache:
+            Pcache[key] = ao_rotation_matrix(cell, info.ops[iop],
+                                             info.kpts[i])
+        c = Pcache[key] @ np.asarray(mo_c_ibz[r])
+        if info.tr[j]:
+            c = c.conj()
+        cs.append(c)
+        es.append(np.asarray(mo_e_ibz[r]))
+    return es, cs
+
+
 def check_mesh_symmetry(cell, ops, mesh=None, tol: float = 1e-8):
     """Grid-index permutations g: idx[g] such that f(g^{-1} r_i) = f[idx_g[i]]
     for fields sampled on the uniform mesh. Returns {op_index: perm} for the

@@ -47,6 +47,26 @@ def _fxc_lda_channels(xcspec: XCSpec, rho):
 def make_ktda_matvec(system, kscf_res, xc=None, singlet=True, isdfk=None,
                      nocc=None):
     """Return (matvec(x (nk,no,nv) complex), diag) for the k-point TDA."""
+    apply_a, _, diag = make_ktddft_ops(system, kscf_res, xc=xc,
+                                       singlet=singlet, isdfk=isdfk,
+                                       nocc=nocc)
+    return apply_a, diag
+
+
+def make_ktddft_ops(system, kscf_res, xc=None, singlet=True, isdfk=None,
+                    nocc=None):
+    """(apply_A, apply_B, diag) response actions for k-point TDDFT.
+
+    A is the TDA block; B is the de-excitation coupling (full Casida,
+    reference analog pyscf/pbc/tdscf/krks.py TDDFT). Both act on complex
+    amplitudes (nk, no, nv). With the convention (A x)_{ia} =
+    <a| dF[dD_x] |i> + delta-e, dD_x = sum x_jb psi_b psi_j^dag, the B
+    action is the SAME Fock-response projection evaluated at the
+    conjugate-component perturbation dD_y = sum y_jb psi_j psi_b^dag —
+    so A and B share every precomputed object and differ only in how the
+    transition density / IP density block is assembled from the
+    amplitudes.
+    """
     nk = len(system.kpts)
     mo_e = [np.asarray(e) for e in kscf_res["mo_energy"]]
     mo_c = [jnp.asarray(c) for c in kscf_res["mo_coeff"]]
@@ -171,7 +191,83 @@ def make_ktda_matvec(system, kscf_res, xc=None, singlet=True, isdfk=None,
             out = out + gga(xk)
         return out
 
-    return _matvec, diag
+    @jax.jit
+    def _matvec_b(y):
+        yk = y.astype(cdt)
+        out = jnp.zeros_like(yk)
+
+        # de-excitation perturbation dD_y = sum y_jb psi_j psi_b^dag:
+        # q=0 density rho_y(g) = (1/nk) sum phi_j y_jb conj(phi_b)
+        rho_y = jnp.einsum("kgj,kjb,kgb->g", Mo, yk, Mv.conj()) / nk
+
+        if fac != 0.0:
+            vG = coulG * fftdf.fft3(rho_y, mesh)
+            vR = fftdf.ifft3(vG, mesh)
+            out = out + fac * w * jnp.einsum("kgi,g,kga->kia", Mo, vR,
+                                             Mv.conj())
+
+        if hyb > 0:
+            qmap = isdfk.qmap
+            Wq = isdfk.Wq
+            ky = []
+            for k1 in range(nk):
+                acc = jnp.zeros((Uv.shape[2], Uo.shape[2]), cdt)
+                for k2 in range(nk):
+                    My = Uo[k2] @ yk[k2] @ Uv[k2].conj().T     # (nip, nip)
+                    W = Wq[qmap[k2, k1]]
+                    acc = acc + Uv[k1].conj().T @ (My * W.conj()) @ Uo[k1]
+                ky.append(acc.T / nk)
+            out = out - hyb * jnp.stack(ky)
+
+        if fxc is not None:
+            out = out + w * jnp.einsum(
+                "kgi,g,kga->kia", Mo, fxc * rho_y, Mv.conj())
+        if gga is not None:
+            drho = jnp.einsum("kgj,kjb,kgb->g", Mo, yk, Mv.conj()) / nk
+            dgrho = (jnp.einsum("kxgj,kjb,kgb->xg", Mo_g, yk, Mv.conj())
+                     + jnp.einsum("kgj,kjb,kxgb->xg", Mo, yk,
+                                  Mv_g.conj())) / nk
+            _, out_r = jax.jvp(vxc_ov, (rho0, g0),
+                               (2.0 * drho.real, 2.0 * dgrho.real))
+            _, out_i = jax.jvp(vxc_ov, (rho0, g0),
+                               (2.0 * drho.imag, 2.0 * dgrho.imag))
+            out = out + out_r + 1j * out_i
+        return out
+
+    return _matvec, _matvec_b, diag
+
+
+def ktddft_kernel(system, kscf_res, xc=None, nstates=3, singlet=True,
+                  isdfk=None, nocc=None):
+    """Full k-point TDDFT (Casida/RPA) excitation energies at q=0.
+
+    Solves the non-Hermitian RPA problem
+        [[A, B], [-conj(B), -conj(A)]] [x, y] = w [x, y]
+    with A and B materialized column-by-column through the matrix-free
+    response actions (reference analog: pyscf/pbc/tdscf/krks.py TDDFT;
+    the reference also diagonalizes the paired problem, via its own
+    real-ified Davidson). Suited to the moderate nk*no*nv response
+    dimensions of solids work; the TDA path stays fully iterative.
+
+    Returns the lowest ``nstates`` positive excitation energies (Hartree).
+    """
+    apply_a, apply_b, diag = make_ktddft_ops(system, kscf_res, xc=xc,
+                                             singlet=singlet, isdfk=isdfk,
+                                             nocc=nocc)
+    shape = diag.shape
+    n = int(np.prod(shape))
+    A = np.zeros((n, n), dtype=np.complex128)
+    B = np.zeros((n, n), dtype=np.complex128)
+    for j in range(n):
+        e = np.zeros(n, dtype=np.complex128)
+        e[j] = 1.0
+        ej = jnp.asarray(e.reshape(shape))
+        A[:, j] = np.asarray(apply_a(ej)).reshape(-1)
+        B[:, j] = np.asarray(apply_b(ej)).reshape(-1)
+    M = np.block([[A, B], [-np.conj(B), -np.conj(A)]])
+    w = np.linalg.eigvals(M)
+    w = np.sort(w.real[(np.abs(w.imag) < 1e-8) & (w.real > 1e-10)])
+    return w[:nstates]
 
 
 def ktda_davidson(system, kscf_res, xc=None, nstates=3, singlet=True,

@@ -171,3 +171,24 @@ def test_native_ao_kernel_matches_numpy():
     a = eval_ao_numpy(cell, use_native=True)
     b = eval_ao_numpy(cell, use_native=False)
     assert np.abs(a - b).max() < 1e-12
+
+
+def test_analytic_st_matches_gspace_quadrature():
+    """Closed-form lattice-sum S/T == converged G-space quadrature
+    (independent formulations; the analytic path is the default because
+    its cost does not grow with basis steepness — all-electron cores)."""
+    from pyscf_isdf_tpu.models import diamond_primitive
+    from pyscf_isdf_tpu.ops.ft_ao import (overlap_and_kinetic,
+                                          overlap_and_kinetic_analytic,
+                                          converged_st_mesh)
+
+    cell = diamond_primitive(mesh=(14, 14, 14))
+    S0, T0 = overlap_and_kinetic(cell, mesh=converged_st_mesh(cell))
+    S1, T1 = overlap_and_kinetic_analytic(cell)
+    assert np.abs(S1 - S0).max() < 1e-12
+    assert np.abs(T1 - T0).max() < 1e-11
+    k = np.array([0.123, -0.272, 0.431])
+    S0k, T0k = overlap_and_kinetic(cell, mesh=converged_st_mesh(cell), kpt=k)
+    S1k, T1k = overlap_and_kinetic_analytic(cell, kpt=k)
+    assert np.abs(S1k - S0k).max() < 1e-12
+    assert np.abs(T1k - T0k).max() < 1e-11

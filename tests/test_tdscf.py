@@ -186,3 +186,39 @@ def test_ktda_subset_of_supercell():
     es, _ = tda_kernel(ssys, sres, xc="lda,vwn", nstates=10)
     for e in ek:
         assert np.min(np.abs(es - e)) < 1e-5
+
+
+def test_ktddft_gamma_limit(ground_state):
+    """Full k-point TDDFT (Casida) at a single Gamma point reproduces the
+    dense Gamma Casida solver, for LDA."""
+    from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+    from pyscf_isdf_tpu.tdscf.ktda import ktddft_kernel
+
+    cell, system, _ = ground_state
+    res = scf_kernel(system, xc="lda,vwn", conv_tol=1e-9)
+    e_g = tddft_kernel(system, res, xc="lda,vwn", nstates=3)
+    ksys = build_kscf_system(cell, np.zeros((1, 3)))
+    kres = kscf_kernel(ksys, xc="lda,vwn", conv_tol=1e-9)
+    e_k = ktddft_kernel(ksys, kres, xc="lda,vwn", nstates=8)
+    uniq_k = np.unique(np.round(e_k, 7))
+    uniq_g = np.unique(np.round(np.asarray(e_g), 7))
+    assert np.abs(uniq_k[:2] - uniq_g[:2]).max() < 1e-6
+
+
+def test_ktddft_below_ktda(ground_state):
+    """RPA lowers every excitation relative to TDA (k-sampled LDA run)."""
+    from pyscf_isdf_tpu import lattice
+    from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+    from pyscf_isdf_tpu.tdscf.ktda import ktda_davidson, ktddft_kernel
+
+    cell, _, _ = ground_state
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1], with_gamma_point=True)
+    ksys = build_kscf_system(cell, kpts)
+    kres = kscf_kernel(ksys, xc="lda,vwn", conv_tol=1e-9)
+    e_tda, _ = ktda_davidson(ksys, kres, xc="lda,vwn", nstates=6)
+    e_rpa = ktddft_kernel(ksys, kres, xc="lda,vwn", nstates=3)
+    u_tda = np.unique(np.round(np.asarray(e_tda), 7))
+    assert (e_rpa > 0).all()
+    # state-by-state: RPA <= TDA for the lowest roots
+    for i in range(2):
+        assert e_rpa[i] <= u_tda[i] + 1e-8
