@@ -300,3 +300,51 @@ def KMP2_stagger(mf: _KMeanField, flag_submesh: bool = False):
     e_corr = kmp2_stagger_energy(mf.system, mf._res,
                                  flag_submesh=flag_submesh, xc=mf.xc)
     return e_corr, mf._res["e_tot"] + e_corr
+
+
+def _isdfk_for_exchange(mf):
+    """k-ISDF factors for exact-exchange response, when the ground state
+    has exchange (HF, or a hybrid functional)."""
+    from pyscf_isdf_tpu.ops.xc import XCSpec
+
+    hyb = 1.0 if mf.xc is None else XCSpec(mf.xc).hyb
+    if hyb <= 0:
+        return None
+    from pyscf_isdf_tpu.df import isdf_k
+
+    return isdf_k.build_isdf_k(mf.cell, mf.system.aoR_k, mf.system.kpts,
+                               c=mf.isdf_c)
+
+
+def TDA(mf, nstates=5, singlet=True):
+    """Excitation energies: dense TDA for Gamma mean-fields, Davidson
+    k-TDA (ISDF exchange response) for k-point mean-fields — the
+    reference's mf.TDA() analog. Returns energies in Hartree."""
+    if isinstance(mf, _KMeanField):
+        from pyscf_isdf_tpu.tdscf.ktda import ktda_davidson
+
+        e, _ = ktda_davidson(mf.system, mf._res, xc=mf.xc,
+                             nstates=2 * nstates, singlet=singlet,
+                             isdfk=_isdfk_for_exchange(mf))
+        # the realified Davidson doubles complex multiplicities
+        return np.unique(np.round(np.asarray(e), 9))[:nstates]
+    from pyscf_isdf_tpu.tdscf import tda_kernel
+
+    e, _ = tda_kernel(mf.system, mf._res, xc=mf.xc, nstates=nstates,
+                      singlet=singlet)
+    return np.asarray(e)
+
+
+def TDDFT(mf, nstates=5, singlet=True):
+    """Full linear-response (Casida/RPA) excitation energies; dense at
+    Gamma, paired-response solver at k (reference mf.TDDFT() analog)."""
+    if isinstance(mf, _KMeanField):
+        from pyscf_isdf_tpu.tdscf.ktda import ktddft_kernel
+
+        return np.asarray(ktddft_kernel(mf.system, mf._res, xc=mf.xc,
+                                        nstates=nstates, singlet=singlet,
+                                        isdfk=_isdfk_for_exchange(mf)))
+    from pyscf_isdf_tpu.tdscf import tddft_kernel
+
+    return np.asarray(tddft_kernel(mf.system, mf._res, xc=mf.xc,
+                                   nstates=nstates, singlet=singlet))
