@@ -90,8 +90,16 @@ def _build_from_idx(aoR, ip_idx, coulG, mesh, weight, fft_chunk: int = 128,
     eps = jnp.asarray(1e-12 if is_f64 else 3e-7, aoR.dtype) \
         * (jnp.trace(C1) / nip if is_f64 else jnp.trace(C1))
     C1r = C1 + eps * jnp.eye(nip, dtype=aoR.dtype)
-    cho = jax.scipy.linalg.cho_factor(C1r)
-    xi = jax.scipy.linalg.cho_solve(cho, C2.T)            # (nip, ng)
+    # Cholesky solve applied as two GEMMs with the explicit inverse
+    # factor: XLA's blocked triangular_solve on a grid-sized RHS keeps
+    # every per-panel temp alive simultaneously (~nip^2 ng / 256 bytes —
+    # 19.7 GB at the 3x3x3 bench scale, an HBM OOM); inverting the SMALL
+    # (nip, nip) factor once and streaming the RHS through the MXU is
+    # mathematically the same solve with O(nip ng) peak memory.
+    L = jnp.linalg.cholesky(C1r)
+    Linv = jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(nip, dtype=aoR.dtype), lower=True)
+    xi = Linv.T @ (Linv @ C2.T)                           # (nip, ng)
 
     # W = w * xi V xi^T with V the Coulomb kernel on the mesh, streamed:
     # each fft_chunk of xi is FFT'd once (shared across kernels) and

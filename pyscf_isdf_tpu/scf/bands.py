@@ -43,8 +43,10 @@ def get_bands(system, scf_res, kpts_band, xc=None, exxdiv="ewald"):
     weight = system.weight
     xcspec = XCSpec(xc) if xc is not None else None
     hyb = 1.0 if xcspec is None else xcspec.hyb
-    if xcspec is not None and getattr(xcspec, "omega", 0.0):
-        raise NotImplementedError("RSH band structures: todo")
+    alpha = hyb if xcspec is None else xcspec.alpha
+    omega = 0.0 if xcspec is None else getattr(xcspec, "omega", 0.0)
+    rsh = omega != 0.0
+    need_k = hyb > 0 or alpha > 0
     is_gga = xcspec is not None and xcspec.family == "gga"
 
     # converged density (and its gradient for GGA) on the grid
@@ -125,7 +127,7 @@ def get_bands(system, scf_res, kpts_band, xc=None, exxdiv="ewald"):
                 "xg,g,xgi->gi", grho, vsigma, ao_grad_b)
             half = weight * jnp.einsum("gi,gj->ij", aoRb_j.conj(), aow)
             F = F + np.asarray(half + half.conj().T)
-        if hyb > 0:
+        if need_k:
             # exxdiv='vcut_sph' modifies the kernel itself (finite at q=0,
             # no probe-charge shift needed) — used by the staggered-mesh
             # MP2 non-SCF bands (reference kmp2_stagger.py:268-272)
@@ -139,17 +141,32 @@ def get_bands(system, scf_res, kpts_band, xc=None, exxdiv="ewald"):
                 np.exp(-1j * coords @ (kpts_scf[k2] - kb))
                 for k2 in range(nk)
             ]), cdt)
-            vk = np.asarray(fftdf_k.get_k_band(
-                jnp.asarray(aoRb, cdt), aoR_k, dmj, coulG_bk, expmikr_bk,
+            aoRb_j = jnp.asarray(aoRb, cdt)
+            vk = hyb * np.asarray(fftdf_k.get_k_band(
+                aoRb_j, aoR_k, dmj, coulG_bk, expmikr_bk,
                 mesh, kweight), dtype=complex)
+            mad_add = hyb * coulomb.madelung(cell, kpts_scf)
+            if rsh:
+                # omega-split LR exchange, same convention as the SCF
+                # kernels (reference pbc/dft/rks.py:108-121 semantics)
+                coulG_bk_lr = jnp.asarray(np.stack([
+                    coulomb.get_coulG(cell, k=kpts_scf[k2] - kb,
+                                      exxdiv=None, kpts=kpts_scf,
+                                      omega=omega)
+                    for k2 in range(nk)
+                ]))
+                vk = vk + (alpha - hyb) * np.asarray(fftdf_k.get_k_band(
+                    aoRb_j, aoR_k, dmj, coulG_bk_lr, expmikr_bk,
+                    mesh, kweight), dtype=complex)
+                mad_add += (alpha - hyb) * coulomb.madelung_omega(
+                    cell, kpts_scf, omega)
             if exxdiv == "ewald":
                 # probe-charge shift only when kb coincides with an SCF k
                 hits = np.nonzero(
                     np.linalg.norm(kpts_scf - kb, axis=1) < 1e-8)[0]
                 if len(hits):
-                    mad = coulomb.madelung(cell, kpts_scf)
-                    vk = vk + mad * (S @ dm_k[hits[0]] @ S)
-            F = F - 0.5 * hyb * vk
+                    vk = vk + mad_add * (S @ dm_k[hits[0]] @ S)
+            F = F - 0.5 * vk
         w_s, v_s = np.linalg.eigh(S)
         keep = w_s > 1e-12
         X = v_s[:, keep] / np.sqrt(w_s[keep])

@@ -100,3 +100,20 @@ def test_bands_hybrid_kpts_match_kscf():
     # and off-mesh band points evaluate finitely
     es2, _ = get_bands(system, res, 0.5 * (kpts[0] + kpts[1]), xc="pbe0")
     assert np.all(np.isfinite(es2))
+
+
+def test_bands_rsh_kpts_match_kscf():
+    """HSE06 (range-separated) bands: omega-split exchange at the band
+    k-point reproduces the SCF eigenvalues at the SCF k-points."""
+    from pyscf_isdf_tpu import lattice
+    from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+
+    cell = diamond_primitive(mesh=(14, 14, 14))
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1], with_gamma_point=False)
+    system = build_kscf_system(cell, kpts)
+    res = kscf_kernel(system, xc="hse06", exxdiv="ewald", conv_tol=1e-9)
+    es, _ = get_bands(system, res, kpts, xc="hse06")
+    for k in range(len(kpts)):
+        assert np.abs(es[k] - res["mo_energy"][k]).max() < 1e-6
+    es2, _ = get_bands(system, res, 0.5 * (kpts[0] + kpts[1]), xc="hse06")
+    assert np.all(np.isfinite(es2))
