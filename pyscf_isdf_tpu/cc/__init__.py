@@ -1,0 +1,3 @@
+from pyscf_isdf_tpu.cc.gccsd import ccsd, ccsd_t, kernel  # noqa: F401
+from pyscf_isdf_tpu.cc.kccsd import kccsd  # noqa: F401
+from pyscf_isdf_tpu.cc.fci import fci_ground_state  # noqa: F401

@@ -1,0 +1,80 @@
+"""k-point CCSD (spin-orbital, momentum-blocked composite index).
+
+The reference's KCCSD (pyscf/pbc/cc/kccsd.py) is spin-orbital CCSD over
+Bloch orbitals with k-conservation enforced per contraction. Here the
+same physics is expressed as ONE composite-index problem: spin orbital
+(k, p, sigma) with the full k-conserving MO ERI tensor (df/fft_ao2mo
+.ao2mo_7d) scattered into a momentum-blocked dense <PQ||RS> whose
+non-conserving blocks are exactly zero. The Gamma-point gccsd kernel
+(complex-Hermitian-safe orientations) then solves it unchanged — the
+k-structure is data sparsity, not new control flow, which is the
+TPU-friendly formulation (one big einsum program instead of nk^3 small
+ones; XLA sees static shapes).
+
+Normalization: composite ERIs are the supercell ERIs = (prim-cell
+Bloch ERIs)/nk, the solved problem IS the nk-cell supercell, and the
+returned e_corr is per unit cell (E_supercell/nk). Parity with the real
+Gamma supercell is tested in tests/test_kccsd.py.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from pyscf_isdf_tpu.cc import gccsd
+from pyscf_isdf_tpu.df import fft_ao2mo
+from pyscf_isdf_tpu.kpts_helper import get_kconserv
+
+
+def build_composite_eris(system, scf_res):
+    """(f_so, eri_so, nocc_so) on the occupied-first composite
+    spin-orbital index."""
+    mo_e = np.asarray(scf_res["mo_energy"])          # (nk, nmo)
+    mo_c = [np.asarray(c) for c in scf_res["mo_coeff"]]
+    mo_occ = np.asarray(scf_res["mo_occ"])           # (nk, nmo)
+    kpts = system.kpts
+    nk = len(kpts)
+    nmo = mo_c[0].shape[1]
+    n = nk * nmo
+
+    eri7 = fft_ao2mo.ao2mo_7d(system, mo_c)          # (nk,nk,nk,nmo^4)
+    kconserv = get_kconserv(system.cell.a, kpts)
+
+    chem = np.zeros((n, n, n, n), dtype=complex)
+    for kp in range(nk):
+        for kq in range(nk):
+            for kr in range(nk):
+                ks = kconserv[kp, kq, kr]
+                chem[kp * nmo:(kp + 1) * nmo, kq * nmo:(kq + 1) * nmo,
+                     kr * nmo:(kr + 1) * nmo, ks * nmo:(ks + 1) * nmo] \
+                    = eri7[kp, kq, kr] / nk
+
+    e_flat = mo_e.ravel()
+    occ_flat = mo_occ.ravel() > 0.5
+    # occupied-first ordering of the composite spatial index (stable, so
+    # k-blocks stay contiguous within each of the two halves)
+    perm = np.argsort(~occ_flat, kind="stable")
+    chem = chem[np.ix_(perm, perm, perm, perm)]
+    e_flat = e_flat[perm]
+    nocc_sp = int(occ_flat.sum())
+
+    _, eri_so = gccsd.spinorb_from_spatial(np.diag(e_flat), chem)
+    f_so = np.diag(np.repeat(e_flat, 2))
+    return f_so, eri_so, 2 * nocc_sp
+
+
+def kccsd(system, scf_res, with_t=False, conv_tol=1e-9, max_cycle=100,
+          verbose=False):
+    """k-point CCSD correlation energy per unit cell on a converged
+    KRHF/KRKS result (build_kscf_system + kscf_kernel)."""
+    nk = len(system.kpts)
+    f_so, eri_so, nocc_so = build_composite_eris(system, scf_res)
+    out = gccsd.kernel(f_so, eri_so, nocc_so, conv_tol=conv_tol * nk,
+                       max_cycle=max_cycle, verbose=verbose)
+    out["e_corr"] = out["e_corr"] / nk
+    out["e_hf"] = scf_res["e_tot"]
+    out["e_tot"] = scf_res["e_tot"] + out["e_corr"]
+    if with_t:
+        out["e_t"] = gccsd.ccsd_t(out["t1"], out["t2"], f_so, eri_so,
+                                  nocc_so) / nk
+        out["e_tot"] += out["e_t"]
+    return out

@@ -292,6 +292,30 @@ def KMP2(mf: _KMeanField):
     return e_corr, mf._res["e_tot"] + e_corr
 
 
+def CCSD(mf: _MeanField, with_t: bool = False, conv_tol: float = 1e-9):
+    """Gamma-point CCSD (optionally +(T)) on a converged mean-field;
+    returns (e_corr, e_tot) — reference cc.CCSD(mf) analog."""
+    from pyscf_isdf_tpu.cc import ccsd as _ccsd
+
+    out = _ccsd(mf.system, mf._res, with_t=with_t, conv_tol=conv_tol)
+    if not out["converged"]:
+        raise RuntimeError("CCSD did not converge")
+    e_corr = out["e_corr"] + out.get("e_t", 0.0)
+    return e_corr, mf._res["e_tot"] + e_corr
+
+
+def KCCSD(mf: _KMeanField, with_t: bool = False, conv_tol: float = 1e-9):
+    """k-point CCSD per unit cell on a converged k-mean-field; returns
+    (e_corr, e_tot) — reference pbc.cc.KCCSD(mf) analog."""
+    from pyscf_isdf_tpu.cc.kccsd import kccsd as _kccsd
+
+    out = _kccsd(mf.system, mf._res, with_t=with_t, conv_tol=conv_tol)
+    if not out["converged"]:
+        raise RuntimeError("KCCSD did not converge")
+    e_corr = out["e_corr"] + out.get("e_t", 0.0)
+    return e_corr, mf._res["e_tot"] + e_corr
+
+
 def KMP2_stagger(mf: _KMeanField, flag_submesh: bool = False):
     """Staggered-mesh k-point MP2 (reference pyscf/pbc/mp/kmp2_stagger.py)
     on a converged KRHF object; returns (e_corr, e_tot)."""

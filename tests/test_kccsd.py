@@ -1,0 +1,50 @@
+"""k-point CCSD == Gamma supercell CCSD (complex-orientation guard).
+
+A 3x1x1 k-mesh has genuinely complex Bloch orbitals/ERIs while the
+3x1x1 supercell at Gamma is real — agreement of the two CCSD (and (T))
+correlation energies per cell validates every complex-Hermitian
+integral orientation in cc/gccsd.py (the terms where the published
+real-orbital tables silently use <ij||ab> = <ab||ij>). Reference
+analog: pyscf/pbc/cc/kccsd.py supercell-consistency tests.
+"""
+import numpy as np
+import pytest
+
+from pyscf_isdf_tpu import build_cell, lattice, tools
+from pyscf_isdf_tpu.scf import build_scf_system, scf_kernel
+from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+from pyscf_isdf_tpu.cc import ccsd
+from pyscf_isdf_tpu.cc.kccsd import kccsd
+
+
+@pytest.fixture(scope="module")
+def h2_chain():
+    L = 6.0
+    return build_cell(np.array([[2.8, 0, 0], [0, L, 0], [0, 0, L]]),
+                      [["H", (0.0, L / 2, L / 2)],
+                       ["H", (1.3, L / 2, L / 2)]],
+                      basis="gth-szv", pseudo="gth-pade",
+                      mesh=[8, 16, 16])
+
+
+def test_kccsd_matches_supercell(h2_chain):
+    cell = h2_chain
+    kpts = lattice.make_kpts(cell.a, [3, 1, 1])
+    ksys = build_kscf_system(cell, kpts)
+    kres = kscf_kernel(ksys, xc=None, exxdiv="ewald", conv_tol=1e-11)
+    kout = kccsd(ksys, kres, with_t=True, conv_tol=1e-10)
+    assert kout["converged"]
+
+    sc = tools.super_cell(cell, (3, 1, 1))
+    ssys = build_scf_system(sc)
+    sres = scf_kernel(ssys, xc=None, exxdiv="ewald", conv_tol=1e-11)
+    sout = ccsd(ssys, sres, with_t=True, conv_tol=1e-10)
+    assert sout["converged"]
+
+    assert abs(kres["e_tot"] - sres["e_tot"] / 3) < 5e-8
+    assert abs(kout["e_corr"] - sout["e_corr"] / 3) < 5e-7
+    assert abs(kout["e_t"] - sout["e_t"] / 3) < 1e-8
+    # the k-point ERIs really are complex (the guard is not vacuous)
+    from pyscf_isdf_tpu.cc.kccsd import build_composite_eris
+    _, eri_so, _ = build_composite_eris(ksys, kres)
+    assert np.abs(eri_so.imag).max() > 1e-4
