@@ -372,3 +372,13 @@ def TDDFT(mf, nstates=5, singlet=True):
 
     return np.asarray(tddft_kernel(mf.system, mf._res, xc=mf.xc,
                                    nstates=nstates, singlet=singlet))
+
+
+def Gradients(mf: _MeanField):
+    """Nuclear gradients dE/dR (natm, 3) of a converged Gamma mean-field
+    by autodiff (grad/rhf.py) — reference mf.nuc_grad_method() analog."""
+    from pyscf_isdf_tpu.grad import rhf_gradient
+
+    if isinstance(mf, _KMeanField):
+        raise NotImplementedError("k-point gradients: todo")
+    return rhf_gradient(mf.system, mf._res, xc=mf.xc, exxdiv=mf.exxdiv)

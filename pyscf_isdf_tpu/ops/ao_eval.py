@@ -45,6 +45,7 @@ class PackedBasis:
     coeffs: dict                # l -> (ns, P, K) padded coefficients
     col_index: np.ndarray       # (nao,) permutation: aoR[:, col_index] == block order
     nao: int
+    atoms: dict = None          # l -> (ns,) owning-atom index per shell
 
     @classmethod
     def from_cell(cls, cell) -> "PackedBasis":
@@ -54,7 +55,7 @@ class PackedBasis:
         for ish, sh in enumerate(cell.shells):
             groups.setdefault(sh.l, []).append((ish, sh))
         ls = tuple(sorted(groups))
-        centers, exps, coeffs = {}, {}, {}
+        centers, exps, coeffs, atoms = {}, {}, {}, {}
         cols = []
         for l in ls:
             shells = groups[l]
@@ -64,6 +65,7 @@ class PackedBasis:
             ctr = np.zeros((ns, 3))
             es = np.ones((ns, P))
             cs = np.zeros((ns, P, K))
+            atoms[l] = np.array([sh.atom for _, sh in shells], dtype=np.int32)
             for i, (ish, sh) in enumerate(shells):
                 ctr[i] = cell.coords[sh.atom]
                 es[i, : len(sh.exps)] = sh.exps
@@ -79,11 +81,11 @@ class PackedBasis:
             centers[l], exps[l], coeffs[l] = ctr, es, cs
         col_index = np.array(cols, dtype=np.int32)
         return cls(ls=ls, centers=centers, exps=exps, coeffs=coeffs,
-                   col_index=col_index, nao=cell.nao)
+                   col_index=col_index, nao=cell.nao, atoms=atoms)
 
 
 def _eval_block(packed: PackedBasis, images, coords, kpt, dtype,
-                img_chunk: int = 32):
+                img_chunk: int = 32, centers=None):
     """AO values for one grid block: (nb, nao_padded) in packed column order.
 
     The lattice-image sum runs as a scan over *chunks* of images — each
@@ -99,7 +101,10 @@ def _eval_block(packed: PackedBasis, images, coords, kpt, dtype,
 
     blocks = []
     for l in packed.ls:
-        ctr = jnp.asarray(packed.centers[l], dtype=dtype)       # (ns,3)
+        if centers is not None:
+            ctr = centers[l].astype(dtype)                      # traced (ns,3)
+        else:
+            ctr = jnp.asarray(packed.centers[l], dtype=dtype)   # (ns,3)
         es = jnp.asarray(packed.exps[l], dtype=dtype)           # (ns,P)
         cs = jnp.asarray(packed.coeffs[l], dtype=dtype)         # (ns,P,K)
         ns, P = es.shape
@@ -154,6 +159,35 @@ def eval_ao(packed: PackedBasis, coords, images, kpt=None, block_size: int = 819
     out = out.reshape(-1, out.shape[-1])[:ng]
 
     # place packed columns into cell AO ordering (drop padding columns)
+    col = packed.col_index
+    keep = col >= 0
+    inv = np.zeros(packed.nao, dtype=np.int32)
+    inv[col[keep]] = np.nonzero(keep)[0]
+    return out[:, inv]
+
+
+def eval_ao_positions(packed: PackedBasis, coords, images, positions,
+                      kpt=None, block_size: int = 8192):
+    """aoR as a differentiable function of atom positions.
+
+    Same lattice-image-scanned evaluator as :func:`eval_ao`, but shell
+    centers are gathered from the traced ``positions`` array — so
+    ``jax.grad`` through any aoR-derived energy yields Pulay/HF force
+    contributions with no hand-written derivative code (the TPU-native
+    replacement for the reference's analytic gradient kernels,
+    pyscf/pbc/df/fft_jk.py:111,304 and lib/pbc/hf_grad.c).
+    """
+    dtype = coords.dtype
+    centers = {l: positions[packed.atoms[l]] for l in packed.ls}
+    ng = coords.shape[0]
+    nb = min(block_size, ng)
+    npad = (-ng) % nb
+    coords_p = jnp.pad(coords, ((0, npad), (0, 0)))
+    coords_b = coords_p.reshape(-1, nb, 3)
+    out = jax.lax.map(
+        lambda c: _eval_block(packed, images, c, kpt, dtype, centers=centers),
+        coords_b)
+    out = out.reshape(-1, out.shape[-1])[:ng]
     col = packed.col_index
     keep = col >= 0
     inv = np.zeros(packed.nao, dtype=np.int32)

@@ -191,10 +191,22 @@ def scf_kernel(
         ao_grad = ao_gradient_fft(aoR, mesh, jnp.asarray(system.Gv, dtype=aoR.dtype))
 
     internal_jk = get_jk is None
+    if get_jk is None and df == "gdf":
+        # Gaussian density fitting (G-space build; df/gdf.py)
+        from pyscf_isdf_tpu.df import gdf as gdf_mod
+
+        if rsh:
+            raise NotImplementedError("df='gdf' with RSH functionals")
+        gdf_obj = gdf_mod.build_gdf(cell, aoR, coulG, mesh, weight)
+
+        def get_jk(dm, with_k, C_w=None):
+            vj, vk = gdf_mod.get_jk(gdf_obj, jnp.asarray(dm, aoR.dtype))
+            return vj, (vk if with_k else None)
+
     if get_jk is None:
         if df not in ("fftdf", "isdf", "isdf-robust"):
             raise ValueError(f"unknown df engine {df!r}: use 'fftdf', "
-                             "'isdf' or 'isdf-robust'")
+                             "'isdf', 'isdf-robust' or 'gdf'")
         coulG_k = coulG
         if need_k and exxdiv not in (None, "ewald"):
             coulG_k = jnp.asarray(coulomb.get_coulG(cell, exxdiv=exxdiv))
