@@ -41,12 +41,13 @@ def _ao_atom_map(cell):
     return out
 
 
-def _ft_factors(cell, Gv):
+def _ft_factors(cell, Gv, kpt=None):
     """Position-independent AO FT factors f_i(G): the analytic ft_ao with
-    the center phase e^{-iG.A_i} divided out."""
-    aoG = ft_ao(cell, Gv)
+    the center phase e^{-i(G+k).A_i} divided out."""
+    aoG = ft_ao(cell, Gv, kpt=kpt)
     ao_atom = _ao_atom_map(cell)
-    phase = np.exp(-1j * Gv @ cell.coords.T)        # (ng, natm)
+    kG = Gv + kpt[None, :] if kpt is not None else Gv
+    phase = np.exp(-1j * kG @ cell.coords.T)        # (ng, natm)
     return aoG * phase[:, ao_atom].conj(), ao_atom
 
 
