@@ -115,25 +115,25 @@ def gth_alphas(cell) -> np.ndarray:
 def _qli(x: np.ndarray, l: int, i: int) -> np.ndarray:
     """HGH radial projector form factors q_{li}(G r_l) (PRB 58, 3641)."""
     if l == 0 and i == 0:
-        return 4 * SQRT(2.0) * np.ones_like(x)
+        return 4 * SQRT(2.0) * (0.0 * x + 1.0)
     if l == 0 and i == 1:
         return 8 * SQRT(2 / 15.0) * (3 - x**2)
     if l == 0 and i == 2:
         return 16.0 / 3 * SQRT(2 / 105.0) * (15 - 10 * x**2 + x**4)
     if l == 1 and i == 0:
-        return 8 * SQRT(1 / 3.0) * np.ones_like(x)
+        return 8 * SQRT(1 / 3.0) * (0.0 * x + 1.0)
     if l == 1 and i == 1:
         return 16 * SQRT(1 / 105.0) * (5 - x**2)
     if l == 1 and i == 2:
         return 32.0 / 3 * SQRT(1 / 1155.0) * (35 - 14 * x**2 + x**4)
     if l == 2 and i == 0:
-        return 8 * SQRT(2 / 15.0) * np.ones_like(x)
+        return 8 * SQRT(2 / 15.0) * (0.0 * x + 1.0)
     if l == 2 and i == 1:
         return 16.0 / 3 * SQRT(2 / 105.0) * (7 - x**2)
     if l == 2 and i == 2:
         return 32.0 / 3 * SQRT(2 / 15015.0) * (63 - 18 * x**2 + x**4)
     if l == 3 and i == 0:
-        return 16 * SQRT(1 / 105.0) * np.ones_like(x)
+        return 16 * SQRT(1 / 105.0) * (0.0 * x + 1.0)
     if l == 3 and i == 1:
         return 32.0 / 3 * SQRT(1 / 1155.0) * (9 - x**2)
     if l == 3 and i == 2:

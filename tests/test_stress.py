@@ -1,0 +1,48 @@
+"""Stress tensor (strain autodiff) vs finite strain differences.
+
+EXCEEDS the reference: pyscf has no PBC stress implementation. The
+oracle is central finite differences of independently converged SCF
+energies of strained cells (lattice, positions, and grid all scaled by
+1+eps; FFT mesh fixed).
+"""
+import numpy as np
+import pytest
+
+from pyscf_isdf_tpu import build_cell
+from pyscf_isdf_tpu.scf import build_scf_system, scf_kernel
+from pyscf_isdf_tpu.grad.stress import stress_tensor
+
+A0 = np.array([[0.0, 1.7834, 1.7834], [1.7834, 0.0, 1.7834],
+               [1.7834, 1.7834, 0.0]]) / 0.52917721092
+P0 = np.array([[0, 0, 0],
+               [0.8917, 0.8917, 0.8917]]) / 0.52917721092
+
+
+def _diamond(eps, xc):
+    F = np.eye(3) + eps
+    cell = build_cell(A0 @ F.T, [["C", tuple(P0[0] @ F.T)],
+                                 ["C", tuple(P0[1] @ F.T)]],
+                      basis="gth-szv", pseudo="gth-pade", mesh=[14] * 3,
+                      unit="Bohr")
+    system = build_scf_system(cell)
+    res = scf_kernel(system, xc=xc, exxdiv="ewald", conv_tol=1e-13)
+    assert res["converged"]
+    return system, res
+
+
+@pytest.mark.parametrize("xc", ["pbe0"])
+def test_diamond_stress_vs_fd(xc):
+    """Normal + shear strain derivatives (vnl projectors, GGA, hybrid
+    exchange with the exactly-traced anisotropic probe-charge madelung)."""
+    system, res = _diamond(np.zeros((3, 3)), xc)
+    sig, e_chk, g = stress_tensor(system, res, xc=xc, return_energy=True)
+    assert abs(e_chk - res["e_tot"]) < 1e-10
+    assert sig.shape == (3, 3)
+    assert np.allclose(sig, sig.T)
+    h = 1e-4
+    for M in (np.diag([1.0, 0, 0]),
+              np.array([[0, .5, 0], [.5, 0, 0], [0, 0, 0]])):
+        _, rp = _diamond(+h * M, xc)
+        _, rm = _diamond(-h * M, xc)
+        fd = (rp["e_tot"] - rm["e_tot"]) / (2 * h)
+        assert abs(np.sum(g * M) - fd) < 1e-6
