@@ -375,10 +375,19 @@ def TDDFT(mf, nstates=5, singlet=True):
 
 
 def Gradients(mf: _MeanField):
-    """Nuclear gradients dE/dR (natm, 3) of a converged Gamma mean-field
-    by autodiff (grad/rhf.py) — reference mf.nuc_grad_method() analog."""
+    """Nuclear gradients dE/dR (natm, 3) of a converged mean-field by
+    autodiff (grad/) — reference mf.nuc_grad_method() analog. Dispatches
+    restricted/unrestricted and Gamma/k-point."""
+    if isinstance(mf, (UHF, UKS)):
+        from pyscf_isdf_tpu.grad.uhf import uhf_gradient
+
+        return uhf_gradient(mf.system, mf._res, xc=mf.xc, exxdiv=mf.exxdiv)
+    if isinstance(mf, (KRHF, KRKS)):
+        from pyscf_isdf_tpu.grad.khf import krhf_gradient
+
+        return krhf_gradient(mf.system, mf._res, xc=mf.xc, exxdiv=mf.exxdiv)
+    if isinstance(mf, _KMeanField):
+        raise NotImplementedError("gradients: only KRHF/KRKS at k")
     from pyscf_isdf_tpu.grad import rhf_gradient
 
-    if isinstance(mf, _KMeanField):
-        raise NotImplementedError("k-point gradients: todo")
     return rhf_gradient(mf.system, mf._res, xc=mf.xc, exxdiv=mf.exxdiv)

@@ -52,6 +52,35 @@ def test_energy_parity_lda_pbe():
     assert abs(e_chk - res["e_tot"]) < 1e-10
 
 
+def test_uhf_gradient_vs_fd():
+    """Spin-polarized forces (H3 radical, UKS-LDA) vs FD."""
+    from pyscf_isdf_tpu.scf.uhf import uhf_kernel
+    from pyscf_isdf_tpu.grad.uhf import uhf_gradient
+
+    def setup(dx):
+        L = 7.0
+        cell = build_cell(np.eye(3) * L,
+                          [["H", (L / 2 - 1.0 + dx, L / 2, L / 2)],
+                           ["H", (L / 2 + 0.4, L / 2 + 0.1, L / 2)],
+                           ["H", (L / 2 + 1.9, L / 2, L / 2)]],
+                          basis="gth-szv", pseudo="gth-pade", mesh=[14] * 3,
+                          spin=1)
+        system = build_scf_system(cell)
+        res = uhf_kernel(system, xc="lda,vwn", exxdiv="ewald",
+                         conv_tol=1e-13)
+        assert res["converged"]
+        return system, res
+
+    system, res = setup(0.0)
+    g, e_chk = uhf_gradient(system, res, xc="lda,vwn", return_energy=True)
+    assert abs(e_chk - res["e_tot"]) < 1e-10
+    h = 2e-4
+    _, rp = setup(+h)
+    _, rm = setup(-h)
+    fd = (rp["e_tot"] - rm["e_tot"]) / (2 * h)
+    assert abs(g[0, 0] - fd) < 5e-7
+
+
 @pytest.mark.slow
 def test_h2_relaxation():
     """FIRE geometry optimization on autodiff forces: a stretched H2
