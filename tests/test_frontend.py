@@ -109,3 +109,22 @@ def test_density_fit_unknown_engine_raises():
     kpts = lattice.make_kpts(cell.a, [2, 1, 1])
     with pytest.raises(ValueError):
         pit.KRHF(cell, kpts).density_fit("gdf").run()
+
+
+def test_dos_and_band_path():
+    """DOS integrates to the state count; band path hits the nodes."""
+    import numpy as np
+    from pyscf_isdf_tpu.models import diamond_primitive
+    from pyscf_isdf_tpu.scf.analysis import density_of_states, band_path
+
+    e = np.random.default_rng(0).normal(size=(4, 8))
+    grid, dos = density_of_states(e, sigma=0.05)
+    assert abs(np.trapezoid(dos, grid) - 8.0) < 1e-3
+
+    cell = diamond_primitive(mesh=(12, 12, 12))
+    k, xs, ticks = band_path(cell, "LGXG", npoints=8)
+    assert np.all(np.diff(xs) > 0)
+    assert len(ticks) == 4 and ticks[0] == 0.0
+    # the second node is Gamma
+    i = np.argmin(np.abs(xs - ticks[1]))
+    assert np.linalg.norm(k[i]) < 1e-12
