@@ -23,9 +23,7 @@ mf.run()
 g = pit.Gradients(mf)                       # (natm, 3) dE/dR by autodiff
 print("forces (Ha/Bohr):\n", -g)
 
-from pyscf_isdf_tpu.grad.stress import stress_tensor
-
-sigma = stress_tensor(mf.system, mf._res, xc="pbe0")
+sigma = pit.Stress(mf)               # strain-autodiff stress tensor
 print("stress (Ha/Bohr^3):\n", sigma, "\npressure:", -np.trace(sigma) / 3)
 
 # --- geometry relaxation (FIRE on autodiff forces) --------------------

@@ -210,8 +210,8 @@ def get_k(isdf: ISDF, dm):
     return isdf.aoRg.T @ (isdf.W * M) @ isdf.aoRg
 
 
-@jax.jit
-def get_k_robust(isdf: ISDF, aoR, dm, weight):
+@partial(jax.jit, static_argnames=("use_pallas",))
+def get_k_robust(isdf: ISDF, aoR, dm, weight, use_pallas: bool = False):
     """Robust-fit exchange: error QUADRATIC in the ISDF fit residual.
 
     Standard (interpolative) ISDF replaces BOTH pair densities by their
@@ -233,9 +233,17 @@ def get_k_robust(isdf: ISDF, aoR, dm, weight):
     if isdf.Vxi is None:
         raise ValueError("robust K needs build_isdf(..., keep_v=True)")
     B = isdf.aoRg @ dm                       # (nip, nao)
-    t = aoR @ B.T                            # (ng, nip)
-    Z = isdf.Vxi.T * t                       # (ng, nip)
-    T1 = weight * (isdf.aoRg.T @ (Z.T @ aoR))
+    if use_pallas:
+        # fused VMEM-resident cross term (ops/pallas_robust_k): skips
+        # the two (ng, n_ip) HBM temporaries of the XLA formulation
+        from pyscf_isdf_tpu.ops.pallas_robust_k import robust_k_cross
+
+        C = robust_k_cross(aoR, B, isdf.Vxi)
+        T1 = weight * (isdf.aoRg.T @ C)
+    else:
+        t = aoR @ B.T                        # (ng, nip)
+        Z = isdf.Vxi.T * t                   # (ng, nip)
+        T1 = weight * (isdf.aoRg.T @ (Z.T @ aoR))
     M = isdf.aoRg @ dm @ isdf.aoRg.T
     K3 = isdf.aoRg.T @ (isdf.W * M) @ isdf.aoRg
     return T1 + T1.T - K3

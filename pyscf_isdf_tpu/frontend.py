@@ -391,3 +391,19 @@ def Gradients(mf: _MeanField):
     from pyscf_isdf_tpu.grad import rhf_gradient
 
     return rhf_gradient(mf.system, mf._res, xc=mf.xc, exxdiv=mf.exxdiv)
+
+
+def Stress(mf: _MeanField):
+    """Stress tensor sigma = (1/vol) dE/d eps (3x3, Ha/Bohr^3) by strain
+    autodiff — no counterpart exists in the reference. Dispatches
+    Gamma (grad/stress.py) and k-point (grad/kstress.py)."""
+    if isinstance(mf, (KRHF, KRKS)):
+        from pyscf_isdf_tpu.grad.kstress import kstress_tensor
+
+        return kstress_tensor(mf.system, mf._res, xc=mf.xc,
+                              exxdiv=mf.exxdiv)
+    if isinstance(mf, _KMeanField):
+        raise NotImplementedError("stress: only KRHF/KRKS at k")
+    from pyscf_isdf_tpu.grad.stress import stress_tensor
+
+    return stress_tensor(mf.system, mf._res, xc=mf.xc, exxdiv=mf.exxdiv)
