@@ -46,6 +46,65 @@ def _ec_vwn5(rho):
     )
 
 
+# ------------------------------------------------------------ B88 / LYP
+_B88_BETA = 0.0042
+_B88_C = 1.5 * (3.0 / (4 * jnp.pi)) ** (1.0 / 3)     # spin-channel LDA_x
+
+
+def _ex_b88_channel(n, s):
+    """B88 exchange energy DENSITY of one spin channel (Becke, PRA 38,
+    3098 (1988)): -n^{4/3} [C + beta x^2/(1 + 6 beta x asinh x)],
+    x = sqrt(s)/n^{4/3}."""
+    n43 = n ** (4.0 / 3)
+    x = jnp.sqrt(s) / (n43 + _TINY)
+    g = _B88_C + _B88_BETA * x * x \
+        / (1 + 6 * _B88_BETA * x * jnp.arcsinh(x))
+    return -n43 * g
+
+
+def _ex_b88(rho, sigma):
+    """Closed-shell B88 exchange per particle (spin-scaled channels)."""
+    return 2.0 * _ex_b88_channel(0.5 * rho, 0.25 * sigma) / (rho + _TINY)
+
+
+_LYP_A, _LYP_B, _LYP_C, _LYP_D = 0.04918, 0.132, 0.2533, 0.349
+_CF = 0.3 * (3 * jnp.pi**2) ** (2.0 / 3)
+
+
+def _ec_lyp_spin(ra, rb, saa, sab, sbb):
+    """LYP correlation per particle of the total density, spin-resolved
+    (Lee-Yang-Parr PRB 37, 785 (1988) in the Miehlich et al.,
+    CPL 157, 200 (1989) laplacian-free reformulation)."""
+    a, b, c, d = _LYP_A, _LYP_B, _LYP_C, _LYP_D
+    rho = ra + rb
+    st = saa + 2 * sab + sbb                    # |grad rho|^2
+    r13 = (rho + _TINY) ** (-1.0 / 3)
+    denom = 1 + d * r13
+    omega = jnp.exp(-c * r13) / denom * (rho + _TINY) ** (-11.0 / 3)
+    delta = c * r13 + d * r13 / denom
+    e1 = -4 * a * ra * rb / (rho * denom + _TINY)
+    inner = (2 ** (11.0 / 3) * _CF * (ra ** (8.0 / 3) + rb ** (8.0 / 3))
+             + (47.0 / 18 - 7.0 * delta / 18) * st
+             - (2.5 - delta / 18) * (saa + sbb)
+             - (delta - 11.0) / 9 * (ra * saa + rb * sbb) / (rho + _TINY))
+    e2 = -a * b * omega * (
+        ra * rb * inner
+        - 2.0 / 3 * rho**2 * st
+        + (2.0 / 3 * rho**2 - ra**2) * sbb
+        + (2.0 / 3 * rho**2 - rb**2) * saa)
+    return (e1 + e2) / (rho + _TINY)
+
+
+def _ec_lyp(rho, sigma):
+    """Closed-shell LYP correlation per particle."""
+    return _ec_lyp_spin(0.5 * rho, 0.5 * rho, 0.25 * sigma, 0.25 * sigma,
+                        0.25 * sigma)
+
+
+# VWN-RPA (VWN III) parameters — the correlation B3LYP historically mixes
+_VWN3 = dict(A=0.0310907, b=13.0720, c=42.7198, x0=-0.409286)
+
+
 # ----------------------------------------------------------------- PBE pieces
 def _ex_pbe(rho, sigma):
     """PBE exchange energy per particle (PRL 77, 3865)."""
@@ -166,14 +225,26 @@ def _fzeta(z):
 _FPP0 = 4.0 / (9 * (2 ** (1.0 / 3) - 1))  # f''(0)
 
 
-def _ec_vwn5_spin(rho, zeta):
-    """VWN5 correlation with the standard zeta interpolation."""
-    ec_p = _vwn_eps(rho, _VWN5)
-    ec_f = _vwn_eps(rho, _VWN5_F)
-    alpha = _vwn_eps(rho, _VWN5_A)
+def _ec_vwn_spin(rho, zeta, p_para, p_ferro, p_alpha):
+    """VWN correlation with the standard zeta interpolation, for a given
+    (paramagnetic, ferromagnetic, spin-stiffness) parameter triple."""
+    ec_p = _vwn_eps(rho, p_para)
+    ec_f = _vwn_eps(rho, p_ferro)
+    alpha = _vwn_eps(rho, p_alpha)
     f = _fzeta(zeta)
     z4 = zeta**4
     return ec_p + alpha * f / _FPP0 * (1 - z4) + (ec_f - ec_p) * f * z4
+
+
+def _ec_vwn5_spin(rho, zeta):
+    """VWN5 correlation with the standard zeta interpolation."""
+    return _ec_vwn_spin(rho, zeta, _VWN5, _VWN5_F, _VWN5_A)
+
+
+# VWN-RPA ferro/stiffness parameters (libxc lda_c_vwn_rpa numbers)
+_VWN3_F = dict(A=0.01554535, b=20.1231, c=101.578, x0=-0.743294)
+_VWN3_A = dict(A=-1.0 / (6 * jnp.pi**2), b=1.06835, c=11.4813,
+               x0=-0.228344)
 
 
 def _pw92_eps(rho, A, a1, b1, b2, b3, b4):
@@ -268,6 +339,24 @@ class XCSpec:
             self._exc = lambda rho, sigma: (
                 0.75 * _ex_pbe(rho, sigma) + _ec_pbe(rho, sigma)
             )
+        elif name == "blyp":
+            self.family = "gga"
+            self.hyb = 0.0
+            self._exc = lambda rho, sigma: _ex_b88(rho, sigma) \
+                + _ec_lyp(rho, sigma)
+        elif name in ("b3lyp", "b3lyp5"):
+            # Gaussian-convention B3: 0.8 LDA_x + 0.72 dB88 + 0.2 HF
+            # == 0.08 LDA_x + 0.72 B88(full) + 0.2 HF;
+            # correlation 0.19 VWN + 0.81 LYP with VWN-RPA ('b3lyp') or
+            # VWN5 ('b3lyp5' — the reference's B3LYP5 naming)
+            self.family = "gga"
+            self.hyb = 0.2
+            vwn = (_ec_vwn5 if name == "b3lyp5"
+                   else (lambda rho: _vwn_eps(rho, _VWN3)))
+            self._exc = lambda rho, sigma: (
+                0.08 * _ex_slater(rho) + 0.72 * _ex_b88(rho, sigma)
+                + 0.19 * vwn(rho) + 0.81 * _ec_lyp(rho, sigma)
+            )
         elif name == "hse06":
             # E_xc = 0.25 K_SR(w) + [E_x^PBE - 0.25 E_x^{SR-PBE}(w)] + E_c^PBE
             self.family = "gga"
@@ -326,6 +415,28 @@ class XCSpec:
                     ) / (rho + _TINY)
                     return _exc_pbe_spin(ra, rb, saa, sab, sbb, 1.0) \
                         - 0.25 * sr
+            elif name in ("blyp", "b3lyp", "b3lyp5"):
+                ax_lda = 0.0 if name == "blyp" else 0.08
+                ax_b88 = 1.0 if name == "blyp" else 0.72
+                ac_vwn = 0.0 if name == "blyp" else 0.19
+                ac_lyp = 1.0 if name == "blyp" else 0.81
+                vwn_pf = ((_VWN5, _VWN5_F, _VWN5_A) if name == "b3lyp5"
+                          else (_VWN3, _VWN3_F, _VWN3_A))
+
+                def exc_fn(ra, rb, saa, sab, sbb):
+                    rho = ra + rb + _TINY
+                    zeta = (ra - rb) / rho
+                    ex = (_ex_b88_channel(ra, saa)
+                          + _ex_b88_channel(rb, sbb)) / rho
+                    e = ax_b88 * ex + ac_lyp * _ec_lyp_spin(
+                        ra, rb, saa, sab, sbb)
+                    if ax_lda:
+                        e = e + ax_lda * 0.5 * (
+                            _ex_slater(2 * ra) * 2 * ra
+                            + _ex_slater(2 * rb) * 2 * rb) / rho
+                    if ac_vwn:
+                        e = e + ac_vwn * _ec_vwn_spin(rho, zeta, *vwn_pf)
+                    return e
             else:
                 exc_fn = lambda ra, rb, saa, sab, sbb: _exc_pbe_spin(
                     ra, rb, saa, sab, sbb, ex_frac)
