@@ -200,8 +200,11 @@ def main():
         "(incl compile)")
 
     nocc = cell.nelectron // 2
+    use_pallas = os.environ.get("BENCH_USE_PALLAS", "0") == "1"
     jk_isdf = lambda d, ao, cg, fct: (fftdf.get_j(ao, d, cg, mesh3, w),
-                                      isdf_mod.get_k_robust(fct, ao, d, w))
+                                      isdf_mod.get_k_robust(
+                                          fct, ao, d, w,
+                                          use_pallas=use_pallas))
     jk_fftdf = lambda d, ao, cg: (fftdf.get_j(ao, d, cg, mesh3, w),
                                   fftdf.get_k(ao, d, cg, mesh3, w, chunk=8))
     # occ-MO FFTDF: the strongest per-iteration FFT baseline (the

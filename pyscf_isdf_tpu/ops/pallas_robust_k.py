@@ -15,7 +15,17 @@ Pallas double-buffered pipelining the SURVEY §2.5 prefetch row calls
 for (block DMAs overlap compute automatically via the grid pipeline).
 
 Parity: == the XLA path to f32 roundoff (tests/test_pallas_robust_k.py,
-interpret mode on CPU); wired into df/isdf.get_k_robust on TPU.
+interpret mode on CPU); opt-in via get_k_robust(use_pallas=True) /
+BENCH_USE_PALLAS=1.
+
+MEASURED (v5e, diamond 3x3x3 bench config, ng=110592 nip=3456 nao=216):
+6.10 ms/iter vs 2.69 ms for the XLA formulation — the fused kernel LOSES
+2.3x. Accounting: the (p, g) tiling re-streams aoR once per p-tile
+(27 x 95 MB = 2.6 GB) which exceeds the 2 x 1.5 GB of t/z traffic it
+saves; XLA's two pipelined MXU GEMMs are already near the HBM roofline.
+Kept as the documented Pallas-pipeline exemplar and for shapes where
+nip/nao ratios invert the tradeoff (nao large, nip small: aoR re-reads
+amortize). Default stays XLA.
 """
 from __future__ import annotations
 
