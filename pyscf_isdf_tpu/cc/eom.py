@@ -1,0 +1,158 @@
+"""EOM-CCSD (EE / IP / EA) via the exact determinant-space
+similarity transform.
+
+The reference's EOM family (pyscf/pbc/cc/eom_kccsd_*) diagonalizes
+Hbar = e^{-T} H e^{T} projected on a truncated excitation manifold.
+Here Hbar is built EXACTLY in the determinant basis (reusing the
+Slater-Condon machinery of cc/fci.py and the excitation-operator matrix
+of the converged t1/t2), then projected:
+
+    EE:  {Phi0, singles, doubles}         -> excitation energies
+    IP:  {1h, 2h1p}  (N-1 sector)         -> ionization potentials
+    EA:  {1p, 2p1h}  (N+1 sector)         -> electron affinities
+
+This is mathematically identical to the production sigma-vector
+EOM-CCSD equations — with NO transcription risk (the nilpotent e^{T}
+series terminates exactly) — at determinant-space cost, so it is the
+small-system/oracle-grade implementation: O(FCI-dim^2) memory. For
+2-electron systems the projected spaces are complete and every root is
+exact FCI (tested); a polynomial-cost sigma-vector solver can be
+validated against this transform term by term.
+"""
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+
+from pyscf_isdf_tpu.cc.fci import build_hamiltonian, _phase
+
+
+def excitation_matrix(t1, t2, dets, nocc):
+    """Matrix of T = sum t1_ia a_a^+ a_i + 1/4 sum t2_ijab a_a^+ a_b^+
+    a_j a_i in the given determinant basis (any particle-number sector).
+    """
+    t1 = np.asarray(t1)
+    t2 = np.asarray(t2)
+    no, nv = t1.shape
+    index = {d: i for i, d in enumerate(dets)}
+    ndet = len(dets)
+    T = np.zeros((ndet, ndet), dtype=np.result_type(t1, t2))
+    for I, d in enumerate(dets):
+        occ = set(d)
+        occ_o = [p for p in d if p < no]            # hole-space orbitals
+        virt_v = [a for a in range(no, no + nv) if a not in occ]
+        for i in occ_o:
+            for a in virt_v:
+                dj = tuple(sorted(occ - {i} | {a}))
+                J = index.get(dj)
+                if J is None:
+                    continue
+                d1 = tuple(sorted(occ - {i}))
+                sgn = _phase(d, i) * _phase(d1, a)
+                T[J, I] += sgn * t1[i, a - no]
+        for i, j in combinations(occ_o, 2):
+            for a, b in combinations(virt_v, 2):
+                dj = tuple(sorted(occ - {i, j} | {a, b}))
+                J = index.get(dj)
+                if J is None:
+                    continue
+                # a_a^+ a_b^+ a_j a_i: a_i first
+                d1 = tuple(sorted(occ - {i}))
+                d2 = tuple(sorted(occ - {i, j}))
+                d3 = tuple(sorted(set(d2) | {b}))
+                sgn = (_phase(d, i) * _phase(d1, j)
+                       * _phase(d2, b) * _phase(d3, a))
+                T[J, I] += sgn * t2[i, j, a - no, b - no]
+    return T
+
+
+def _expm_nilpotent(T, max_rank):
+    out = np.eye(T.shape[0], dtype=T.dtype)
+    term = np.eye(T.shape[0], dtype=T.dtype)
+    for k in range(1, max_rank + 1):
+        term = term @ T / k
+        if not np.abs(term).max():
+            break
+        out = out + term
+    return out
+
+
+def eom_ccsd(h1so, eri_so, t1, t2, nocc, sector="ee", nroots=6):
+    """Eigenvalues of the projected Hbar in the given sector.
+
+    Returns the sorted (real-part) ELECTRONIC sector energies; callers
+    form excitation energies / IPs / EAs by differencing with the CCSD
+    ground-state electronic energy (= the lowest EE root).
+    """
+    nso = h1so.shape[0]
+    no = int(nocc)
+    ref = tuple(range(no))
+    nel = {"ee": no, "ip": no - 1, "ea": no + 1}[sector]
+    dets = list(combinations(range(nso), nel))
+    index = {d: i for i, d in enumerate(dets)}
+
+    H = build_hamiltonian(h1so, eri_so, dets)
+    T = excitation_matrix(t1, t2, dets, no)
+    eT = _expm_nilpotent(T, nel + 2)
+    eTm = _expm_nilpotent(-T, nel + 2)
+    Hbar = eTm @ H @ eT
+
+    occ = set(ref)
+    vir = [a for a in range(no, nso)]
+    proj = []
+    if sector == "ee":
+        proj.append(ref)
+        for i in ref:
+            for a in vir:
+                proj.append(tuple(sorted(occ - {i} | {a})))
+        for i, j in combinations(ref, 2):
+            for a, b in combinations(vir, 2):
+                proj.append(tuple(sorted(occ - {i, j} | {a, b})))
+    elif sector == "ip":
+        for i in ref:
+            proj.append(tuple(sorted(occ - {i})))
+        for i, j in combinations(ref, 2):
+            for a in vir:
+                proj.append(tuple(sorted(occ - {i, j} | {a})))
+    else:  # ea
+        for a in vir:
+            proj.append(tuple(sorted(occ | {a})))
+        for i in ref:
+            for a, b in combinations(vir, 2):
+                proj.append(tuple(sorted(occ - {i} | {a, b})))
+    idx = [index[d] for d in proj]
+    Hp = Hbar[np.ix_(idx, idx)]
+    w = np.linalg.eigvals(Hp)
+    w = np.sort_complex(w)
+    return np.real(w[:nroots])
+
+
+def eom_from_scf(system, scf_res, cc_out, sector="ee", nroots=6):
+    """Convenience wrapper: spin-orbital integrals from a Gamma SCF +
+    converged CCSD amplitudes -> sector energies relative to CCSD."""
+    import jax.numpy as jnp
+
+    from pyscf_isdf_tpu.cc.gccsd import spinorb_from_spatial
+    from pyscf_isdf_tpu.df import fft_ao2mo
+
+    mo_c = np.asarray(scf_res["mo_coeff"])
+    nmo = mo_c.shape[1]
+    h1mo = mo_c.T @ system.hcore @ mo_c
+    moR = system.aoR @ jnp.asarray(mo_c)
+    eri_mo = np.asarray(fft_ao2mo.general(
+        moR, moR, moR, moR, jnp.asarray(system.coulG), system.mesh,
+        system.weight)).reshape(nmo, nmo, nmo, nmo)
+    h1so, eri_so = spinorb_from_spatial(h1mo, eri_mo)
+    no = system.nelec
+    w = eom_ccsd(h1so, eri_so, np.asarray(cc_out["t1"]),
+                 np.asarray(cc_out["t2"]), no, sector=sector,
+                 nroots=nroots)
+    e_gs = eom_ccsd(h1so, eri_so, np.asarray(cc_out["t1"]),
+                    np.asarray(cc_out["t2"]), no, sector="ee",
+                    nroots=1)[0]
+    if sector == "ee":
+        return w - e_gs
+    if sector == "ip":
+        return e_gs - w          # ionization potentials (positive)
+    return w - e_gs              # electron affinities

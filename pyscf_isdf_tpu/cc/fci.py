@@ -34,19 +34,11 @@ def _sign_single(det, p, r):
     return -1.0 if n % 2 else 1.0
 
 
-def fci_ground_state(h1, eri_asym, nelec, nroots=1):
-    """Lowest eigenvalue(s) of the 2-body Hamiltonian.
-
-    Args:
-        h1: (nso, nso) one-body integrals (spin-orbital basis).
-        eri_asym: (nso,)*4 antisymmetrized <pq||rs>.
-        nelec: electron count.
-    Returns (energies, dets): the nroots lowest electronic energies.
-    """
-    nso = h1.shape[0]
-    dets = list(combinations(range(nso), nelec))
+def build_hamiltonian(h1, eri_asym, dets):
+    """Dense H in an arbitrary (same-electron-count) determinant list."""
     ndet = len(dets)
     index = {d: i for i, d in enumerate(dets)}
+    nso = h1.shape[0]
     H = np.zeros((ndet, ndet), dtype=np.result_type(h1, eri_asym))
 
     for I, di in enumerate(dets):
@@ -60,8 +52,8 @@ def fci_ground_state(h1, eri_asym, nelec, nroots=1):
         for r in di:
             for p in virt:
                 dj = tuple(sorted(occ - {r} | {p}))
-                J = index[dj]
-                if J < I:
+                J = index.get(dj)
+                if J is None or J < I:
                     continue
                 sgn = _sign_single(di, p, r)
                 val = h1[p, r] + sum(eri_asym[p, q, r, q] for q in di
@@ -71,8 +63,8 @@ def fci_ground_state(h1, eri_asym, nelec, nroots=1):
         for r, s in combinations(di, 2):
             for p, q in combinations(virt, 2):
                 dj = tuple(sorted(occ - {r, s} | {p, q}))
-                J = index[dj]
-                if J < I:
+                J = index.get(dj)
+                if J is None or J < I:
                     continue
                 # <D_J|a_p^+ a_q^+ a_s a_r|D_I>: a_r acts first, so the
                 # phases accumulate as remove r, remove s, add q, add p
@@ -85,5 +77,20 @@ def fci_ground_state(h1, eri_asym, nelec, nroots=1):
                 H[I, J] = sgn * val
                 H[J, I] = np.conj(sgn * val)
 
+    return H
+
+
+def fci_ground_state(h1, eri_asym, nelec, nroots=1):
+    """Lowest eigenvalue(s) of the 2-body Hamiltonian.
+
+    Args:
+        h1: (nso, nso) one-body integrals (spin-orbital basis).
+        eri_asym: (nso,)*4 antisymmetrized <pq||rs>.
+        nelec: electron count.
+    Returns (energies, ndet): the nroots lowest electronic energies.
+    """
+    nso = h1.shape[0]
+    dets = list(combinations(range(nso), nelec))
+    H = build_hamiltonian(h1, eri_asym, dets)
     w = np.linalg.eigvalsh(H)
-    return w[:nroots], ndet
+    return w[:nroots], len(dets)

@@ -1,0 +1,104 @@
+"""EOM-CCSD (EE/IP/EA) vs exact FCI.
+
+For 2-electron systems the EE projection space (0+S+D) and the IP space
+(1h+2h1p) are COMPLETE, so every EOM root must equal FCI exactly — this
+pins the whole determinant-space similarity transform including the
+t1/t2 operator conventions. The lowest EE root must equal the CCSD
+ground-state energy for ANY system (Hbar block structure at
+convergence).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from itertools import combinations
+
+from pyscf_isdf_tpu import build_cell
+from pyscf_isdf_tpu.scf import build_scf_system, scf_kernel
+from pyscf_isdf_tpu.cc import ccsd
+from pyscf_isdf_tpu.cc.gccsd import spinorb_from_spatial
+from pyscf_isdf_tpu.cc.fci import build_hamiltonian
+from pyscf_isdf_tpu.cc.eom import eom_ccsd, eom_from_scf
+from pyscf_isdf_tpu.df import fft_ao2mo
+
+
+def _so_integrals(system, res):
+    mo_c = np.asarray(res["mo_coeff"])
+    nmo = mo_c.shape[1]
+    h1mo = mo_c.T @ system.hcore @ mo_c
+    moR = system.aoR @ jnp.asarray(mo_c)
+    eri_mo = np.asarray(fft_ao2mo.general(
+        moR, moR, moR, moR, jnp.asarray(system.coulG), system.mesh,
+        system.weight)).reshape(nmo, nmo, nmo, nmo)
+    return spinorb_from_spatial(h1mo, eri_mo)
+
+
+@pytest.fixture(scope="module")
+def be_case():
+    L = 7.0
+    a = L * np.eye(3)
+    a[1, 0] = 5.0
+    cell = build_cell(a, [["Be", (L / 2, L / 2, L / 2)]], basis="gth-szv",
+                      pseudo="gth-pade-q2", mesh=[12] * 3)
+    system = build_scf_system(cell)
+    res = scf_kernel(system, xc=None, exxdiv=None, conv_tol=1e-12)
+    out = ccsd(system, res, conv_tol=1e-12)
+    return system, res, out
+
+
+def test_ee_equals_fci_two_electrons(be_case):
+    system, res, out = be_case
+    h1so, eri_so = _so_integrals(system, res)
+    no = system.nelec
+    nso = h1so.shape[0]
+    dets = list(combinations(range(nso), no))
+    w_fci = np.sort(np.linalg.eigvalsh(
+        build_hamiltonian(h1so, eri_so, dets)))
+    w_ee = eom_ccsd(h1so, eri_so, np.asarray(out["t1"]),
+                    np.asarray(out["t2"]), no, sector="ee",
+                    nroots=len(dets))
+    assert np.abs(np.sort(w_ee) - w_fci).max() < 1e-9
+    # lowest root is the CCSD ground state
+    e_elec_cc = res["e_tot"] - system.e_nuc + out["e_corr"]
+    assert abs(np.min(w_ee) - e_elec_cc) < 1e-9
+
+
+def test_ip_equals_fci_two_electrons(be_case):
+    system, res, out = be_case
+    h1so, eri_so = _so_integrals(system, res)
+    no = system.nelec
+    nso = h1so.shape[0]
+    dets1 = [(p,) for p in range(nso)]
+    w1 = np.sort(np.linalg.eigvalsh(
+        build_hamiltonian(h1so, eri_so, dets1)))
+    w_ip = eom_ccsd(h1so, eri_so, np.asarray(out["t1"]),
+                    np.asarray(out["t2"]), no, sector="ip",
+                    nroots=len(dets1))
+    assert np.abs(np.sort(w_ip) - w1).max() < 1e-9
+    ips = eom_from_scf(system, res, out, sector="ip", nroots=2)
+    assert ips[0] > 0            # bound electron: positive IP
+
+
+def test_h4_ground_state_and_excitations():
+    L = 8.0
+    cell = build_cell(np.eye(3) * L,
+                      [["H", (L / 2 - 1.8, L / 2, L / 2)],
+                       ["H", (L / 2 - 0.6, L / 2, L / 2)],
+                       ["H", (L / 2 + 0.7, L / 2, L / 2)],
+                       ["H", (L / 2 + 1.9, L / 2, L / 2)]],
+                      basis="gth-szv", pseudo="gth-pade", mesh=[14] * 3)
+    system = build_scf_system(cell)
+    res = scf_kernel(system, xc=None, exxdiv=None, conv_tol=1e-12)
+    out = ccsd(system, res, conv_tol=1e-12)
+    h1so, eri_so = _so_integrals(system, res)
+    no = system.nelec
+    w_ee = eom_ccsd(h1so, eri_so, np.asarray(out["t1"]),
+                    np.asarray(out["t2"]), no, sector="ee", nroots=6)
+    e_elec_cc = res["e_tot"] - system.e_nuc + out["e_corr"]
+    assert abs(np.min(w_ee) - e_elec_cc) < 1e-8
+    # first excitation vs FCI (EOM-CCSD truncation error: a few mHa)
+    from pyscf_isdf_tpu.cc.fci import fci_ground_state
+    (e0, e1), _ = fci_ground_state(h1so, eri_so, no, nroots=2)
+    de_fci = e1 - e0
+    de_eom = np.sort(w_ee)[1] - np.min(w_ee)
+    assert abs(de_eom - de_fci) < 5e-3
+    assert de_eom > 0.1          # physically sizable gap
