@@ -158,9 +158,24 @@ def kscf_kernel(
         ])  # (nk, 3, ng, nao)
 
     internal_jk = get_jk is None
+    if get_jk is None and df == "gdf":
+        # k-point Gaussian density fitting (df/gdf.py G-space build)
+        from pyscf_isdf_tpu.df import gdf as gdf_mod
+
+        if rsh:
+            raise NotImplementedError("k-point df='gdf' with RSH")
+        kgdf = gdf_mod.build_gdf_kpts(cell, system.aoR_k, system.kpts,
+                                      mesh, weight)
+
+        def get_jk(dm_k, with_k, C_w_k=None):
+            vj, vk = gdf_mod.get_jk_kpts(kgdf, jnp.asarray(
+                dm_k, dtype=aoR_k.dtype))
+            return vj, (vk if with_k else None)
+
     if get_jk is None:
         if df not in ("fftdf", "isdf"):
-            raise ValueError(f"unknown df engine {df!r}: use 'fftdf' or 'isdf'")
+            raise ValueError(f"unknown df engine {df!r}: use 'fftdf', "
+                             "'isdf' or 'gdf'")
         ex_kern = exxdiv if exxdiv not in (None, "ewald") else None
         if df == "isdf" and need_k:
             from pyscf_isdf_tpu.df import isdf_k as isdf_k_mod

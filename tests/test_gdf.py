@@ -73,3 +73,40 @@ def test_frontend_gdf():
     e_gdf = pit.RKS(cell, xc="lda,vwn").density_fit("gdf").run()
     e_fft = pit.RKS(cell, xc="lda,vwn").run()
     assert abs(e_gdf - e_fft) < 2e-4
+
+
+def test_kpoint_gdf_jk_and_scf():
+    """k-point GDF: J/K parity vs fftdf_k, and KRHF df='gdf' end-to-end
+    (reference GDF's k-point _cderi builder, here G-space on device)."""
+    import jax.numpy as jnp
+    from pyscf_isdf_tpu import lattice
+    from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+    from pyscf_isdf_tpu.df import fftdf_k
+
+    L = 6.0
+    cell = build_cell(np.array([[2.9, 0, 0], [0, L, 0], [0, 0, L]]),
+                      [["H", (0.0, L / 2, L / 2)],
+                       ["H", (1.25, L / 2 + 0.1, L / 2)]],
+                      basis="gth-szv", pseudo="gth-pade", mesh=[10, 14, 14])
+    kpts = lattice.make_kpts(cell.a, [3, 1, 1])
+    system = build_kscf_system(cell, kpts)
+    res = kscf_kernel(system, xc=None, exxdiv="ewald", conv_tol=1e-11)
+    dm_k = jnp.stack([jnp.asarray(d) for d in res["dm"]])
+
+    kg = gdf_mod.build_gdf_kpts(cell, system.aoR_k, kpts, system.mesh,
+                                system.weight, beta=1.8)
+    vj_g, vk_g = gdf_mod.get_jk_kpts(kg, dm_k)
+    vj_f = fftdf_k.get_j_kpts(system.aoR_k, dm_k,
+                              jnp.asarray(system.coulG), system.mesh,
+                              system.weight)
+    vk_f = fftdf_k.get_k_kpts(system.aoR_k, dm_k,
+                              jnp.asarray(system.coulG_pairs),
+                              jnp.asarray(system.expmikr), system.mesh,
+                              system.weight / len(kpts))
+    assert float(jnp.abs(vj_g - vj_f).max()) < 5e-5
+    assert float(jnp.abs(vk_g - vk_f).max()) < 5e-5
+
+    r_gdf = kscf_kernel(system, xc=None, exxdiv="ewald", conv_tol=1e-11,
+                        df="gdf")
+    assert r_gdf["converged"]
+    assert abs(r_gdf["e_tot"] - res["e_tot"]) < 2e-5
