@@ -328,8 +328,25 @@ def ccsd_t(t1, t2, f, eri, nocc):
                            jnp.asarray(f), jnp.asarray(eri), int(nocc)))
 
 
+def thc_mo_eri(isdf, mo_coeff):
+    """Full chemist MO ERI tensor from the ISDF/THC factors:
+
+        (pq|rs) ~= sum_PQ X_pP X_qP W_PQ X_rQ X_sQ,   X = aoRg @ C
+
+    O(nip^2 nmo^2) MXU GEMMs instead of nmo^2 grid FFTs — the
+    THC-CCSD integral path (pairs the flagship ISDF engine with the
+    coupled-cluster stack; accuracy = the ISDF fit, tested vs exact).
+    """
+    Xg = np.asarray(isdf.aoRg @ jnp.asarray(mo_coeff, isdf.aoRg.dtype))
+    W = np.asarray(isdf.W)
+    nmo = Xg.shape[1]
+    pair = np.einsum("pi,pj->pij", Xg, Xg).reshape(len(W), nmo * nmo)
+    out = pair.T @ (W @ pair)
+    return out.reshape(nmo, nmo, nmo, nmo)
+
+
 def ccsd(system, scf_res, nocc=None, with_t=False, conv_tol=1e-9,
-         max_cycle=100, verbose=False):
+         max_cycle=100, verbose=False, isdf=None):
     """Gamma-point closed-shell CCSD on a converged RHF/RKS reference.
 
     ERIs from the FFT-grid MO transform (df/fft_ao2mo.general); orbital
@@ -343,12 +360,15 @@ def ccsd(system, scf_res, nocc=None, with_t=False, conv_tol=1e-9,
         nocc = system.nelec // 2
     nmo = mo_c.shape[1]
 
-    aoR = system.aoR
-    moR = aoR @ jnp.asarray(mo_c, aoR.dtype)
-    coulG = jnp.asarray(system.coulG)
-    eri_mo = np.asarray(fft_ao2mo.general(
-        moR, moR, moR, moR, coulG, system.mesh, system.weight)
-    ).reshape(nmo, nmo, nmo, nmo)
+    if isdf is not None:
+        eri_mo = thc_mo_eri(isdf, mo_c)          # THC-CCSD integral path
+    else:
+        aoR = system.aoR
+        moR = aoR @ jnp.asarray(mo_c, aoR.dtype)
+        coulG = jnp.asarray(system.coulG)
+        eri_mo = np.asarray(fft_ao2mo.general(
+            moR, moR, moR, moR, coulG, system.mesh, system.weight)
+        ).reshape(nmo, nmo, nmo, nmo)
 
     f_sp = np.diag(mo_e)
     _, eri_so = spinorb_from_spatial(f_sp, eri_mo)

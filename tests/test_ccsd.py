@@ -103,3 +103,18 @@ def test_ccsd_t_tightens_toward_fci(h4):
     assert abs(d_ccsdt) < abs(d_ccsd)
     # correlation is real and negative
     assert out["e_corr"] < -0.01
+
+
+def test_thc_ccsd_matches_exact(h4):
+    """THC-CCSD: ISDF-factorized MO ERIs feed the CCSD kernel; at
+    sufficient rank the correlation energy matches the exact-integral
+    CCSD (the ISDF fit error is the only difference)."""
+    from pyscf_isdf_tpu.df import isdf as isdf_mod
+
+    system, res = h4
+    exact = ccsd(system, res, conv_tol=1e-11)
+    isdf = isdf_mod.build_isdf(system.aoR, jnp.asarray(system.coulG),
+                               system.mesh, system.weight, c=20)
+    thc = ccsd(system, res, conv_tol=1e-11, isdf=isdf)
+    assert thc["converged"]
+    assert abs(thc["e_corr"] - exact["e_corr"]) < 1e-6
