@@ -102,3 +102,24 @@ def test_h4_ground_state_and_excitations():
     de_eom = np.sort(w_ee)[1] - np.min(w_ee)
     assert abs(de_eom - de_fci) < 5e-3
     assert de_eom > 0.1          # physically sizable gap
+
+
+def test_ccsd_rdm1_equals_fci_two_electrons(be_case):
+    """The Lambda-response CCSD 1-RDM == FCI density exactly for 2e
+    (complete projection space), and satisfies the trace/hermiticity
+    sum rules."""
+    from pyscf_isdf_tpu.cc.density import ccsd_rdm1, fci_rdm1
+
+    system, res, out = be_case
+    h1so, eri_so = _so_integrals(system, res)
+    no = system.nelec
+    g_cc = ccsd_rdm1(h1so, eri_so, np.asarray(out["t1"]),
+                     np.asarray(out["t2"]), no)
+    g_fci = fci_rdm1(h1so, eri_so, no)
+    assert abs(np.trace(g_cc) - no) < 1e-9
+    assert np.abs(g_cc - g_cc.T).max() < 1e-8
+    assert np.abs(g_cc - g_fci).max() < 1e-8
+    # energy from the density + FCI 2-RDM consistency is implied;
+    # natural occupations physical
+    occs = np.linalg.eigvalsh(g_cc)
+    assert occs.min() > -1e-9 and occs.max() < 1 + 1e-9
