@@ -43,3 +43,34 @@ def test_kpoint_gradient_vs_fd(xc, tol, bar):
     _, rm = _setup(-h, xc, tol)
     fd = (rp["e_tot"] - rm["e_tot"]) / (2 * h)
     assert abs(g[0, 0] - fd) < bar
+
+
+def test_kuks_gradient_vs_fd():
+    """k-point spin-polarized forces (H3 radical chain, KUKS-LDA)."""
+    from pyscf_isdf_tpu.scf.kuhf import kuhf_kernel
+    from pyscf_isdf_tpu.grad.kuhf import kuhf_gradient
+
+    def setup(dx):
+        L = 6.0
+        cell = build_cell(np.array([[3.4, 0, 0], [0, L, 0], [0, 0, L]]),
+                          [["H", (0.0 + dx, L / 2, L / 2)],
+                           ["H", (1.45, L / 2 + 0.2, L / 2)],
+                           ["H", (2.4, L / 2, L / 2)]],
+                          basis="gth-szv", pseudo="gth-pade",
+                          mesh=[10, 14, 14], spin=1)
+        kpts = lattice.make_kpts(cell.a, [2, 1, 1])
+        system = build_kscf_system(cell, kpts)
+        res = kuhf_kernel(system, xc="lda,vwn", exxdiv="ewald",
+                          conv_tol=1e-13, max_cycle=200)
+        assert res["converged"]
+        return system, res
+
+    system, res = setup(0.0)
+    g, e_chk = kuhf_gradient(system, res, xc="lda,vwn",
+                             return_energy=True)
+    assert abs(e_chk - res["e_tot"]) < 1e-10
+    h = 2e-4
+    _, rp = setup(+h)
+    _, rm = setup(-h)
+    fd = (rp["e_tot"] - rm["e_tot"]) / (2 * h)
+    assert abs(g[0, 0] - fd) < 5e-7
