@@ -62,6 +62,33 @@ def build_composite_eris(system, scf_res):
     return f_so, eri_so, 2 * nocc_sp
 
 
+def composite_h1so(system, scf_res):
+    """Bare core Hamiltonian on the occupied-first composite spin-orbital
+    index (momentum-off-diagonal blocks are exactly zero) — feeds the
+    determinant-space EOM-KCCSD (cc/eom.py on composite integrals)."""
+    from pyscf_isdf_tpu.cc import gccsd
+
+    mo_c = [np.asarray(c) for c in scf_res["mo_coeff"]]
+    mo_occ = np.asarray(scf_res["mo_occ"])
+    nk = len(system.kpts)
+    nmo = mo_c[0].shape[1]
+    n = nk * nmo
+    h1 = np.zeros((n, n), dtype=complex)
+    for k in range(nk):
+        h1[k * nmo:(k + 1) * nmo, k * nmo:(k + 1) * nmo] = \
+            mo_c[k].conj().T @ np.asarray(system.hcore[k]) @ mo_c[k]
+    occ_flat = mo_occ.ravel() > 0.5
+    perm = np.argsort(~occ_flat, kind="stable")
+    h1 = h1[np.ix_(perm, perm)]
+    sp = np.arange(2 * n) // 2
+    sz = np.arange(2 * n) % 2
+    same = sz[:, None] == sz[None, :]
+    # supercell normalization: <psi_sc|h|psi_sc> over nk cells equals the
+    # primitive-cell matrix element (1/nk from |psi_sc|^2 x nk cells), so
+    # h1 carries NO 1/nk — only the ERIs do (see build_composite_eris)
+    return h1[np.ix_(sp, sp)] * same
+
+
 def kccsd(system, scf_res, with_t=False, conv_tol=1e-9, max_cycle=100,
           verbose=False):
     """k-point CCSD correlation energy per unit cell on a converged

@@ -48,3 +48,47 @@ def test_kccsd_matches_supercell(h2_chain):
     from pyscf_isdf_tpu.cc.kccsd import build_composite_eris
     _, eri_so, _ = build_composite_eris(ksys, kres)
     assert np.abs(eri_so.imag).max() > 1e-4
+
+
+def test_eom_kccsd_matches_supercell(h2_chain):
+    """EOM-KCCSD: the determinant-space EOM on composite momentum-blocked
+    integrals reproduces the Gamma-supercell EOM-EE spectrum (complex
+    Bloch integrals vs real supercell — reference eom_kccsd_* physics)."""
+    from pyscf_isdf_tpu.cc.kccsd import build_composite_eris, composite_h1so
+    from pyscf_isdf_tpu.cc.kccsd import kccsd
+    from pyscf_isdf_tpu.cc.eom import eom_ccsd
+    from pyscf_isdf_tpu.cc import ccsd as ccsd_gamma
+    from pyscf_isdf_tpu.cc.gccsd import spinorb_from_spatial
+    from pyscf_isdf_tpu.df import fft_ao2mo
+    import jax.numpy as jnp
+
+    cell = h2_chain
+    nkm = [2, 1, 1]
+    kpts = lattice.make_kpts(cell.a, nkm)
+    ksys = build_kscf_system(cell, kpts)
+    kres = kscf_kernel(ksys, xc=None, exxdiv=None, conv_tol=1e-12)
+    kout = kccsd(ksys, kres, conv_tol=1e-11)
+    f_so, eri_so, no_so = build_composite_eris(ksys, kres)
+    h1so = composite_h1so(ksys, kres)
+    w_k = eom_ccsd(h1so, eri_so, np.asarray(kout["t1"]),
+                   np.asarray(kout["t2"]), no_so, sector="ee", nroots=5)
+
+    sc = tools.super_cell(cell, tuple(nkm))
+    ssys = build_scf_system(sc)
+    sres = scf_kernel(ssys, xc=None, exxdiv=None, conv_tol=1e-12)
+    sout = ccsd_gamma(ssys, sres, conv_tol=1e-11)
+    mo_c = np.asarray(sres["mo_coeff"])
+    nmo = mo_c.shape[1]
+    h1mo = mo_c.T @ ssys.hcore @ mo_c
+    moR = ssys.aoR @ jnp.asarray(mo_c)
+    eri_mo = np.asarray(fft_ao2mo.general(
+        moR, moR, moR, moR, jnp.asarray(ssys.coulG), ssys.mesh,
+        ssys.weight)).reshape(nmo, nmo, nmo, nmo)
+    h1so_s, eri_so_s = spinorb_from_spatial(h1mo, eri_mo)
+    w_s = eom_ccsd(h1so_s, eri_so_s, np.asarray(sout["t1"]),
+                   np.asarray(sout["t2"]), ssys.nelec, sector="ee",
+                   nroots=5)
+    # excitation energies (differences) match across representations
+    de_k = np.sort(w_k)[1:] - np.min(w_k)
+    de_s = np.sort(w_s)[1:] - np.min(w_s)
+    assert np.abs(de_k - de_s).max() < 5e-6
