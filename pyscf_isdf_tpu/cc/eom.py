@@ -128,6 +128,100 @@ def eom_ccsd(h1so, eri_so, t1, t2, nocc, sector="ee", nroots=6):
     return np.real(w[:nroots])
 
 
+def _antisym_basis(no, nv):
+    """Index maps between packed (i<j, a<b) doubles and the full
+    antisymmetric t2 representation."""
+    ij = [(i, j) for i in range(no) for j in range(i + 1, no)]
+    ab = [(a, b) for a in range(nv) for b in range(a + 1, nv)]
+    return ij, ab
+
+
+def eom_ee_jacobian(f, eri, t1, t2, nocc):
+    """Dense EOM-EE-CCSD matrix at polynomial per-element cost: the
+    CCSD-amplitude-equation Jacobian.
+
+    EOM-EE excitation energies are the eigenvalues of
+    A_{mu nu} = <mu| [Hbar, tau_nu] |0> — which is EXACTLY the Jacobian
+    of the converged amplitude residual. One jax.jvp through the SAME
+    jitted _update_blocks program used by the ground-state solver gives
+    the sigma vector with zero transcription risk (the TPU-native
+    linear-response formulation); here it is materialized densely in the
+    packed antisymmetric basis (singles + i<j,a<b doubles) for direct
+    diagonalization. Validated against the exact determinant-space
+    transform in tests/test_eom.py.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pyscf_isdf_tpu.cc.gccsd import make_blocks, _update_blocks
+
+    f = jnp.asarray(f)
+    eri = jnp.asarray(eri)
+    no = int(nocc)
+    nv = f.shape[0] - no
+    B = make_blocks(eri, no)
+    e = np.real(np.diagonal(np.asarray(f)))
+    D1 = jnp.asarray(e[:no, None] - e[None, no:])
+    D2 = jnp.asarray(e[:no, None, None, None] + e[None, :no, None, None]
+                     - e[None, None, no:, None]
+                     - e[None, None, None, no:])
+    t1 = jnp.asarray(t1)
+    t2 = jnp.asarray(t2)
+
+    def resid(ts):
+        t1n, t2n = _update_blocks(ts[0], ts[1], f, B, no)
+        return ((t1n - ts[0]) * D1, (t2n - ts[1]) * D2)
+
+    @jax.jit
+    def sigma(r1, r2):
+        _, jv = jax.jvp(resid, ((t1, t2),), ((r1, r2),))
+        return jv
+
+    ij, ab = _antisym_basis(no, nv)
+    ns = no * nv
+    nd = len(ij) * len(ab)
+    dim = ns + nd
+    dtype = np.result_type(np.asarray(t2), np.asarray(eri))
+
+    def unpack(v):
+        r1 = v[:ns].reshape(no, nv)
+        r2 = np.zeros((no, no, nv, nv), dtype=dtype)
+        d = v[ns:].reshape(len(ij), len(ab))
+        for x, (i, j) in enumerate(ij):
+            for y, (a, b) in enumerate(ab):
+                r2[i, j, a, b] = d[x, y]
+                r2[j, i, a, b] = -d[x, y]
+                r2[i, j, b, a] = -d[x, y]
+                r2[j, i, b, a] = d[x, y]
+        return r1, r2
+
+    def pack(s1, s2):
+        s1 = np.asarray(s1)
+        s2 = np.asarray(s2)
+        out = np.empty(dim, dtype=dtype)
+        out[:ns] = s1.ravel()
+        out[ns:] = np.array([[s2[i, j, a, b] for (a, b) in ab]
+                             for (i, j) in ij]).ravel()
+        return out
+
+    A = np.empty((dim, dim), dtype=dtype)
+    for col in range(dim):
+        v = np.zeros(dim, dtype=dtype)
+        v[col] = 1.0
+        r1, r2 = unpack(v)
+        s1, s2 = sigma(jnp.asarray(r1), jnp.asarray(r2))
+        A[:, col] = pack(s1, s2)
+    return A
+
+
+def eom_ee_energies(f, eri, t1, t2, nocc, nroots=6):
+    """EOM-EE-CCSD excitation energies from the residual Jacobian."""
+    A = eom_ee_jacobian(f, eri, t1, t2, nocc)
+    w = np.linalg.eigvals(A)
+    w = np.sort(w.real[np.abs(w.imag) < 1e-6])
+    return w[:nroots]
+
+
 def eom_from_scf(system, scf_res, cc_out, sector="ee", nroots=6):
     """Convenience wrapper: spin-orbital integrals from a Gamma SCF +
     converged CCSD amplitudes -> sector energies relative to CCSD."""

@@ -123,3 +123,31 @@ def test_ccsd_rdm1_equals_fci_two_electrons(be_case):
     # natural occupations physical
     occs = np.linalg.eigvalsh(g_cc)
     assert occs.min() > -1e-9 and occs.max() < 1 + 1e-9
+
+
+def test_jacobian_eom_matches_determinant():
+    """Production-cost EOM-EE (= the CCSD residual Jacobian via one
+    jax.jvp through the jitted amplitude update) reproduces the exact
+    determinant-space EOM excitation energies."""
+    from pyscf_isdf_tpu.cc.eom import eom_ee_energies
+
+    L = 8.0
+    cell = build_cell(np.eye(3) * L,
+                      [["H", (L / 2 - 1.8, L / 2, L / 2)],
+                       ["H", (L / 2 - 0.6, L / 2, L / 2)],
+                       ["H", (L / 2 + 0.7, L / 2, L / 2)],
+                       ["H", (L / 2 + 1.9, L / 2, L / 2)]],
+                      basis="gth-szv", pseudo="gth-pade", mesh=[14] * 3)
+    system = build_scf_system(cell)
+    res = scf_kernel(system, xc=None, exxdiv=None, conv_tol=1e-12)
+    out = ccsd(system, res, conv_tol=1e-12)
+    h1so, eri_so = _so_integrals(system, res)
+    no = system.nelec
+    f_so = np.diag(np.repeat(np.asarray(res["mo_energy"]), 2))
+
+    w_det = eom_ccsd(h1so, eri_so, np.asarray(out["t1"]),
+                     np.asarray(out["t2"]), no, sector="ee", nroots=8)
+    de_det = np.sort(w_det)[1:] - np.min(w_det)
+    w_jac = eom_ee_energies(f_so, eri_so, out["t1"], out["t2"], no,
+                            nroots=8)
+    assert np.abs(np.sort(w_jac)[:5] - de_det[:5]).max() < 1e-9
