@@ -316,6 +316,23 @@ def KCCSD(mf: _KMeanField, with_t: bool = False, conv_tol: float = 1e-9):
     return e_corr, mf._res["e_tot"] + e_corr
 
 
+def EOMCCSD(mf: _MeanField, sector: str = "ee", nroots: int = 6,
+            conv_tol: float = 1e-10):
+    """EOM-CCSD excitation energies / IPs / EAs (sector 'ee'|'ip'|'ea')
+    on a converged Gamma mean-field — reference eom_kccsd analog.
+    Small-system determinant-space path (see cc/eom.py). Run the mean
+    field with exxdiv=None so the amplitude and determinant Hamiltonians
+    share one partition (the ewald probe shift moves occupied levels)."""
+    from pyscf_isdf_tpu.cc import ccsd as _ccsd
+    from pyscf_isdf_tpu.cc.eom import eom_from_scf
+
+    out = _ccsd(mf.system, mf._res, conv_tol=conv_tol)
+    if not out["converged"]:
+        raise RuntimeError("CCSD did not converge")
+    return eom_from_scf(mf.system, mf._res, out, sector=sector,
+                        nroots=nroots)
+
+
 def KMP2_stagger(mf: _KMeanField, flag_submesh: bool = False):
     """Staggered-mesh k-point MP2 (reference pyscf/pbc/mp/kmp2_stagger.py)
     on a converged KRHF object; returns (e_corr, e_tot)."""

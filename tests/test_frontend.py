@@ -103,12 +103,14 @@ def test_krhf_density_fit_isdf():
 
 
 def test_density_fit_unknown_engine_raises():
+    # 'gdf' used to be the unknown-engine probe here — it is a real
+    # engine now (df/gdf.py, Gamma + k)
     from pyscf_isdf_tpu import lattice
 
     cell = diamond_primitive(mesh=(14, 14, 14))
     kpts = lattice.make_kpts(cell.a, [2, 1, 1])
     with pytest.raises(ValueError):
-        pit.KRHF(cell, kpts).density_fit("gdf").run()
+        pit.KRHF(cell, kpts).density_fit("nosuchengine").run()
 
 
 def test_dos_and_band_path():
