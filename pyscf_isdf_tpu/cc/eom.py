@@ -177,41 +177,97 @@ def eom_ee_jacobian(f, eri, t1, t2, nocc):
         _, jv = jax.jvp(resid, ((t1, t2),), ((r1, r2),))
         return jv
 
-    ij, ab = _antisym_basis(no, nv)
-    ns = no * nv
-    nd = len(ij) * len(ab)
-    dim = ns + nd
-    dtype = np.result_type(np.asarray(t2), np.asarray(eri))
-
-    def unpack(v):
-        r1 = v[:ns].reshape(no, nv)
-        r2 = np.zeros((no, no, nv, nv), dtype=dtype)
-        d = v[ns:].reshape(len(ij), len(ab))
-        for x, (i, j) in enumerate(ij):
-            for y, (a, b) in enumerate(ab):
-                r2[i, j, a, b] = d[x, y]
-                r2[j, i, a, b] = -d[x, y]
-                r2[i, j, b, a] = -d[x, y]
-                r2[j, i, b, a] = d[x, y]
-        return r1, r2
-
-    def pack(s1, s2):
-        s1 = np.asarray(s1)
-        s2 = np.asarray(s2)
-        out = np.empty(dim, dtype=dtype)
-        out[:ns] = s1.ravel()
-        out[ns:] = np.array([[s2[i, j, a, b] for (a, b) in ab]
-                             for (i, j) in ij]).ravel()
-        return out
-
-    A = np.empty((dim, dim), dtype=dtype)
+    pack, unpack, dim = _packers(no, nv,
+                                 np.result_type(np.asarray(t2),
+                                                np.asarray(eri)))
+    A = np.empty((dim, dim), dtype=np.result_type(np.asarray(t2),
+                                                  np.asarray(eri)))
     for col in range(dim):
-        v = np.zeros(dim, dtype=dtype)
+        v = np.zeros(dim, dtype=A.dtype)
         v[col] = 1.0
         r1, r2 = unpack(v)
         s1, s2 = sigma(jnp.asarray(r1), jnp.asarray(r2))
         A[:, col] = pack(s1, s2)
     return A
+
+
+def _packers(no, nv, dtype):
+    """Vectorized maps between the packed antisymmetric vector
+    (singles + i<j,a<b doubles) and full (t1, t2) arrays."""
+    ij, ab = _antisym_basis(no, nv)
+    ns = no * nv
+    dim = ns + len(ij) * len(ab)
+    ii = np.array([p[0] for p in ij])
+    jj = np.array([p[1] for p in ij])
+    aa = np.array([p[0] for p in ab])
+    bb = np.array([p[1] for p in ab])
+    I = np.repeat(ii, len(ab))
+    J = np.repeat(jj, len(ab))
+    A_ = np.tile(aa, len(ij))
+    B_ = np.tile(bb, len(ij))
+
+    def unpack(v):
+        r1 = v[:ns].reshape(no, nv)
+        d = v[ns:]
+        r2 = np.zeros((no, no, nv, nv), dtype=dtype)
+        r2[I, J, A_, B_] = d
+        r2[J, I, A_, B_] = -d
+        r2[I, J, B_, A_] = -d
+        r2[J, I, B_, A_] = d
+        return r1, r2
+
+    def pack(s1, s2):
+        out = np.empty(dim, dtype=dtype)
+        out[:ns] = np.asarray(s1).ravel()
+        out[ns:] = np.asarray(s2)[I, J, A_, B_]
+        return out
+
+    return pack, unpack, dim
+
+
+def eom_ee_iterative(f, eri, t1, t2, nocc, nroots=4):
+    """Matrix-free EOM-EE: scipy implicitly-restarted Arnoldi on the
+    jitted Jacobian sigma (the scaling path — never materializes A)."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.sparse.linalg import LinearOperator, eigs
+
+    from pyscf_isdf_tpu.cc.gccsd import make_blocks, _update_blocks
+
+    f = jnp.asarray(f)
+    eri = jnp.asarray(eri)
+    no = int(nocc)
+    nv = f.shape[0] - no
+    B = make_blocks(eri, no)
+    e = np.real(np.diagonal(np.asarray(f)))
+    D1 = jnp.asarray(e[:no, None] - e[None, no:])
+    D2 = jnp.asarray(e[:no, None, None, None] + e[None, :no, None, None]
+                     - e[None, None, no:, None]
+                     - e[None, None, None, no:])
+    t1 = jnp.asarray(t1)
+    t2 = jnp.asarray(t2)
+
+    def resid(ts):
+        t1n, t2n = _update_blocks(ts[0], ts[1], f, B, no)
+        return ((t1n - ts[0]) * D1, (t2n - ts[1]) * D2)
+
+    @jax.jit
+    def sigma(r1, r2):
+        _, jv = jax.jvp(resid, ((t1, t2),), ((r1, r2),))
+        return jv
+
+    dtype = np.result_type(np.asarray(t2), np.asarray(eri))
+    pack, unpack, dim = _packers(no, nv, dtype)
+
+    def mv(v):
+        r1, r2 = unpack(v.astype(dtype))
+        s1, s2 = sigma(jnp.asarray(r1), jnp.asarray(r2))
+        return pack(s1, s2)
+
+    op = LinearOperator((dim, dim), matvec=mv, dtype=dtype)
+    k = min(nroots, dim - 2)
+    w = eigs(op, k=k, which="SR", return_eigenvectors=False)
+    return np.sort(w.real[np.abs(w.imag) < 1e-6])
 
 
 def eom_ee_energies(f, eri, t1, t2, nocc, nroots=6):

@@ -151,3 +151,27 @@ def test_jacobian_eom_matches_determinant():
     w_jac = eom_ee_energies(f_so, eri_so, out["t1"], out["t2"], no,
                             nroots=8)
     assert np.abs(np.sort(w_jac)[:5] - de_det[:5]).max() < 1e-9
+
+
+def test_iterative_eom_matches_dense():
+    """Matrix-free Arnoldi on the jitted Jacobian sigma == dense."""
+    from pyscf_isdf_tpu.cc.eom import eom_ee_energies, eom_ee_iterative
+
+    L = 8.0
+    cell = build_cell(np.eye(3) * L,
+                      [["H", (L / 2 - 1.8, L / 2, L / 2)],
+                       ["H", (L / 2 - 0.6, L / 2, L / 2)],
+                       ["H", (L / 2 + 0.7, L / 2, L / 2)],
+                       ["H", (L / 2 + 1.9, L / 2, L / 2)]],
+                      basis="gth-szv", pseudo="gth-pade", mesh=[14] * 3)
+    system = build_scf_system(cell)
+    res = scf_kernel(system, xc=None, exxdiv=None, conv_tol=1e-12)
+    out = ccsd(system, res, conv_tol=1e-12)
+    h1so, eri_so = _so_integrals(system, res)
+    f_so = np.diag(np.repeat(np.asarray(res["mo_energy"]), 2))
+    no = system.nelec
+    dense = eom_ee_energies(f_so, eri_so, out["t1"], out["t2"], no,
+                            nroots=6)
+    iterv = eom_ee_iterative(f_so, eri_so, out["t1"], out["t2"], no,
+                             nroots=6)
+    assert np.abs(dense[:len(iterv)] - iterv).max() < 1e-9
