@@ -11,8 +11,9 @@ Baselines recorded:
   - vs_baseline: speedup over the *CPU reference estimate* — the
     fft_jk K-build algorithm executed with numpy (the reference's
     pbc_tools_pbc_fft_engine='NUMPY' CI configuration), measured on a few
-    AO chunks of one iteration and extrapolated linearly over the known
-    chunk count (the per-chunk work is identical by construction).
+    AO chunks of one iteration (warmup + MIN of repeats: conservative
+    and robust to shared-host noise) and extrapolated linearly over the
+    known chunk count (the per-chunk work is identical by construction).
   - vs_fftdf_tpu: speedup over the same FFTDF algorithm running
     on-device (the algorithmic win with hardware held fixed).
 
@@ -110,12 +111,28 @@ def cpu_reference_periter(aoR, coulG, mesh, weight, chunk=2, n_chunks=3,
     ng, nao = aoR.shape
     dm = 2.0 / nao * np.eye(nao)
 
+    def _min_time(fn, reps=3):
+        """Warmup + min-of-repeats: one-shot timings on the shared host
+        swung 4-15x between runs (neighbors/first-touch); the MINIMUM is
+        the standard noise-robust CPU estimator AND the conservative
+        choice — the fastest CPU run is the strongest baseline, so the
+        reported vs_baseline is a lower bound."""
+        fn()
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
     # J: rho -> FFT -> coulG -> iFFT -> quadrature
-    t0 = time.perf_counter()
-    rho = np.einsum("gi,ij,gj->g", aoR, dm, aoR, optimize=True)
-    vR = np.fft.ifftn(coulG3 * np.fft.fftn(rho.reshape(mesh))).real.ravel()
-    vj = weight * (aoR.T * vR) @ aoR  # noqa: F841
-    t_j = time.perf_counter() - t0
+    def _j_build():
+        rho = np.einsum("gi,ij,gj->g", aoR, dm, aoR, optimize=True)
+        vR = np.fft.ifftn(coulG3
+                          * np.fft.fftn(rho.reshape(mesh))).real.ravel()
+        weight * (aoR.T * vR) @ aoR
+
+    t_j = _min_time(_j_build)
 
     def batched_vfilter(rho_flat):
         """coulG-filtered FFT roundtrip in sub-batches of 32 — numpy's
@@ -133,26 +150,32 @@ def cpu_reference_periter(aoR, coulG, mesh, weight, chunk=2, n_chunks=3,
 
     ao_dm = dm @ aoR.T                                     # (nao, ng)
     total_chunks = -(-nao // chunk)
-    t0 = time.perf_counter()
-    for ic in range(n_chunks):
-        blk = aoR.T[ic * chunk:(ic + 1) * chunk]           # (b, ng)
-        rho1 = blk[:, None, :] * aoR.T[None, :, :]         # (b, nao, ng)
-        vR1 = batched_vfilter(rho1.reshape(-1, ng)).reshape(-1, nao, ng)
-        np.einsum("ijg,jg->ig", vR1, ao_dm, optimize=True)
-    t_k = (time.perf_counter() - t0) / n_chunks * total_chunks
+
+    def _k_chunks():
+        for ic in range(n_chunks):
+            blk = aoR.T[ic * chunk:(ic + 1) * chunk]       # (b, ng)
+            rho1 = blk[:, None, :] * aoR.T[None, :, :]     # (b, nao, ng)
+            vR1 = batched_vfilter(rho1.reshape(-1, ng)).reshape(
+                -1, nao, ng)
+            np.einsum("ijg,jg->ig", vR1, ao_dm, optimize=True)
+
+    t_k = _min_time(_k_chunks) / n_chunks * total_chunks
 
     # occ-MO fast path (the reference's tagged-DM route,
     # fft_jk.py:235-259): chunk*nocc FFTs per chunk instead of chunk*nao.
     # Cost is value-independent; synthetic occupied factors time it.
     nocc = max(1, nao // 2 if nocc is None else nocc)
     mo_w = aoR[:, :nocc]                                   # (ng, nocc)
-    t0 = time.perf_counter()
-    for ic in range(n_chunks):
-        blk = aoR.T[ic * chunk:(ic + 1) * chunk]
-        rho1 = blk[:, None, :] * mo_w.T[None, :, :]        # (b, nocc, ng)
-        vR1 = batched_vfilter(rho1.reshape(-1, ng)).reshape(-1, nocc, ng)
-        np.einsum("big,ig->bg", vR1, mo_w.T, optimize=True)
-    t_k_occ = (time.perf_counter() - t0) / n_chunks * total_chunks
+
+    def _k_occ_chunks():
+        for ic in range(n_chunks):
+            blk = aoR.T[ic * chunk:(ic + 1) * chunk]
+            rho1 = blk[:, None, :] * mo_w.T[None, :, :]    # (b, nocc, ng)
+            vR1 = batched_vfilter(rho1.reshape(-1, ng)).reshape(
+                -1, nocc, ng)
+            np.einsum("big,ig->bg", vR1, mo_w.T, optimize=True)
+
+    t_k_occ = _min_time(_k_occ_chunks) / n_chunks * total_chunks
     return t_j + t_k, t_j + t_k_occ
 
 
