@@ -175,3 +175,18 @@ def test_iterative_eom_matches_dense():
     iterv = eom_ee_iterative(f_so, eri_so, out["t1"], out["t2"], no,
                              nroots=6)
     assert np.abs(dense[:len(iterv)] - iterv).max() < 1e-9
+
+
+def test_eomccsd_frontend_smoke():
+    import pyscf_isdf_tpu as pit
+
+    L = 7.0
+    a = L * np.eye(3)
+    a[1, 0] = 5.0
+    cell = build_cell(a, [["Be", (L / 2, L / 2, L / 2)]], basis="gth-szv",
+                      pseudo="gth-pade-q2", mesh=[12] * 3)
+    mf = pit.RHF(cell, exxdiv=None)
+    mf.run()
+    ee = pit.EOMCCSD(mf, sector="ee", nroots=3)
+    ips = pit.EOMCCSD(mf, sector="ip", nroots=2)
+    assert np.all(ee[1:] > 0) and ips[0] > 0

@@ -92,3 +92,41 @@ def test_eom_kccsd_matches_supercell(h2_chain):
     de_k = np.sort(w_k)[1:] - np.min(w_k)
     de_s = np.sort(w_s)[1:] - np.min(w_s)
     assert np.abs(de_k - de_s).max() < 5e-6
+
+
+def test_jacobian_eom_kccsd(h2_chain):
+    """Production-cost EOM on the composite k integrals: the Jacobian
+    path works unchanged on momentum-blocked inputs (complex Hermitian);
+    parity vs the Gamma-supercell Jacobian EOM excitations."""
+    from pyscf_isdf_tpu.cc.kccsd import build_composite_eris, kccsd
+    from pyscf_isdf_tpu.cc.eom import eom_ee_energies
+    from pyscf_isdf_tpu.cc import ccsd as ccsd_gamma
+    from pyscf_isdf_tpu.cc.gccsd import spinorb_from_spatial
+    from pyscf_isdf_tpu.df import fft_ao2mo
+    import jax.numpy as jnp
+
+    cell = h2_chain
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1])
+    ksys = build_kscf_system(cell, kpts)
+    kres = kscf_kernel(ksys, xc=None, exxdiv=None, conv_tol=1e-12)
+    kout = kccsd(ksys, kres, conv_tol=1e-11)
+    f_so, eri_so, no_so = build_composite_eris(ksys, kres)
+    w_k = eom_ee_energies(f_so, eri_so, kout["t1"], kout["t2"], no_so,
+                          nroots=4)
+
+    sc = tools.super_cell(cell, (2, 1, 1))
+    ssys = build_scf_system(sc)
+    sres = scf_kernel(ssys, xc=None, exxdiv=None, conv_tol=1e-12)
+    sout = ccsd_gamma(ssys, sres, conv_tol=1e-11)
+    mo_c = np.asarray(sres["mo_coeff"])
+    nmo = mo_c.shape[1]
+    moR = ssys.aoR @ jnp.asarray(mo_c)
+    eri_mo = np.asarray(fft_ao2mo.general(
+        moR, moR, moR, moR, jnp.asarray(ssys.coulG), ssys.mesh,
+        ssys.weight)).reshape(nmo, nmo, nmo, nmo)
+    _, eri_so_s = spinorb_from_spatial(
+        np.diag(np.asarray(sres["mo_energy"])), eri_mo)
+    f_so_s = np.diag(np.repeat(np.asarray(sres["mo_energy"]), 2))
+    w_s = eom_ee_energies(f_so_s, eri_so_s, sout["t1"], sout["t2"],
+                          ssys.nelec, nroots=4)
+    assert np.abs(w_k[:3] - w_s[:3]).max() < 5e-6
