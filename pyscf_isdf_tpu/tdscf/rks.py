@@ -159,6 +159,47 @@ def tda_kernel(system, scf_res, xc=None, nstates=5, singlet=True):
     return e[:nstates], v[:, :nstates]
 
 
+def tda_oscillator_strengths(system, scf_res, e, v):
+    """Length-gauge transition dipoles and oscillator strengths for TDA
+    states (reference tdscf oscillator_strength analog).
+
+    Requires dimension=0 (molecular-in-box) cells: the position operator
+    is ill-defined along periodic dimensions (the velocity-gauge
+    formulation would be the periodic route).
+
+    Returns (f (nstates,), mu (nstates, 3)):
+        mu_n = sqrt(2) sum_ia X_ia <i|r - r_c|a>,   f_n = 2/3 E_n |mu_n|^2.
+    """
+    cell = system.cell
+    if getattr(cell, "dimension", 3) != 0:
+        raise NotImplementedError(
+            "length-gauge dipoles need dimension=0 cells")
+    mo_c = np.asarray(scf_res["mo_coeff"])
+    nocc = system.nelec // 2
+    no, nv = nocc, mo_c.shape[1] - nocc
+    aoR = np.asarray(system.aoR, dtype=np.float64)
+    coords = cell.uniform_grid()
+    charges = np.asarray(cell.charges)
+    center = charges @ cell.coords / charges.sum()
+    # minimum-image coordinates about the charge center: AO tails wrap
+    # across the box on the periodic grid, and a raw z-weighted
+    # quadrature counts a tail at z<0 as z~L (measured: diagonal dipole
+    # off by 3-15x for diffuse functions). Valid while the molecule
+    # fits in half the box.
+    frac = (coords - center) @ np.linalg.inv(cell.a)
+    rel = (frac - np.round(frac)) @ cell.a       # (ng, 3)
+    Co, Cv = mo_c[:, :no], mo_c[:, no:]
+    r_mo = np.stack([
+        Co.T @ ((aoR.T * (system.weight * rel[:, x])) @ aoR) @ Cv
+        for x in range(3)])                      # (3, no, nv)
+    mu = np.stack([
+        np.sqrt(2.0) * np.einsum(
+            "ia,xia->x", np.asarray(v[:, n]).reshape(no, nv), r_mo)
+        for n in range(len(e))])
+    f = 2.0 / 3.0 * np.asarray(e) * np.sum(mu * mu, axis=1)
+    return f, mu
+
+
 def tddft_kernel(system, scf_res, xc=None, nstates=5, singlet=True):
     """Full linear-response (Casida) excitation energies (Hartree)."""
     A, B = _build_matrices(system, scf_res, xc=xc, singlet=singlet)

@@ -222,3 +222,30 @@ def test_ktddft_below_ktda(ground_state):
     # state-by-state: RPA <= TDA for the lowest roots
     for i in range(2):
         assert e_rpa[i] <= u_tda[i] + 1e-8
+
+
+def test_tda_oscillator_strengths_h2_box():
+    """Length-gauge transition dipoles (0D molecular-in-box): grid
+    dipole integrals min-imaged about the charge center; H2 selection
+    rules — z-polarized sigma_g -> sigma_u carries the strength, the
+    symmetry-forbidden state is dark, TRK sum below nelec."""
+    import numpy as np
+    from pyscf_isdf_tpu import build_cell
+    from pyscf_isdf_tpu.scf import build_scf_system, scf_kernel
+    from pyscf_isdf_tpu.tdscf.rks import (tda_kernel,
+                                          tda_oscillator_strengths)
+
+    L = 12.0
+    basis = [[0, (1.3, 1.0)], [0, (0.25, 1.0)]]
+    cell = build_cell(np.eye(3) * L,
+                      [["H", (L / 2, L / 2, L / 2 - 0.7)],
+                       ["H", (L / 2, L / 2, L / 2 + 0.7)]],
+                      basis=basis, mesh=[40] * 3, dimension=0)
+    system = build_scf_system(cell)
+    res = scf_kernel(system, xc=None, exxdiv=None, conv_tol=1e-11)
+    e, v = tda_kernel(system, res, xc=None, nstates=3, singlet=True)
+    f, mu = tda_oscillator_strengths(system, res, e, v)
+    assert 0.3 < f[0] < 2.0                 # bright sigma_g -> sigma_u
+    assert f[1] < 1e-8                      # symmetry-dark state
+    assert np.abs(mu[:, :2]).max() < 1e-6   # z-polarized only
+    assert f.sum() < system.nelec           # TRK bound (finite basis)
