@@ -44,6 +44,11 @@ mfh.run()
 e_corr, e_tot = pit.CCSD(mfh, with_t=True)  # CCSD(T)
 print("CCSD(T):", e_tot)
 
+mfe = pit.RHF(h2, exxdiv=None)
+mfe.run()
+print("EOM-CCSD EE (Ha):", pit.EOMCCSD(mfe, sector="ee", nroots=3))
+print("EOM-CCSD IP (Ha):", pit.EOMCCSD(mfe, sector="ip", nroots=2))
+
 kpts = lattice.make_kpts(cell.a, [2, 1, 1])
 kmf = pit.KRHF(cell, kpts)
 kmf.run()

@@ -296,13 +296,14 @@ def eom_from_scf(system, scf_res, cc_out, sector="ee", nroots=6):
     h1so, eri_so = spinorb_from_spatial(h1mo, eri_mo)
     no = system.nelec
     w = eom_ccsd(h1so, eri_so, np.asarray(cc_out["t1"]),
-                 np.asarray(cc_out["t2"]), no, sector=sector,
-                 nroots=nroots)
+                 np.asarray(cc_out["t2"]), no,
+                 sector=sector,
+                 nroots=nroots + (1 if sector == "ee" else 0))
     e_gs = eom_ccsd(h1so, eri_so, np.asarray(cc_out["t1"]),
                     np.asarray(cc_out["t2"]), no, sector="ee",
                     nroots=1)[0]
     if sector == "ee":
-        return w - e_gs
-    if sector == "ip":
-        return e_gs - w          # ionization potentials (positive)
-    return w - e_gs              # electron affinities
+        return (w - e_gs)[1:]    # drop the trivial ground-state root
+    # ip: E_n(N-1) - E_0(N), positive when ionization costs energy;
+    # ea: E_n(N+1) - E_0(N), negative for a bound extra electron
+    return w - e_gs
