@@ -90,6 +90,11 @@ def eom_ccsd(h1so, eri_so, t1, t2, nocc, sector="ee", nroots=6):
     ref = tuple(range(no))
     nel = {"ee": no, "ip": no - 1, "ea": no + 1}[sector]
     dets = list(combinations(range(nso), nel))
+    if len(dets) > 20000:
+        raise MemoryError(
+            f"determinant space {len(dets)} too large for the exact "
+            "transform; use eom_ee_iterative (polynomial-cost Jacobian "
+            "sigma) for EE, or reduce the orbital space")
     index = {d: i for i, d in enumerate(dets)}
 
     H = build_hamiltonian(h1so, eri_so, dets)
