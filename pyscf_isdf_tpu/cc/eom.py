@@ -141,20 +141,9 @@ def _antisym_basis(no, nv):
     return ij, ab
 
 
-def eom_ee_jacobian(f, eri, t1, t2, nocc):
-    """Dense EOM-EE-CCSD matrix at polynomial per-element cost: the
-    CCSD-amplitude-equation Jacobian.
-
-    EOM-EE excitation energies are the eigenvalues of
-    A_{mu nu} = <mu| [Hbar, tau_nu] |0> — which is EXACTLY the Jacobian
-    of the converged amplitude residual. One jax.jvp through the SAME
-    jitted _update_blocks program used by the ground-state solver gives
-    the sigma vector with zero transcription risk (the TPU-native
-    linear-response formulation); here it is materialized densely in the
-    packed antisymmetric basis (singles + i<j,a<b doubles) for direct
-    diagonalization. Validated against the exact determinant-space
-    transform in tests/test_eom.py.
-    """
+def _make_sigma(f, eri, t1, t2, nocc):
+    """Jitted Jacobian-vector product of the CCSD amplitude residual —
+    the EOM-EE sigma. Shared by the dense and iterative solvers."""
     import jax
     import jax.numpy as jnp
 
@@ -181,6 +170,27 @@ def eom_ee_jacobian(f, eri, t1, t2, nocc):
     def sigma(r1, r2):
         _, jv = jax.jvp(resid, ((t1, t2),), ((r1, r2),))
         return jv
+
+    return sigma, no, nv
+
+
+def eom_ee_jacobian(f, eri, t1, t2, nocc):
+    """Dense EOM-EE-CCSD matrix at polynomial per-element cost: the
+    CCSD-amplitude-equation Jacobian.
+
+    EOM-EE excitation energies are the eigenvalues of
+    A_{mu nu} = <mu| [Hbar, tau_nu] |0> — which is EXACTLY the Jacobian
+    of the converged amplitude residual. One jax.jvp through the SAME
+    jitted _update_blocks program used by the ground-state solver gives
+    the sigma vector with zero transcription risk (the TPU-native
+    linear-response formulation); here it is materialized densely in the
+    packed antisymmetric basis (singles + i<j,a<b doubles) for direct
+    diagonalization. Validated against the exact determinant-space
+    transform in tests/test_eom.py.
+    """
+    import jax.numpy as jnp
+
+    sigma, no, nv = _make_sigma(f, eri, t1, t2, nocc)
 
     pack, unpack, dim = _packers(no, nv,
                                  np.result_type(np.asarray(t2),
@@ -232,35 +242,17 @@ def _packers(no, nv, dtype):
 
 def eom_ee_iterative(f, eri, t1, t2, nocc, nroots=4):
     """Matrix-free EOM-EE: scipy implicitly-restarted Arnoldi on the
-    jitted Jacobian sigma (the scaling path — never materializes A)."""
-    import jax
+    jitted Jacobian sigma (the scaling path — never materializes A).
+
+    Falls back to the dense solver for tiny spaces (Arnoldi needs
+    k < dim-1). NOTE: near-degenerate complex-conjugate eigenvalue
+    pairs (possible for the nonsymmetric EOM matrix) are filtered, so
+    the returned array may hold fewer than ``nroots`` energies — check
+    ``len()`` rather than assuming the count."""
     import jax.numpy as jnp
     from scipy.sparse.linalg import LinearOperator, eigs
 
-    from pyscf_isdf_tpu.cc.gccsd import make_blocks, _update_blocks
-
-    f = jnp.asarray(f)
-    eri = jnp.asarray(eri)
-    no = int(nocc)
-    nv = f.shape[0] - no
-    B = make_blocks(eri, no)
-    e = np.real(np.diagonal(np.asarray(f)))
-    D1 = jnp.asarray(e[:no, None] - e[None, no:])
-    D2 = jnp.asarray(e[:no, None, None, None] + e[None, :no, None, None]
-                     - e[None, None, no:, None]
-                     - e[None, None, None, no:])
-    t1 = jnp.asarray(t1)
-    t2 = jnp.asarray(t2)
-
-    def resid(ts):
-        t1n, t2n = _update_blocks(ts[0], ts[1], f, B, no)
-        return ((t1n - ts[0]) * D1, (t2n - ts[1]) * D2)
-
-    @jax.jit
-    def sigma(r1, r2):
-        _, jv = jax.jvp(resid, ((t1, t2),), ((r1, r2),))
-        return jv
-
+    sigma, no, nv = _make_sigma(f, eri, t1, t2, nocc)
     dtype = np.result_type(np.asarray(t2), np.asarray(eri))
     pack, unpack, dim = _packers(no, nv, dtype)
 
@@ -269,10 +261,15 @@ def eom_ee_iterative(f, eri, t1, t2, nocc, nroots=4):
         s1, s2 = sigma(jnp.asarray(r1), jnp.asarray(r2))
         return pack(s1, s2)
 
-    op = LinearOperator((dim, dim), matvec=mv, dtype=dtype)
-    k = min(nroots, dim - 2)
-    w = eigs(op, k=k, which="SR", return_eigenvectors=False)
-    return np.sort(w.real[np.abs(w.imag) < 1e-6])
+    if dim < max(3 * nroots, 40):           # Arnoldi needs k < dim-1
+        A = eom_ee_jacobian(f, eri, t1, t2, nocc)
+        w = np.linalg.eigvals(A)
+    else:
+        op = LinearOperator((dim, dim), matvec=mv, dtype=dtype)
+        w = eigs(op, k=min(nroots, dim - 2), which="SR",
+                 return_eigenvectors=False)
+    w = np.sort(w.real[np.abs(w.imag) < 1e-6])
+    return w[:nroots]
 
 
 def eom_ee_energies(f, eri, t1, t2, nocc, nroots=6):
@@ -293,7 +290,7 @@ def eom_from_scf(system, scf_res, cc_out, sector="ee", nroots=6):
 
     mo_c = np.asarray(scf_res["mo_coeff"])
     nmo = mo_c.shape[1]
-    h1mo = mo_c.T @ system.hcore @ mo_c
+    h1mo = mo_c.conj().T @ system.hcore @ mo_c
     moR = system.aoR @ jnp.asarray(mo_c)
     eri_mo = np.asarray(fft_ao2mo.general(
         moR, moR, moR, moR, jnp.asarray(system.coulG), system.mesh,
@@ -304,11 +301,13 @@ def eom_from_scf(system, scf_res, cc_out, sector="ee", nroots=6):
                  np.asarray(cc_out["t2"]), no,
                  sector=sector,
                  nroots=nroots + (1 if sector == "ee" else 0))
+    if sector == "ee":
+        # the lowest EE root IS the CCSD ground state — no second
+        # determinant-space transform needed
+        return (w - w[0])[1:]
     e_gs = eom_ccsd(h1so, eri_so, np.asarray(cc_out["t1"]),
                     np.asarray(cc_out["t2"]), no, sector="ee",
                     nroots=1)[0]
-    if sector == "ee":
-        return (w - e_gs)[1:]    # drop the trivial ground-state root
     # ip: E_n(N-1) - E_0(N), positive when ionization costs energy;
     # ea: E_n(N+1) - E_0(N), negative for a bound extra electron
     return w - e_gs

@@ -221,9 +221,21 @@ def build_gdf_kpts(cell, aoR_k, kpts, mesh, weight, beta: float = 2.0,
             pair = (ao1.conj()[:, :, None] * ao2[:, None, :]) \
                 * phase[:, None, None]
             pflat = pair.reshape(-1, nao * nao).T            # (nao^2, ng)
-            pG = fft3(pflat, mesh) * weight
-            # j3c[P, mn] = (1/vol) sum_G conj(chi_P) v_q rho_mn
-            j3c = ((vq[None, :] * pG) @ chi.conj()).T / cell.vol
+            # j3c[P, mn] = (1/vol) sum_G conj(chi_P) v_q rho_mn;
+            # chunked FFTs bound the transient workspace (same memory
+            # posture as the Gamma builder's _pair_ft)
+            chunk = 16
+            npair = nao * nao
+            npad = (-npair) % chunk
+            p_p = jnp.pad(pflat, ((0, npad), (0, 0)))
+
+            def _block(p):
+                pG = fft3(p, mesh) * weight
+                return (vq[None, :] * pG) @ chi.conj()       # (chunk, naux)
+
+            j3c_t = jax.lax.map(
+                _block, p_p.reshape(-1, chunk, pflat.shape[1]))
+            j3c = j3c_t.reshape(-1, chi.shape[1])[:npair].T / cell.vol
             row.append((wh @ j3c).reshape(-1, nao, nao))
         cd.append(row)
     return KGDF(cd=tuple(tuple(r) for r in cd), nk=nk)
@@ -233,10 +245,18 @@ def get_jk_kpts(kgdf: KGDF, dm_k):
     """J/K matrices at every k from the k-point fit.
 
     K^{k1} = (1/nk) sum_{k2,P} cd^{k1k2}_P D^{k2} cd^{k1k2 H}_P;
-    J^{k1} = sum_P cd^{k1k1,q=0}_P rho_P with
-    rho_P = (1/nk) sum_k2 sum_mn cd^{k2k2}_{P,mn} D^{k2}_{nm}
-    (the density is sum D_mn conj(pair_mn), so the fit coefficient
-    carries NO conjugation — validated against fftdf_k to 3e-6).
+    J^{k1}_{mn} = sum_P conj(cd^{k1k1}_{P,mn}) rho_P with
+    rho_P = (1/nk) sum_k2 sum_mn cd^{k2k2}_{P,mn} D^{k2}_{nm}.
+
+    Conjugation placement matters for PHASE INVARIANCE: the whitening
+    eigenvectors of the complex q=0 j2c carry arbitrary per-column
+    phases (and arbitrary rotations inside degenerate aux-metric
+    eigenspaces). Under cd_P -> e^{-i theta_P} cd_P the density
+    coefficient rho_P -> e^{-i theta_P} rho_P, so vj is invariant only
+    when the OUTER factor is conjugated — contracting cd twice without
+    a conjugation is O(1) wrong whenever eigh returns complex-mixed
+    vectors (caught by code review; regression-tested with an explicit
+    degenerate-phase scramble in test_gdf).
     """
     nk = kgdf.nk
     dm_k = [jnp.asarray(d) for d in dm_k]
@@ -246,7 +266,9 @@ def get_jk_kpts(kgdf: KGDF, dm_k):
                                dm_k[k2]) / nk
     vj, vk = [], []
     for k1 in range(nk):
-        vj.append(jnp.einsum("p,pmn->mn", rho, kgdf.cd[k1][k1]))
+        # vj_mn = <pair_nm, rho>_v  (conj(pair_mn) = pair_nm): the
+        # conjugated factor carries TRANSPOSED pair indices
+        vj.append(jnp.einsum("p,pnm->mn", rho, kgdf.cd[k1][k1].conj()))
         acc = 0.0
         for k2 in range(nk):
             c = kgdf.cd[k1][k2]

@@ -90,6 +90,10 @@ def make_kstrain_energy_fn(system, xc=None, exxdiv="ewald"):
     hyb = 1.0 if xcspec is None else xcspec.hyb
     if xcspec is not None and getattr(xcspec, "omega", 0.0):
         raise NotImplementedError("k-stress: RSH todo")
+    if exxdiv not in (None, "ewald"):
+        # the SCF can minimize e.g. vcut_sph functionals; silently
+        # differentiating a DIFFERENT functional would be wrong
+        raise NotImplementedError(f"k-stress: exxdiv={exxdiv!r} todo")
     is_gga = xcspec is not None and xcspec.family == "gga"
 
     packed = PackedBasis.from_cell(cell)
@@ -223,10 +227,11 @@ def make_kstrain_energy_fn(system, xc=None, exxdiv="ewald"):
         e_k = 0.0
         if hyb > 0:
             ex = 0.0
+            moR_k = [aoR_list[k] @ mo_w_k[k] for k in range(nk)]
             for k1 in range(nk):
-                mo1 = aoR_list[k1] @ mo_w_k[k1]
+                mo1 = moR_k[k1]
                 for k2 in range(nk):
-                    mo2 = aoR_list[k2] @ mo_w_k[k2]
+                    mo2 = moR_k[k2]
                     Gq = kGq0[k1, k2] @ Finv
                     G2q = jnp.sum(Gq * Gq, axis=1)
                     kill = bnd_q[k1, k2] | (G2q < 1e-12)

@@ -110,3 +110,45 @@ def test_kpoint_gdf_jk_and_scf():
                         df="gdf")
     assert r_gdf["converged"]
     assert abs(r_gdf["e_tot"] - res["e_tot"]) < 2e-5
+
+
+def test_kpoint_gdf_phase_invariance():
+    """The whitening eigenvectors of the complex q=0 j2c carry arbitrary
+    per-column phases (and rotations inside degenerate eigenspaces);
+    J/K must be invariant under them. Regression for a conjugation-
+    placement bug caught by review: the unconjugated double-cd J
+    contraction matched the oracle only for real-phase eigh output."""
+    import jax.numpy as jnp
+    from pyscf_isdf_tpu import lattice
+    from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+
+    L = 6.0
+    cell = build_cell(np.array([[2.9, 0, 0], [0, L, 0], [0, 0, L]]),
+                      [["H", (0.0, L / 2, L / 2)],
+                       ["H", (1.25, L / 2 + 0.1, L / 2)]],
+                      basis="gth-szv", pseudo="gth-pade", mesh=[10, 14, 14])
+    kpts = lattice.make_kpts(cell.a, [3, 1, 1])
+    system = build_kscf_system(cell, kpts)
+    res = kscf_kernel(system, xc=None, exxdiv="ewald", conv_tol=1e-10)
+    dm_k = jnp.stack([jnp.asarray(d) for d in res["dm"]])
+    kg = gdf_mod.build_gdf_kpts(cell, system.aoR_k, kpts, system.mesh,
+                                system.weight, beta=1.8)
+    vj, vk = gdf_mod.get_jk_kpts(kg, dm_k)
+    # Hermiticity
+    assert float(jnp.abs(vj - jnp.conj(jnp.swapaxes(vj, 1, 2))).max()) \
+        < 1e-12
+    # per-q-consistent random phase scramble of the whitened rows
+    cd_new = []
+    for k1 in range(kg.nk):
+        row = []
+        for k2 in range(kg.nk):
+            c = np.asarray(kg.cd[k1][k2])
+            q = tuple(np.round(kpts[k2] - kpts[k1], 10))
+            rng = np.random.default_rng(abs(hash(q)) % 2**31)
+            ph = np.exp(1j * rng.uniform(0, 2 * np.pi, c.shape[0]))
+            row.append(jnp.asarray(ph[:, None, None] * c))
+        cd_new.append(tuple(row))
+    vj2, vk2 = gdf_mod.get_jk_kpts(
+        gdf_mod.KGDF(cd=tuple(cd_new), nk=kg.nk), dm_k)
+    assert float(jnp.abs(vj2 - vj).max()) < 1e-12
+    assert float(jnp.abs(vk2 - vk).max()) < 1e-12
