@@ -357,6 +357,24 @@ def _isdfk_for_exchange(mf):
                                c=mf.isdf_c)
 
 
+def _dedup_realified(e, tol=1e-7):
+    """Collapse realification partners: each group of roots equal within
+    ``tol`` came from pairs (one complex root -> two real roots), so a
+    group of size g holds ceil(g/2) physical states (odd g = a pair cut
+    by the nstates truncation)."""
+    e = np.sort(np.asarray(e))
+    out = []
+    i = 0
+    while i < len(e):
+        j = i + 1
+        while j < len(e) and e[j] - e[i] <= tol * max(1.0, abs(e[i])):
+            j += 1
+        g = j - i
+        out.extend(e[i:i + (g + 1) // 2])
+        i = j
+    return np.asarray(out)
+
+
 def TDA(mf, nstates=5, singlet=True):
     """Excitation energies: dense TDA for Gamma mean-fields, Davidson
     k-TDA (ISDF exchange response) for k-point mean-fields — the
@@ -367,8 +385,11 @@ def TDA(mf, nstates=5, singlet=True):
         e, _ = ktda_davidson(mf.system, mf._res, xc=mf.xc,
                              nstates=2 * nstates, singlet=singlet,
                              isdfk=_isdfk_for_exchange(mf))
-        # the realified Davidson doubles complex multiplicities
-        return np.unique(np.round(np.asarray(e), 9))[:nstates]
+        # The realified Davidson returns every root twice (complex
+        # eigenpair -> real 2x2 block); halve each near-degenerate
+        # group's multiplicity instead of collapsing it to one, so
+        # genuine physical degeneracies keep their multiplicity.
+        return _dedup_realified(np.asarray(e))[:nstates]
     from pyscf_isdf_tpu.tdscf import tda_kernel
 
     e, _ = tda_kernel(mf.system, mf._res, xc=mf.xc, nstates=nstates,
@@ -399,12 +420,20 @@ def Gradients(mf: _MeanField):
         from pyscf_isdf_tpu.grad.uhf import uhf_gradient
 
         return uhf_gradient(mf.system, mf._res, xc=mf.xc, exxdiv=mf.exxdiv)
+    if isinstance(mf, ROHF):
+        # the restricted Gamma functional cannot consume the
+        # (dm_a, dm_b) ROHF state — loud guard, not a silent fallthrough
+        raise NotImplementedError("gradients: ROHF not supported")
+    if isinstance(mf, (KUHF, KUKS)):
+        from pyscf_isdf_tpu.grad.kuhf import kuhf_gradient
+
+        return kuhf_gradient(mf.system, mf._res, xc=mf.xc, exxdiv=mf.exxdiv)
     if isinstance(mf, (KRHF, KRKS)):
         from pyscf_isdf_tpu.grad.khf import krhf_gradient
 
         return krhf_gradient(mf.system, mf._res, xc=mf.xc, exxdiv=mf.exxdiv)
     if isinstance(mf, _KMeanField):
-        raise NotImplementedError("gradients: only KRHF/KRKS at k")
+        raise NotImplementedError("gradients: only KRHF/KRKS/KUHF/KUKS at k")
     from pyscf_isdf_tpu.grad import rhf_gradient
 
     return rhf_gradient(mf.system, mf._res, xc=mf.xc, exxdiv=mf.exxdiv)
@@ -421,6 +450,12 @@ def Stress(mf: _MeanField):
                               exxdiv=mf.exxdiv)
     if isinstance(mf, _KMeanField):
         raise NotImplementedError("stress: only KRHF/KRKS at k")
+    if isinstance(mf, (UHF, UKS, ROHF)):
+        # open-shell Gamma states carry (dm_a, dm_b); the restricted
+        # strain functional would either crash or silently evaluate a
+        # closed-shell energy on them
+        raise NotImplementedError("stress: open-shell (UHF/UKS/ROHF) "
+                                  "not supported")
     from pyscf_isdf_tpu.grad.stress import stress_tensor
 
     return stress_tensor(mf.system, mf._res, xc=mf.xc, exxdiv=mf.exxdiv)

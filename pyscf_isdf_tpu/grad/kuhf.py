@@ -18,6 +18,7 @@ from pyscf_isdf_tpu.ops import pp as pp_ops
 from pyscf_isdf_tpu.ops.ao_eval import (PackedBasis, eval_ao_positions,
                                         ao_gradient_fft_k, shell_rcut)
 from pyscf_isdf_tpu.ops.ft_ao import converged_st_mesh
+from pyscf_isdf_tpu.scf import occupations as occupations_mod
 from pyscf_isdf_tpu.ops.xc import XCSpec
 from pyscf_isdf_tpu.grad.rhf import _ft_factors, _vnl_tables, _EwaldData
 
@@ -197,10 +198,8 @@ def kuhf_gradient(system, scf_res, xc=None, exxdiv="ewald",
     na_tot = nelec * nk - nb_tot
 
     def occs(mo_e_k, ntot):
-        all_e = np.sort(np.hstack([np.asarray(e) for e in mo_e_k]))
-        fermi = all_e[ntot - 1]
-        return [(np.asarray(e) <= fermi + 1e-12).astype(float)
-                for e in mo_e_k]
+        # Exactly ntot spin orbitals (<=fermi overfills degenerate ties)
+        return occupations_mod.exact_count_occ(mo_e_k, ntot, scale=1.0)
 
     occ_a = occs(ea, na_tot)
     occ_b = occs(eb, nb_tot)

@@ -30,6 +30,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from pyscf_isdf_tpu.df import fftdf_k
+from pyscf_isdf_tpu.scf import occupations as occupations_mod
 from pyscf_isdf_tpu.scf.diis import DIIS
 
 
@@ -126,9 +127,10 @@ def kghf_kernel(
         return es, cs
 
     def occupations(mo_e):
-        all_e = np.sort(np.hstack(mo_e))
-        fermi = all_e[nelec - 1]
-        return [(e <= fermi + 1e-14).astype(np.float64) for e in mo_e]
+        # Exactly nelec spinors: the spin-free spinor spectrum is 2x
+        # degenerate, so a <=fermi threshold overfills odd electron
+        # counts (and the symmetric Fock keeps the wrong charge).
+        return occupations_mod.exact_count_occ(mo_e, nelec, scale=1.0)
 
     def make_dm(mo_c, occs):
         return np.stack([

@@ -20,6 +20,7 @@ from pyscf_isdf_tpu.ops import coulomb, pp as pp_ops
 from pyscf_isdf_tpu.ops.ao_eval import eval_ao_numpy
 from pyscf_isdf_tpu.ops.ft_ao import overlap_and_kinetic
 from pyscf_isdf_tpu.ops.xc import XCSpec
+from pyscf_isdf_tpu.scf import occupations as occupations_mod
 from pyscf_isdf_tpu.scf.diis import DIIS
 
 
@@ -87,10 +88,12 @@ def build_kscf_system(cell: Cell, kpts, dtype=None) -> KSCFSystem:
 
 
 def _global_occ(mo_e_k, nocc_tot):
-    """Fermi filling across all k-points (khf.py:178-214)."""
-    all_e = np.sort(np.hstack(mo_e_k))
-    fermi = all_e[nocc_tot - 1]
-    return [(e <= fermi).astype(np.float64) * 2 for e in mo_e_k]
+    """Fermi filling across all k-points (khf.py:178-214).
+
+    Exactly nocc_tot orbitals filled (argsort, not a <=fermi threshold,
+    which overfills on a degenerate Fermi level).
+    """
+    return occupations_mod.exact_count_occ(mo_e_k, nocc_tot, scale=2.0)
 
 
 def kscf_kernel(

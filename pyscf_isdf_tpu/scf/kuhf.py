@@ -15,14 +15,14 @@ import jax.numpy as jnp
 
 from pyscf_isdf_tpu.df import fftdf_k
 from pyscf_isdf_tpu.ops.xc import XCSpec
+from pyscf_isdf_tpu.scf import occupations as occupations_mod
 from pyscf_isdf_tpu.scf.diis import DIIS
 from pyscf_isdf_tpu.scf.khf import KSCFSystem, build_kscf_system  # noqa: F401
 
 
 def _occ_spin(mo_e_k, nocc_tot):
-    all_e = np.sort(np.hstack(mo_e_k))
-    fermi = all_e[nocc_tot - 1]
-    return [(e <= fermi).astype(np.float64) for e in mo_e_k]
+    # Exactly nocc_tot spin orbitals (argsort; <=fermi overfills ties).
+    return occupations_mod.exact_count_occ(mo_e_k, nocc_tot, scale=1.0)
 
 
 def kuhf_kernel(

@@ -69,3 +69,32 @@ def smearing_occ_rhf(mo_e_k, nelec_tot, sigma, method="fermi"):
     sizes = np.cumsum([0] + [len(e) for e in mo_e_k])
     occ_k = [occs[sizes[i]:sizes[i + 1]] for i in range(nk)]
     return occ_k, entropy, float(mu)
+
+
+def exact_count_occ(mo_e_k, n_fill, scale=1.0):
+    """Integer occupations filling EXACTLY n_fill orbitals globally.
+
+    Reference semantics: pyscf/pbc/scf/khf.py:178-214 get_occ sorts the
+    k-stacked spectrum and occupies the lowest mo_occ slots; a
+    threshold test ``e <= fermi + eps`` overfills when the level at the
+    Fermi energy is degenerate (e.g. the exact 2x spinor degeneracy of
+    spin-free KGHF with an odd electron count), silently converging a
+    wrong-charge state.  This fills by global stable argsort instead.
+
+    Args:
+        mo_e_k: list of per-k (nmo_k,) energy arrays (sizes may differ).
+        n_fill: number of orbitals to occupy across all k.
+        scale: occupation per filled orbital (2.0 closed-shell, 1.0
+            spin orbital / spinor).
+
+    Returns a list of per-k occupation arrays.
+    """
+    es = [np.asarray(e) for e in mo_e_k]
+    flat = np.hstack(es)
+    occ_flat = np.zeros(flat.size)
+    occ_flat[np.argsort(flat, kind="stable")[:n_fill]] = scale
+    out, i0 = [], 0
+    for e in es:
+        out.append(occ_flat[i0:i0 + e.size])
+        i0 += e.size
+    return out

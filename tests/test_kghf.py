@@ -48,3 +48,40 @@ def test_kghf_collinear_equals_kuhf():
     assert res_g["e_tot"] == pytest.approx(res_u["e_tot"], abs=1e-8)
     # net collinear moment preserved: <Sz> = (N_a - N_b)/2 per cell
     assert res_g["spin"][2] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_exact_count_occ_degenerate_ties():
+    """<=fermi threshold overfilled degenerate Fermi levels; the argsort
+    filler must occupy exactly n states (ADVICE r2: spin-free spinor
+    spectra are exactly 2x degenerate, so odd electron counts always tie)."""
+    from pyscf_isdf_tpu.scf.occupations import exact_count_occ
+
+    # doubly degenerate spectrum, fill an odd count
+    e_k = [np.array([-1.0, -1.0, 0.5, 0.5]), np.array([-0.2, -0.2, 1.0, 1.0])]
+    occ = exact_count_occ(e_k, 3, scale=1.0)
+    assert sum(o.sum() for o in occ) == pytest.approx(3.0)
+    # the two lowest (-1, -1) plus ONE of the (-0.2, -0.2) pair
+    assert occ[0].tolist() == [1.0, 1.0, 0.0, 0.0]
+    assert occ[1].sum() == pytest.approx(1.0)
+    # closed-shell scale
+    occ2 = exact_count_occ(e_k, 2, scale=2.0)
+    assert sum(o.sum() for o in occ2) == pytest.approx(4.0)
+
+
+def test_kghf_odd_electron_charge(h2_system):
+    """KGHF with dm0=None on an odd electron count must converge a state
+    with exactly nelec electrons (tr(D S) == nelec), not nelec+1."""
+    a = np.diag([6.0, 6.0, 3.0])
+    cell = build_cell(a, [["H", (3.0, 3.0, 1.5)]],
+                      basis="gth-szv", pseudo="gth-pade", mesh=[15, 15, 9],
+                      spin=1)
+    kpts = lattice.make_kpts(cell.a, [1, 1, 2], with_gamma_point=True)
+    system = build_kscf_system(cell, kpts)
+    res = kghf_kernel(system, exxdiv="ewald", conv_tol=1e-9)
+    nk = len(kpts)
+    nao = system.S.shape[-1]
+    S_sp = np.zeros((nk, 2 * nao, 2 * nao), dtype=system.S.dtype)
+    S_sp[:, :nao, :nao] = system.S
+    S_sp[:, nao:, nao:] = system.S
+    ne = sum(np.trace(res["dm"][k] @ S_sp[k]).real for k in range(nk)) / nk
+    assert ne == pytest.approx(cell.nelectron, abs=1e-8)
