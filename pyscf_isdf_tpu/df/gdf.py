@@ -174,7 +174,8 @@ class KGDF:
 
 
 def build_gdf_kpts(cell, aoR_k, kpts, mesh, weight, beta: float = 2.0,
-                   l_extra: int = 2, lindep: float = 1e-10) -> KGDF:
+                   l_extra: int = 2, lindep: float = 1e-10,
+                   omega=None) -> KGDF:
     """k-point GDF build: for every (k1, k2) the pair densities
     conj(ao_k1) ao_k2 e^{-iqr} (q = k2-k1) are fit in the Coulomb metric
     of v_q = coulG(q) (wrap-around included) against the q-boosted
@@ -202,7 +203,7 @@ def build_gdf_kpts(cell, aoR_k, kpts, mesh, weight, beta: float = 2.0,
         if key not in cache:
             phase = jnp.asarray(np.exp(-1j * coords @ q))
             vq = jnp.asarray(coulomb.get_coulG(cell, k=q, exxdiv=None,
-                                               kpts=kpts))
+                                               kpts=kpts, omega=omega))
             j2c = np.asarray(chi.conj().T @ (vq[:, None] * chi)) / cell.vol
             w, U = np.linalg.eigh(j2c)
             keep = w > w.max() * lindep

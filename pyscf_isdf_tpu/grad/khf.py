@@ -40,10 +40,23 @@ def make_kenergy_fn(system, xc=None, exxdiv="ewald"):
     coords = jnp.asarray(coords_np)
     xcspec = XCSpec(xc) if xc is not None else None
     hyb = 1.0 if xcspec is None else xcspec.hyb
-    if xcspec is not None and getattr(xcspec, "omega", 0.0):
-        raise NotImplementedError("k-point autodiff gradients: RSH todo")
+    alpha = hyb if xcspec is None else xcspec.alpha
+    omega = 0.0 if xcspec is None else xcspec.omega
+    rsh = omega != 0.0
+    need_k = hyb > 0 or alpha > 0
     is_gga = xcspec is not None and xcspec.family == "gga"
     mad = system.madelung if exxdiv == "ewald" else 0.0
+    # RSH (scf/khf.py:135-142 semantics): hyb*K_full + (alpha-hyb)*K_LR,
+    # each with its own probe-charge madelung
+    coulG_pairs_lr = None
+    mad_add = hyb * mad
+    if rsh:
+        from pyscf_isdf_tpu.ops import coulomb as _coulomb
+        cpl, _ = fftdf_k.make_k_kernels(cell, kpts, omega=omega)
+        coulG_pairs_lr = jnp.asarray(cpl)
+        mad_lr = _coulomb.madelung_omega(cell, kpts, omega) \
+            if exxdiv == "ewald" else 0.0
+        mad_add = hyb * mad + (alpha - hyb) * mad_lr
 
     packed = PackedBasis.from_cell(cell)
     rcut = max(shell_rcut(sh) for sh in cell.shells)
@@ -146,7 +159,7 @@ def make_kenergy_fn(system, xc=None, exxdiv="ewald"):
             e_xc = weight * jnp.sum(rho * exc)
 
         e_k = 0.0
-        if hyb > 0:
+        if need_k:
             ex = 0.0
             for k1 in range(nk):
                 mo1 = aoR_list[k1] @ mo_w_k[k1]            # (ng, no)
@@ -158,15 +171,22 @@ def make_kenergy_fn(system, xc=None, exxdiv="ewald"):
                     no1, no2 = pair.shape[1], pair.shape[2]
                     pflat = pair.reshape(-1, no1 * no2).T
                     pG = fft3(pflat, mesh)
-                    vpair = ifft3(coulG_pairs[k2, k1][None, :] * pG, mesh)
-                    ex = ex + weight * jnp.real(
-                        jnp.sum(vpair * pflat.conj()))
+                    if hyb != 0:
+                        vpair = ifft3(coulG_pairs[k2, k1][None, :] * pG,
+                                      mesh)
+                        ex = ex + hyb * weight * jnp.real(
+                            jnp.sum(vpair * pflat.conj()))
+                    if rsh:
+                        vpair_lr = ifft3(
+                            coulG_pairs_lr[k2, k1][None, :] * pG, mesh)
+                        ex = ex + (alpha - hyb) * weight * jnp.real(
+                            jnp.sum(vpair_lr * pflat.conj()))
             ex = ex / nk**2
             if exxdiv == "ewald":
                 for k in range(nk):
                     t1 = dm_k[k] @ S_list[k]
-                    ex = ex + mad * jnp.real(jnp.sum(t1 * t1.T)) / nk
-            e_k = -0.25 * hyb * ex
+                    ex = ex + mad_add * jnp.real(jnp.sum(t1 * t1.T)) / nk
+            e_k = -0.25 * ex
 
         e_pulay = 0.0
         for k in range(nk):

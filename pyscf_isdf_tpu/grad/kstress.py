@@ -88,8 +88,11 @@ def make_kstrain_energy_fn(system, xc=None, exxdiv="ewald"):
     ngrids = float(np.prod(mesh))
     xcspec = XCSpec(xc) if xc is not None else None
     hyb = 1.0 if xcspec is None else xcspec.hyb
-    if xcspec is not None and getattr(xcspec, "omega", 0.0):
-        raise NotImplementedError("k-stress: RSH todo")
+    alpha = hyb if xcspec is None else xcspec.alpha
+    omega = 0.0 if xcspec is None else xcspec.omega
+    rsh = omega != 0.0
+    need_k = hyb > 0 or alpha > 0
+    omega_abs = abs(float(omega))
     if exxdiv not in (None, "ewald"):
         # the SCF can minimize e.g. vcut_sph functionals; silently
         # differentiating a DIFFERENT functional would be wrong
@@ -131,7 +134,7 @@ def make_kstrain_energy_fn(system, xc=None, exxdiv="ewald"):
 
     # wrap-around exchange kernel vectors per (k1, k2), host-precomputed
     kGq0, bnd_q = {}, {}
-    if hyb > 0:
+    if need_k:
         for k1 in range(nk):
             for k2 in range(nk):
                 kg, bnd = _wrapped_kG(cell, kpts0[k2] - kpts0[k1],
@@ -141,7 +144,7 @@ def make_kstrain_energy_fn(system, xc=None, exxdiv="ewald"):
 
     probe = None
     mad_shift = 0.0
-    if exxdiv == "ewald" and hyb > 0:
+    if exxdiv == "ewald" and need_k:
         Nk = coulomb._monkhorst_pack_size(cell, kpts0)
         probe = _ProbeEwald(cell.a * Nk[:, None], cell.precision)
         # pin the eps=0 value to the SCF's own madelung constant (the two
@@ -149,6 +152,32 @@ def make_kstrain_energy_fn(system, xc=None, exxdiv="ewald"):
         # a constant shift preserves the exact gradient)
         eye = jnp.eye(3)
         mad_shift = system.madelung - float(probe.madelung(eye, eye, 1.0))
+
+    # LR (erf-kernel) madelung for RSH: static G-set of the Nk-scaled
+    # supercell (madelung_omega formula, ops/coulomb.py:323-356), value
+    # pinned at eps=0 to the SCF's own host constant
+    Gml0 = None
+    mad_lr_shift = 0.0
+    vol_sc0 = None
+    if rsh and exxdiv == "ewald" and need_k:
+        Nk = coulomb._monkhorst_pack_size(cell, kpts0)
+        a_sc = cell.a * Nk[:, None]
+        vol_sc0 = abs(np.linalg.det(a_sc))
+        _prec = getattr(cell, "precision", 1e-8)
+        _Ecut = 10.0
+        for _ in range(2):
+            _Ecut = np.log(16 * np.pi**2
+                           / (2 * omega_abs**2 * np.sqrt(2 * _Ecut))
+                           / _prec + 1.0) * 2 * omega_abs**2
+        _Gml = lattice.get_Gv(a_sc, lattice.cutoff_to_mesh(a_sc,
+                                                           _Ecut * 1.1))
+        _G2ml = np.einsum("gi,gi->g", _Gml, _Gml)
+        _keep = _G2ml > 1e-12
+        Gml0 = jnp.asarray(_Gml[_keep])
+        _trace0 = 2 * omega_abs / np.sqrt(np.pi) - np.sum(
+            4 * np.pi / _G2ml[_keep]
+            * np.exp(-0.25 / omega_abs**2 * _G2ml[_keep])) / vol_sc0
+        mad_lr_shift = coulomb.madelung_omega(cell, kpts0, omega) - _trace0
 
     def energy(eps, dm_k, w_k, mo_w_k):
         F = jnp.eye(3) + eps
@@ -225,7 +254,7 @@ def make_kstrain_energy_fn(system, xc=None, exxdiv="ewald"):
             e_xc = weight * jnp.sum(rho * exc)
 
         e_k = 0.0
-        if hyb > 0:
+        if need_k:
             ex = 0.0
             moR_k = [aoR_list[k] @ mo_w_k[k] for k in range(nk)]
             for k1 in range(nk):
@@ -243,16 +272,32 @@ def make_kstrain_energy_fn(system, xc=None, exxdiv="ewald"):
                     no1, no2 = pair.shape[1], pair.shape[2]
                     pflat = pair.reshape(-1, no1 * no2).T
                     pG = fft3(pflat, mesh)
-                    vpair = ifft3(coulG_q[None, :] * pG, mesh)
-                    ex = ex + weight * jnp.real(
-                        jnp.sum(vpair * pflat.conj()))
+                    if hyb != 0:
+                        vpair = ifft3(coulG_q[None, :] * pG, mesh)
+                        ex = ex + hyb * weight * jnp.real(
+                            jnp.sum(vpair * pflat.conj()))
+                    if rsh:
+                        coulG_q_lr = coulG_q * jnp.exp(
+                            -0.25 / omega_abs**2 * G2q)
+                        vpair_lr = ifft3(coulG_q_lr[None, :] * pG, mesh)
+                        ex = ex + (alpha - hyb) * weight * jnp.real(
+                            jnp.sum(vpair_lr * pflat.conj()))
             ex = ex / nk**2
             if exxdiv == "ewald":
-                mad_eps = probe.madelung(F, Finv, detF) + mad_shift
+                mad_eps = hyb * (probe.madelung(F, Finv, detF) + mad_shift)
+                if rsh:
+                    Gml = Gml0 @ Finv
+                    G2ml = jnp.sum(Gml * Gml, axis=1)
+                    vol_sc = vol_sc0 * detF
+                    mad_lr_eps = 2 * omega_abs / np.sqrt(np.pi) - jnp.sum(
+                        4 * np.pi / G2ml
+                        * jnp.exp(-0.25 / omega_abs**2 * G2ml)) / vol_sc \
+                        + mad_lr_shift
+                    mad_eps = mad_eps + (alpha - hyb) * mad_lr_eps
                 for k in range(nk):
                     t1 = dm_k[k] @ S_list[k]
                     ex = ex + mad_eps * jnp.real(jnp.sum(t1 * t1.T)) / nk
-            e_k = -0.25 * hyb * ex
+            e_k = -0.25 * ex
 
         # nuclear Ewald
         d = (pos[None, :, None, :] - pos[None, None, :, :]

@@ -37,10 +37,22 @@ def make_kuhf_energy_fn(system, xc=None, exxdiv="ewald"):
     coords = jnp.asarray(cell.uniform_grid())
     xcspec = XCSpec(xc) if xc is not None else None
     hyb = 1.0 if xcspec is None else xcspec.hyb
-    if xcspec is not None and getattr(xcspec, "omega", 0.0):
-        raise NotImplementedError("KUHF autodiff gradients: RSH todo")
+    alpha = hyb if xcspec is None else xcspec.alpha
+    omega = 0.0 if xcspec is None else xcspec.omega
+    rsh = omega != 0.0
+    need_k = hyb > 0 or alpha > 0
     is_gga = xcspec is not None and xcspec.family == "gga"
     mad = system.madelung if exxdiv == "ewald" else 0.0
+    coulG_pairs_lr = None
+    mad_add = hyb * mad
+    if rsh:
+        from pyscf_isdf_tpu.df import fftdf_k as _fftdf_k
+        from pyscf_isdf_tpu.ops import coulomb as _coulomb
+        cpl, _ = _fftdf_k.make_k_kernels(cell, kpts, omega=omega)
+        coulG_pairs_lr = jnp.asarray(cpl)
+        mad_lr = _coulomb.madelung_omega(cell, kpts, omega) \
+            if exxdiv == "ewald" else 0.0
+        mad_add = hyb * mad + (alpha - hyb) * mad_lr
 
     packed = PackedBasis.from_cell(cell)
     rcut = max(shell_rcut(sh) for sh in cell.shells)
@@ -146,7 +158,7 @@ def make_kuhf_energy_fn(system, xc=None, exxdiv="ewald"):
             e_xc = weight * jnp.sum(rho_t * exc)
 
         e_k = 0.0
-        if hyb > 0:
+        if need_k:
             ex = 0.0
             for dm_s, mo_s in ((dm_a, mo_a), (dm_b, mo_b)):
                 for k1 in range(nk):
@@ -160,18 +172,25 @@ def make_kuhf_energy_fn(system, xc=None, exxdiv="ewald"):
                             continue
                         pflat = pair.reshape(-1, no1 * no2).T
                         pG = fft3(pflat, mesh)
-                        vpair = ifft3(coulG_pairs[k2, k1][None, :] * pG,
-                                      mesh)
-                        ex = ex + weight * jnp.real(
-                            jnp.sum(vpair * pflat.conj()))
+                        if hyb != 0:
+                            vpair = ifft3(coulG_pairs[k2, k1][None, :] * pG,
+                                          mesh)
+                            ex = ex + hyb * weight * jnp.real(
+                                jnp.sum(vpair * pflat.conj()))
+                        if rsh:
+                            vpair_lr = ifft3(
+                                coulG_pairs_lr[k2, k1][None, :] * pG, mesh)
+                            ex = ex + (alpha - hyb) * weight * jnp.real(
+                                jnp.sum(vpair_lr * pflat.conj()))
             ex = ex / nk**2
             if exxdiv == "ewald":
                 for dm_s in (dm_a, dm_b):
                     for k in range(nk):
                         t1 = dm_s[k] @ S_list[k]
-                        ex = ex + mad * jnp.real(jnp.sum(t1 * t1.T)) / nk
-            # per-spin exchange: e_k = -0.5 hyb sum_spin tr(D K)/nk
-            e_k = -0.5 * hyb * ex
+                        ex = ex + mad_add * jnp.real(
+                            jnp.sum(t1 * t1.T)) / nk
+            # per-spin exchange: e_k = -0.5 sum_spin tr(D K)/nk
+            e_k = -0.5 * ex
 
         e_pulay = 0.0
         for k in range(nk):

@@ -130,10 +130,24 @@ def make_energy_fn(system, xc=None, exxdiv="ewald"):
     Gv_mesh = jnp.asarray(cell.get_Gv(cell.mesh))
     xcspec = XCSpec(xc) if xc is not None else None
     hyb = 1.0 if xcspec is None else xcspec.hyb
-    if xcspec is not None and getattr(xcspec, "omega", 0.0):
-        raise NotImplementedError("autodiff gradients: RSH todo")
+    alpha = hyb if xcspec is None else xcspec.alpha
+    omega = 0.0 if xcspec is None else xcspec.omega
+    rsh = omega != 0.0
+    need_k = hyb > 0 or alpha > 0
     is_gga = xcspec is not None and xcspec.family == "gga"
+    is_mgga = xcspec is not None and xcspec.family == "mgga"
     mad = system.madelung if exxdiv == "ewald" else 0.0
+    # RSH (LR formulation, scf/hf.py:172-181 semantics): exchange is
+    # hyb*Ex_full + (alpha-hyb)*Ex_LR(omega); each part carries its own
+    # probe-charge madelung.
+    coulG_lr = None
+    mad_add = hyb * mad
+    if rsh:
+        coulG_lr = jnp.asarray(
+            coulomb.get_coulG(cell, exxdiv=None, omega=omega))
+        mad_lr = coulomb.madelung_omega(cell, None, omega) \
+            if exxdiv == "ewald" else 0.0
+        mad_add = hyb * mad + (alpha - hyb) * mad_lr
 
     packed = PackedBasis.from_cell(cell)
     rcut = max(shell_rcut(sh) for sh in cell.shells)
@@ -200,30 +214,42 @@ def make_energy_fn(system, xc=None, exxdiv="ewald"):
         # XC
         e_xc = 0.0
         if xcspec is not None:
-            if is_gga:
+            if is_gga or is_mgga:
                 ao_grad = ao_gradient_fft(aoR, mesh, Gv_mesh.astype(aoR.dtype))
                 grad_rho = 2.0 * jnp.einsum("gi,xgi->xg", t, ao_grad)
                 sigma = jnp.sum(grad_rho * grad_rho, axis=0)
-                exc, _, _ = xcspec.exc_vxc(rho, sigma)
+                if is_mgga:
+                    tg = jnp.einsum("xgi,ij->xgj", ao_grad, dm)
+                    tau = 0.5 * jnp.einsum("xgj,xgj->g", tg, ao_grad)
+                    exc = xcspec._exc(jnp.maximum(rho, 1e-30),
+                                      jnp.maximum(sigma, 1e-30),
+                                      jnp.maximum(tau, 1e-30))
+                else:
+                    exc, _, _ = xcspec.exc_vxc(rho, sigma)
             else:
                 exc, _, _ = xcspec.exc_vxc(rho)
             e_xc = weight * jnp.sum(rho * exc)
 
         # exact exchange at fixed occupied MOs (D = mo_w mo_w^T)
         e_k = 0.0
-        if hyb > 0:
+        if need_k:
             moR = aoR @ mo_w                              # (ng, nocc)
             pair = moR[:, :, None] * moR[:, None, :]      # (ng, no, no)
             no = pair.shape[-1]
-            pG = fft3(pair.reshape(-1, no * no).T.astype(jnp.complex128),
-                      mesh)
-            vpair = ifft3(coulG[None, :] * pG, mesh).real
-            ex = weight * jnp.sum(vpair
-                                  * pair.reshape(-1, no * no).T)
+            pflat = pair.reshape(-1, no * no).T
+            pG = fft3(pflat.astype(jnp.complex128), mesh)
+
+            def pair_energy(kern):
+                vpair = ifft3(kern[None, :] * pG, mesh).real
+                return weight * jnp.sum(vpair * pflat)
+
+            ex = hyb * pair_energy(coulG) if hyb != 0 else 0.0
+            if rsh:
+                ex = ex + (alpha - hyb) * pair_energy(coulG_lr)
             if exxdiv == "ewald":
                 dms = dm @ S
-                ex = ex + mad * jnp.sum(dms * dms.T)   # Tr(D S D S)
-            e_k = -0.25 * hyb * ex
+                ex = ex + mad_add * jnp.sum(dms * dms.T)   # Tr(D S D S)
+            e_k = -0.25 * ex
 
         e_pulay = -jnp.sum(w_mat * S)
         return (e1 + e_coul + e_xc + e_k + ewald_data.energy(positions)

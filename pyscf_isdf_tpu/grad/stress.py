@@ -118,10 +118,27 @@ def make_strain_energy_fn(system, xc=None, exxdiv="ewald"):
     ngrids = float(np.prod(mesh))
     xcspec = XCSpec(xc) if xc is not None else None
     hyb = 1.0 if xcspec is None else xcspec.hyb
-    if xcspec is not None and getattr(xcspec, "omega", 0.0):
-        raise NotImplementedError("stress: RSH todo")
+    alpha = hyb if xcspec is None else xcspec.alpha
+    omega = 0.0 if xcspec is None else xcspec.omega
+    rsh = omega != 0.0
+    need_k = hyb > 0 or alpha > 0
     is_gga = xcspec is not None and xcspec.family == "gga"
     mad = system.madelung if exxdiv == "ewald" else 0.0
+    if rsh:
+        # static G-set for the traced LR madelung (the madelung_omega
+        # formula, ops/coulomb.py:323-356, with its precision-driven mesh;
+        # under strain only G and vol change — omega is a physical const)
+        omega_abs = abs(float(omega))
+        _prec = getattr(cell, "precision", 1e-8)
+        _Ecut = 10.0
+        for _ in range(2):
+            _Ecut = np.log(16 * np.pi**2
+                           / (2 * omega_abs**2 * np.sqrt(2 * _Ecut))
+                           / _prec + 1.0) * 2 * omega_abs**2
+        _mesh_lr = lattice.cutoff_to_mesh(cell.a, _Ecut * 1.1)
+        _Gml = lattice.get_Gv(cell.a, _mesh_lr)
+        _keep = np.einsum("gi,gi->g", _Gml, _Gml) > 1e-12
+        Gml0 = jnp.asarray(_Gml[_keep])
 
     packed = PackedBasis.from_cell(cell)
     rcut = max(shell_rcut(sh) for sh in cell.shells)
@@ -215,13 +232,21 @@ def make_strain_energy_fn(system, xc=None, exxdiv="ewald"):
             e_xc = weight * jnp.sum(rho * exc)
 
         e_k = 0.0
-        if hyb > 0:
+        if need_k:
             moR = aoR @ mo_w
             no = moR.shape[1]
             pair = (moR[:, :, None] * moR[:, None, :]).reshape(-1, no * no)
             pG = fft3(pair.T.astype(jnp.complex128), mesh)
-            vpair = ifft3(coulG[None, :] * pG, mesh).real
-            ex = weight * jnp.sum(vpair * pair.T)
+            ex = 0.0
+            if hyb != 0:
+                vpair = ifft3(coulG[None, :] * pG, mesh).real
+                ex = ex + hyb * weight * jnp.sum(vpair * pair.T)
+            if rsh:
+                coulG_lr = jnp.where(
+                    G2 < 1e-12, 0.0,
+                    coulG * jnp.exp(-0.25 / omega_abs**2 * G2))
+                vpair_lr = ifft3(coulG_lr[None, :] * pG, mesh).real
+                ex = ex + (alpha - hyb) * weight * jnp.sum(vpair_lr * pair.T)
             if exxdiv == "ewald":
                 # probe-charge madelung under strain: -2x the Ewald
                 # energy of one unit charge on the strained lattice
@@ -239,10 +264,20 @@ def make_strain_energy_fn(system, xc=None, exxdiv="ewald"):
                                       * 4 * np.pi / G2p) / vol
                 e_probe = ovrl_p + ewg_p - ew_eta / np.sqrt(np.pi) \
                     - 0.5 * np.pi / (ew_eta**2 * vol)
-                mad_eps = -2.0 * e_probe
+                mad_eps = hyb * (-2.0 * e_probe)
+                if rsh:
+                    # traced madelung_omega: 2w/sqrt(pi)
+                    #   - (1/vol) sum_{G!=0} 4pi/G^2 e^{-G^2/4w^2}
+                    Gml = Gml0 @ Finv
+                    G2ml = jnp.sum(Gml * Gml, axis=1)
+                    mad_lr_eps = 2 * omega_abs / np.sqrt(np.pi) \
+                        - jnp.sum(4 * np.pi / G2ml
+                                  * jnp.exp(-0.25 / omega_abs**2 * G2ml)) \
+                        / vol
+                    mad_eps = mad_eps + (alpha - hyb) * mad_lr_eps
                 dms = dm @ S
                 ex = ex + mad_eps * jnp.sum(dms * dms.T)
-            e_k = -0.25 * hyb * ex
+            e_k = -0.25 * ex
 
         # Ewald (traced): real + reciprocal + self/background
         d = (pos[None, :, None, :] - pos[None, None, :, :]

@@ -31,10 +31,21 @@ def make_uhf_energy_fn(system, xc=None, exxdiv="ewald"):
     Gv_mesh = jnp.asarray(cell.get_Gv(cell.mesh))
     xcspec = XCSpec(xc) if xc is not None else None
     hyb = 1.0 if xcspec is None else xcspec.hyb
-    if xcspec is not None and getattr(xcspec, "omega", 0.0):
-        raise NotImplementedError("UHF autodiff gradients: RSH todo")
+    alpha = hyb if xcspec is None else xcspec.alpha
+    omega = 0.0 if xcspec is None else xcspec.omega
+    rsh = omega != 0.0
+    need_k = hyb > 0 or alpha > 0
     is_gga = xcspec is not None and xcspec.family == "gga"
     mad = system.madelung if exxdiv == "ewald" else 0.0
+    from pyscf_isdf_tpu.ops import coulomb as _coulomb
+    coulG_lr = None
+    mad_add = hyb * mad
+    if rsh:
+        coulG_lr = jnp.asarray(
+            _coulomb.get_coulG(cell, exxdiv=None, omega=omega))
+        mad_lr = _coulomb.madelung_omega(cell, None, omega) \
+            if exxdiv == "ewald" else 0.0
+        mad_add = hyb * mad + (alpha - hyb) * mad_lr
 
     packed = PackedBasis.from_cell(cell)
     rcut = max(shell_rcut(sh) for sh in cell.shells)
@@ -110,7 +121,7 @@ def make_uhf_energy_fn(system, xc=None, exxdiv="ewald"):
             e_xc = weight * jnp.sum((rho_a + rho_b) * exc)
 
         e_k = 0.0
-        if hyb > 0:
+        if need_k:
             ex = 0.0
             for dm_s, mo_s in ((dm_a, mo_a), (dm_b, mo_b)):
                 moR = aoR @ mo_s
@@ -119,12 +130,17 @@ def make_uhf_energy_fn(system, xc=None, exxdiv="ewald"):
                     pair = (moR[:, :, None] * moR[:, None, :]) \
                         .reshape(-1, no * no)
                     pG = fft3(pair.T.astype(jnp.complex128), mesh)
-                    vpair = ifft3(coulG[None, :] * pG, mesh).real
-                    ex = ex + weight * jnp.sum(vpair * pair.T)
+                    if hyb != 0:
+                        vpair = ifft3(coulG[None, :] * pG, mesh).real
+                        ex = ex + hyb * weight * jnp.sum(vpair * pair.T)
+                    if rsh:
+                        vpair_lr = ifft3(coulG_lr[None, :] * pG, mesh).real
+                        ex = ex + (alpha - hyb) * weight \
+                            * jnp.sum(vpair_lr * pair.T)
                 if exxdiv == "ewald":
                     t1 = dm_s @ S
-                    ex = ex + mad * jnp.sum(t1 * t1.T)
-            e_k = -0.5 * hyb * ex
+                    ex = ex + mad_add * jnp.sum(t1 * t1.T)
+            e_k = -0.5 * ex
 
         e_pulay = -jnp.sum(w_mat * S)
         return (e1 + e_coul + e_xc + e_k + ewald_data.energy(positions)

@@ -251,17 +251,23 @@ def _hermite_1d(Gd: np.ndarray, p: float, nmax: int):
     return fac[:, None] * H * base[None, :]
 
 
-def ft_aopair(cell, Gv: np.ndarray, q=None, ktol: float = 1e-12) -> np.ndarray:
-    """Analytic Fourier transform of periodic AO pair products (Gamma).
+def ft_aopair(cell, Gv: np.ndarray, q=None, ktol: float = 1e-12,
+              kj=None) -> np.ndarray:
+    """Analytic Fourier transform of periodic AO pair products.
 
-    out[g, mu, nu] = sum_T int phi_mu(r) phi_nu(r - T) e^{-i (q+G).r} dr
-    (Poisson summation: these are exactly the Fourier-series coefficients
-    of the periodic pair density). Functional counterpart of the
-    reference's ft_aopair_kpts (pyscf/pbc/df/ft_ao.py:63 -> lib/pbc/
-    ft_ao.c), built from the Gaussian product theorem + Hermite closed
-    forms — no integral library. Host float64, vectorized over lattice
-    images; intended for the AFTDF engine and cross-checks (the FFT
-    collocation path remains the production J/K route on TPU).
+    out[g, mu, nu] = sum_T e^{i kj.T} int phi_mu(r) phi_nu(r-T)
+                                          e^{-i (q+G).r} dr
+    (Poisson summation). With kj=None (Gamma) these are the Fourier
+    coefficients of the periodic pair density; with Bloch AOs this is
+    the unit-cell integral  int_cell conj(phi^{k1}_mu) phi^{k2}_nu
+    e^{-i(q+G).r} dr  for kj = k2 and q = k2 - k1 (carrying out the T1
+    lattice sum leaves exactly the per-image phase e^{i k2.T}).
+    Functional counterpart of the reference's ft_aopair_kpts
+    (pyscf/pbc/df/ft_ao.py:63 -> lib/pbc/ft_ao.c), built from the
+    Gaussian product theorem + Hermite closed forms — no integral
+    library. Host float64, vectorized over lattice images; intended for
+    the AFTDF engine and cross-checks (the FFT collocation path remains
+    the production J/K route on TPU).
     """
     from math import comb
 
@@ -298,6 +304,9 @@ def ft_aopair(cell, Gv: np.ndarray, q=None, ktol: float = 1e-12) -> np.ndarray:
                     I1d = np.stack([_hermite_1d(kG[:, d], p, lt)
                                     for d in range(3)])        # (3,lt+1,ng)
                     phase = np.exp(-1j * (P @ kG.T)) * Ksel[:, None]  # (nt,ng)
+                    if kj is not None:
+                        phase = phase * np.exp(
+                            1j * (images[sel] @ np.asarray(kj)))[:, None]
                     # per-image coefficient tensor C[t, ii, jj, nx, ny, nz]
                     nt = len(Ksel)
                     Cten = np.zeros((nt, nm_i, nm_j,

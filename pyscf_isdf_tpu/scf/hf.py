@@ -100,6 +100,30 @@ def _vxc_lda(aoR, dm, weight, xc: XCSpec, mesh):
 
 
 @partial(jax.jit, static_argnames=("xc", "mesh"))
+def _vxc_mgga(aoR, ao_grad, dm, weight, xc: XCSpec, mesh):
+    """tau-rung quadrature: rho, sigma and tau = 1/2 sum_x (grad_x ao D)
+    . grad_x ao from the same spectral AO gradients as the GGA path; the
+    potential gains the tau term 1/2 w grad_ao^T (vtau grad_ao)."""
+    t = aoR @ dm                                    # (ng, nao)
+    rho = jnp.sum(t * aoR, axis=-1)
+    grad_rho = 2.0 * jnp.einsum("gi,xgi->xg", t, ao_grad)
+    sigma = jnp.sum(grad_rho * grad_rho, axis=0)
+    tg = jnp.einsum("xgi,ij->xgj", ao_grad, dm)
+    tau = 0.5 * jnp.einsum("xgj,xgj->g", tg, ao_grad)
+    exc, vrho, vsigma, vtau = xc.exc_vxc_mgga(rho, sigma, tau)
+    e_xc = weight * jnp.sum(rho * exc)
+    aow = 0.5 * vrho[:, None] * aoR + 2.0 * jnp.einsum(
+        "xg,g,xgi->gi", grad_rho, vsigma, ao_grad
+    )
+    half = weight * (aoR.T @ aow)
+    vtau_term = 0.5 * weight * jnp.einsum(
+        "xgi,g,xgj->ij", ao_grad, vtau, ao_grad)
+    vmat = half + half.T + vtau_term
+    n_elec = weight * jnp.sum(rho)
+    return e_xc, vmat, n_elec
+
+
+@partial(jax.jit, static_argnames=("xc", "mesh"))
 def _vxc_gga(aoR, ao_grad, dm, weight, xc: XCSpec, mesh):
     t = aoR @ dm                                    # (ng, nao)
     rho = jnp.sum(t * aoR, axis=-1)
@@ -169,6 +193,7 @@ def scf_kernel(
     rsh = omega != 0.0
     need_k = hyb > 0 or alpha > 0
     is_gga = xcspec is not None and xcspec.family == "gga"
+    is_mgga = xcspec is not None and xcspec.family == "mgga"
     # RSH (LR formulation, reference pbc/dft/rks.py:108-121 semantics):
     # get_jk returns the pre-combined hyb*K_full + (alpha-hyb)*K_LR(w), the
     # loop's scale is 1, and each part carries its own probe-charge
@@ -187,7 +212,7 @@ def scf_kernel(
     nocc = system.nelec // 2
 
     ao_grad = None
-    if is_gga:
+    if is_gga or is_mgga:
         ao_grad = ao_gradient_fft(aoR, mesh, jnp.asarray(system.Gv, dtype=aoR.dtype))
 
     internal_jk = get_jk is None
@@ -195,13 +220,27 @@ def scf_kernel(
         # Gaussian density fitting (G-space build; df/gdf.py)
         from pyscf_isdf_tpu.df import gdf as gdf_mod
 
-        if rsh:
-            raise NotImplementedError("df='gdf' with RSH functionals")
         gdf_obj = gdf_mod.build_gdf(cell, aoR, coulG, mesh, weight)
+        if rsh:
+            # second fit under the LR (erf) metric: K_eff is the
+            # pre-combined hyb*K_full + (alpha-hyb)*K_LR (k_scale=1)
+            gdf_lr = gdf_mod.build_gdf(
+                cell, aoR,
+                jnp.asarray(coulomb.get_coulG(cell, exxdiv=None,
+                                              omega=omega)),
+                mesh, weight)
 
-        def get_jk(dm, with_k, C_w=None):
-            vj, vk = gdf_mod.get_jk(gdf_obj, jnp.asarray(dm, aoR.dtype))
-            return vj, (vk if with_k else None)
+            def get_jk(dm, with_k, C_w=None):
+                dmj = jnp.asarray(dm, aoR.dtype)
+                vj, vk_full = gdf_mod.get_jk(gdf_obj, dmj)
+                if not with_k:
+                    return vj, None
+                _, vk_lr = gdf_mod.get_jk(gdf_lr, dmj)
+                return vj, hyb * vk_full + (alpha - hyb) * vk_lr
+        else:
+            def get_jk(dm, with_k, C_w=None):
+                vj, vk = gdf_mod.get_jk(gdf_obj, jnp.asarray(dm, aoR.dtype))
+                return vj, (vk if with_k else None)
 
     if get_jk is None:
         if df not in ("fftdf", "isdf", "isdf-robust"):
@@ -308,7 +347,11 @@ def scf_kernel(
         veff = vj.copy()
         e_xc = 0.0
         if xcspec is not None:
-            if is_gga:
+            if is_mgga:
+                e_xc_j, vxc, _ = _vxc_mgga(aoR, ao_grad,
+                                           jnp.asarray(dm, dtype=aoR.dtype),
+                                           weight, xcspec, mesh)
+            elif is_gga:
                 e_xc_j, vxc, _ = _vxc_gga(aoR, ao_grad, jnp.asarray(dm, dtype=aoR.dtype),
                                           weight, xcspec, mesh)
             else:

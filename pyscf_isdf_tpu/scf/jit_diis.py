@@ -58,9 +58,10 @@ def make_jit_scf_diis(system, xc=None, exxdiv="ewald", df="isdf",
     """
     xcspec = XCSpec(xc) if xc is not None else None
     hyb = 1.0 if xcspec is None else xcspec.hyb
-    if xcspec is not None and getattr(xcspec, "omega", 0.0):
-        raise NotImplementedError("RSH in the jitted driver: todo")
-    need_k = hyb > 0
+    alpha = hyb if xcspec is None else xcspec.alpha
+    omega = 0.0 if xcspec is None else xcspec.omega
+    rsh = omega != 0.0
+    need_k = hyb > 0 or alpha > 0
     aoR = system.aoR
     dtype = aoR.dtype
     mesh = system.mesh
@@ -69,19 +70,34 @@ def make_jit_scf_diis(system, xc=None, exxdiv="ewald", df="isdf",
     hcore = jnp.asarray(system.hcore, dtype)
     X = jnp.asarray(system.X, dtype)
     S = jnp.asarray(system.S, dtype)
-    mad = jnp.asarray(system.madelung if exxdiv == "ewald" else 0.0, dtype)
+    # combined probe-charge shift (scf/hf.py:172-181 RSH semantics)
+    mad_add = (hyb * system.madelung) if exxdiv == "ewald" else 0.0
+    coulG_lr = None
+    if rsh:
+        from pyscf_isdf_tpu.ops import coulomb as _coulomb
+
+        coulG_lr = jnp.asarray(_coulomb.get_coulG(
+            system.cell, exxdiv=None, omega=omega), dtype)
+        if exxdiv == "ewald":
+            mad_add += (alpha - hyb) * _coulomb.madelung_omega(
+                system.cell, None, omega)
+    mad = jnp.asarray(mad_add, dtype)
     nocc = system.nelec // 2
     nao = aoR.shape[1]
     nrank = X.shape[1]
     m = diis_space
     sqrt_tol = np.sqrt(conv_tol)
 
-    isdf = None
+    isdf = isdf_lr = None
     if need_k and df == "isdf":
-        isdf = isdf_mod.build_isdf(aoR, coulG, mesh, w, c=isdf_c)
+        if rsh:
+            isdf, isdf_lr = isdf_mod.build_isdf_multi(
+                aoR, [coulG, coulG_lr], mesh, w, c=isdf_c)
+        else:
+            isdf = isdf_mod.build_isdf(aoR, coulG, mesh, w, c=isdf_c)
 
     ao_grad = None
-    if xcspec is not None and xcspec.family == "gga":
+    if xcspec is not None and xcspec.family in ("gga", "mgga"):
         from pyscf_isdf_tpu.ops.ao_eval import ao_gradient_fft
 
         ao_grad = ao_gradient_fft(aoR, mesh, jnp.asarray(system.Gv, dtype))
@@ -95,6 +111,11 @@ def make_jit_scf_diis(system, xc=None, exxdiv="ewald", df="isdf",
             exc, vrho, _ = xcspec.exc_vxc(rho)
             e_xc = w * jnp.sum(rho * exc)
             veff = veff + w * ((aoR.T * vrho) @ aoR)
+        elif xcspec is not None and xcspec.family == "mgga":
+            from pyscf_isdf_tpu.scf.hf import _vxc_mgga
+
+            e_xc, vxc, _ = _vxc_mgga(aoR, ao_grad, dm, w, xcspec, mesh)
+            veff = veff + vxc
         elif xcspec is not None:
             from pyscf_isdf_tpu.scf.hf import _vxc_gga
 
@@ -103,12 +124,20 @@ def make_jit_scf_diis(system, xc=None, exxdiv="ewald", df="isdf",
         e_k = jnp.zeros((), dtype)
         if need_k:
             if isdf is not None:
-                vk = isdf_mod.get_k(isdf, dm)
+                vk_full = isdf_mod.get_k(isdf, dm)
             else:
-                vk = fftdf.get_k(aoR, dm, coulG, mesh, w)
+                vk_full = fftdf.get_k(aoR, dm, coulG, mesh, w)
+            if rsh:
+                if isdf_lr is not None:
+                    vk_lr = isdf_mod.get_k(isdf_lr, dm)
+                else:
+                    vk_lr = fftdf.get_k(aoR, dm, coulG_lr, mesh, w)
+                vk = hyb * vk_full + (alpha - hyb) * vk_lr
+            else:
+                vk = hyb * vk_full
             vk = vk + mad * (S @ dm @ S)
-            veff = veff - 0.5 * hyb * vk
-            e_k = -0.25 * hyb * jnp.einsum("ij,ji->", dm, vk)
+            veff = veff - 0.5 * vk
+            e_k = -0.25 * jnp.einsum("ij,ji->", dm, vk)
         F = hcore + veff
         e_elec = (jnp.einsum("ij,ji->", dm, hcore)
                   + 0.5 * jnp.einsum("ij,ji->", dm, vj) + e_xc + e_k)
@@ -176,11 +205,12 @@ def make_kscf_jit_diis(system, xc=None, exxdiv="ewald", df="isdf",
     """
     xcspec = XCSpec(xc) if xc is not None else None
     hyb = 1.0 if xcspec is None else xcspec.hyb
-    if xcspec is not None and getattr(xcspec, "omega", 0.0):
-        raise NotImplementedError("RSH in the jitted driver: todo")
-    if xcspec is not None and xcspec.family == "gga":
-        raise NotImplementedError("GGA in the k-point jitted driver: todo")
-    need_k = hyb > 0
+    alpha = hyb if xcspec is None else xcspec.alpha
+    omega = 0.0 if xcspec is None else xcspec.omega
+    rsh = omega != 0.0
+    need_k = hyb > 0 or alpha > 0
+    is_gga = xcspec is not None and xcspec.family == "gga"
+    is_mgga = xcspec is not None and xcspec.family == "mgga"
     aoR_k = system.aoR_k
     cdtype = aoR_k.dtype
     rdtype = jnp.float64 if cdtype == jnp.complex128 else jnp.float32
@@ -193,35 +223,80 @@ def make_kscf_jit_diis(system, xc=None, exxdiv="ewald", df="isdf",
     hcore = jnp.asarray(system.hcore, cdtype)
     X = jnp.asarray(np.stack(system.X), cdtype)
     S = jnp.asarray(system.S, cdtype)
-    mad = jnp.asarray(system.madelung if exxdiv == "ewald" else 0.0, rdtype)
+    mad_add = (hyb * system.madelung) if exxdiv == "ewald" else 0.0
+    if rsh and exxdiv == "ewald":
+        from pyscf_isdf_tpu.ops import coulomb as _coulomb
+
+        mad_add += (alpha - hyb) * _coulomb.madelung_omega(
+            system.cell, system.kpts, omega)
+    mad = jnp.asarray(mad_add, rdtype)
     nocc_tot = system.nelec_tot // 2
     m = diis_space
     sqrt_tol = np.sqrt(conv_tol)
 
-    if need_k and df == "isdf":
-        isdfk = isdf_k_mod.build_isdf_k(system.cell, aoR_k, system.kpts,
-                                        c=isdf_c)
+    ao_grad_k = None
+    if is_gga or is_mgga:
+        from pyscf_isdf_tpu.ops.ao_eval import ao_gradient_fft_k
+
+        coords = jnp.asarray(system.cell.uniform_grid())
+        Gv = jnp.asarray(system.cell.get_Gv())
+        ao_grad_k = jnp.stack([
+            ao_gradient_fft_k(aoR_k[k], mesh, Gv,
+                              jnp.asarray(system.kpts[k]), coords)
+            for k in range(nk)
+        ]).astype(cdtype)                              # (nk, 3, ng, nao)
+
+    def _make_isdf_k_fn(isdfk):
         Ug, Wq = isdfk.Ug, isdfk.Wq
         qmap = isdfk.qmap
 
-        def get_k_fn(dm_k):
-            M_all = [Ug[k2] @ dm_k[k2] @ Ug[k2].conj().T for k2 in range(nk)]
+        def fn(dm_k):
+            M_all = [Ug[k2] @ dm_k[k2] @ Ug[k2].conj().T
+                     for k2 in range(nk)]
             vk = []
             for k1 in range(nk):
                 acc = jnp.zeros((nao, nao), cdtype)
                 for k2 in range(nk):
                     W = Wq[qmap[k2, k1]]
-                    acc = acc + Ug[k1].conj().T @ (M_all[k2] * W.conj()) @ Ug[k1]
+                    acc = acc + Ug[k1].conj().T @ (M_all[k2] * W.conj()) \
+                        @ Ug[k1]
                 vk.append(acc / nk)
             return jnp.stack(vk)
+
+        return fn
+
+    if need_k and df == "isdf":
+        k_full_fn = _make_isdf_k_fn(isdf_k_mod.build_isdf_k(
+            system.cell, aoR_k, system.kpts, c=isdf_c))
+        if rsh:
+            k_lr_fn = _make_isdf_k_fn(isdf_k_mod.build_isdf_k(
+                system.cell, aoR_k, system.kpts, c=isdf_c, omega=omega))
+
+            def get_k_fn(dm_k):
+                return hyb * k_full_fn(dm_k) \
+                    + (alpha - hyb) * k_lr_fn(dm_k)
+        else:
+            def get_k_fn(dm_k):
+                return hyb * k_full_fn(dm_k)
     elif need_k:
         coulG_pairs = jnp.asarray(system.coulG_pairs, rdtype)
         expmikr = jnp.asarray(system.expmikr, cdtype)
         kweight = w / nk
+        if rsh:
+            cpl, _ = fftdf_k.make_k_kernels(system.cell, system.kpts,
+                                            omega=omega)
+            coulG_pairs_lr = jnp.asarray(cpl, rdtype)
 
-        def get_k_fn(dm_k):
-            return fftdf_k.get_k_kpts(aoR_k, dm_k, coulG_pairs, expmikr,
-                                      mesh, kweight)
+            def get_k_fn(dm_k):
+                return hyb * fftdf_k.get_k_kpts(
+                    aoR_k, dm_k, coulG_pairs, expmikr, mesh, kweight) \
+                    + (alpha - hyb) * fftdf_k.get_k_kpts(
+                        aoR_k, dm_k, coulG_pairs_lr, expmikr, mesh,
+                        kweight)
+        else:
+            def get_k_fn(dm_k):
+                return hyb * fftdf_k.get_k_kpts(aoR_k, dm_k, coulG_pairs,
+                                                expmikr, mesh, kweight)
 
     def fock_and_energy(dm_k):
         vj = fftdf_k.get_j_kpts(aoR_k, dm_k, coulG, mesh, w)
@@ -231,16 +306,41 @@ def make_kscf_jit_diis(system, xc=None, exxdiv="ewald", df="isdf",
             t = jnp.einsum("kgi,kij->kgj", aoR_k, dm_k)
             rho = jnp.maximum(
                 jnp.einsum("kgj,kgj->g", t, aoR_k.conj()).real / nk, 1e-30)
-            exc, vrho, _ = xcspec.exc_vxc(rho)
-            e_xc = w * jnp.sum(rho * exc)
-            veff = veff + w * jnp.einsum("kgi,g,kgj->kij", aoR_k.conj(),
-                                         vrho.astype(rdtype), aoR_k)
+            if is_gga or is_mgga:
+                # scf/khf.py:300-309 complex k-GGA quadrature (+ tau)
+                grho = 2.0 / nk * jnp.einsum(
+                    "kgj,kxgj->xg", t.conj(), ao_grad_k).real    # (3, ng)
+                sigma_g = jnp.maximum(jnp.sum(grho * grho, axis=0), 1e-30)
+                vtau = None
+                if is_mgga:
+                    tg = jnp.einsum("kxgi,kij->kxgj", ao_grad_k, dm_k)
+                    tau_g = jnp.maximum(0.5 / nk * jnp.einsum(
+                        "kxgj,kxgj->g", tg, ao_grad_k.conj()).real, 1e-30)
+                    exc, vrho, vsigma, vtau = xcspec.exc_vxc_mgga(
+                        rho, sigma_g, tau_g)
+                else:
+                    exc, vrho, vsigma = xcspec.exc_vxc(rho, sigma_g)
+                e_xc = w * jnp.sum(rho * exc)
+                aow = 0.5 * vrho[:, None] * aoR_k + 2.0 * jnp.einsum(
+                    "xg,g,kxgi->kgi", grho.astype(cdtype),
+                    vsigma.astype(cdtype), ao_grad_k)
+                half = w * jnp.einsum("kgi,kgj->kij", aoR_k.conj(), aow)
+                veff = veff + half + half.conj().transpose(0, 2, 1)
+                if vtau is not None:
+                    veff = veff + 0.5 * w * jnp.einsum(
+                        "kxgi,g,kxgj->kij", ao_grad_k.conj(), vtau,
+                        ao_grad_k)
+            else:
+                exc, vrho, _ = xcspec.exc_vxc(rho)
+                e_xc = w * jnp.sum(rho * exc)
+                veff = veff + w * jnp.einsum("kgi,g,kgj->kij", aoR_k.conj(),
+                                             vrho.astype(rdtype), aoR_k)
         e_k = jnp.zeros((), rdtype)
         if need_k:
             vk = get_k_fn(dm_k)
             vk = vk + mad * jnp.einsum("kij,kjl,klm->kim", S, dm_k, S)
-            veff = veff - 0.5 * hyb * vk
-            e_k = -0.25 * hyb * jnp.einsum("kij,kji->", dm_k, vk).real / nk
+            veff = veff - 0.5 * vk
+            e_k = -0.25 * jnp.einsum("kij,kji->", dm_k, vk).real / nk
         F = hcore + veff
         e_elec = (jnp.einsum("kij,kji->", dm_k, hcore).real / nk
                   + 0.5 * jnp.einsum("kij,kji->", dm_k, vj).real / nk

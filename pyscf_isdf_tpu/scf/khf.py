@@ -141,6 +141,7 @@ def kscf_kernel(
         mad_add = hyb * system.madelung \
             + (alpha - hyb) * coulomb.madelung_omega(cell, system.kpts, omega)
     is_gga = xcspec is not None and xcspec.family == "gga"
+    is_mgga = xcspec is not None and xcspec.family == "mgga"
 
     aoR_k = system.aoR_k
     mesh = system.mesh
@@ -149,7 +150,7 @@ def kscf_kernel(
     nocc_tot = system.nelec_tot // 2
 
     ao_grad_k = None
-    if is_gga:
+    if is_gga or is_mgga:
         from pyscf_isdf_tpu.ops.ao_eval import ao_gradient_fft_k
 
         coords = jnp.asarray(cell.uniform_grid())
@@ -165,15 +166,25 @@ def kscf_kernel(
         # k-point Gaussian density fitting (df/gdf.py G-space build)
         from pyscf_isdf_tpu.df import gdf as gdf_mod
 
-        if rsh:
-            raise NotImplementedError("k-point df='gdf' with RSH")
         kgdf = gdf_mod.build_gdf_kpts(cell, system.aoR_k, system.kpts,
                                       mesh, weight)
+        if rsh:
+            kgdf_lr = gdf_mod.build_gdf_kpts(cell, system.aoR_k,
+                                             system.kpts, mesh, weight,
+                                             omega=omega)
 
-        def get_jk(dm_k, with_k, C_w_k=None):
-            vj, vk = gdf_mod.get_jk_kpts(kgdf, jnp.asarray(
-                dm_k, dtype=aoR_k.dtype))
-            return vj, (vk if with_k else None)
+            def get_jk(dm_k, with_k, C_w_k=None):
+                dmj = jnp.asarray(dm_k, dtype=aoR_k.dtype)
+                vj, vk_full = gdf_mod.get_jk_kpts(kgdf, dmj)
+                if not with_k:
+                    return vj, None
+                _, vk_lr = gdf_mod.get_jk_kpts(kgdf_lr, dmj)
+                return vj, hyb * vk_full + (alpha - hyb) * vk_lr
+        else:
+            def get_jk(dm_k, with_k, C_w_k=None):
+                vj, vk = gdf_mod.get_jk_kpts(kgdf, jnp.asarray(
+                    dm_k, dtype=aoR_k.dtype))
+                return vj, (vk if with_k else None)
 
     if get_jk is None:
         if df not in ("fftdf", "isdf"):
@@ -295,18 +306,31 @@ def kscf_kernel(
             t = jnp.einsum("kgi,kij->kgj", aoR_k, dmj)        # (nk, ng, nao)
             rho = jnp.einsum("kgj,kgj->g", t, aoR_k.conj()).real / nk
             rho_j = jnp.maximum(rho, 1e-30)
-            if is_gga:
+            if is_gga or is_mgga:
                 # grad rho = (2/nk) Re sum_k conj(t) . grad(ao)
                 grho = 2.0 / nk * jnp.einsum(
                     "kgj,kxgj->xg", t.conj(), ao_grad_k).real  # (3, ng)
                 sigma_g = jnp.maximum(jnp.sum(grho * grho, axis=0), 1e-30)
-                exc, vrho, vsigma = xcspec.exc_vxc(rho_j, sigma_g)
+                vtau = None
+                if is_mgga:
+                    tg = jnp.einsum("kxgi,kij->kxgj", ao_grad_k, dmj)
+                    tau_g = jnp.maximum(0.5 / nk * jnp.einsum(
+                        "kxgj,kxgj->g", tg, ao_grad_k.conj()).real, 1e-30)
+                    exc, vrho, vsigma, vtau = xcspec.exc_vxc_mgga(
+                        rho_j, sigma_g, tau_g)
+                else:
+                    exc, vrho, vsigma = xcspec.exc_vxc(rho_j, sigma_g)
                 e_xc = float(weight * jnp.sum(rho_j * exc))
                 # V_k = w [conj(ao)^T (vrho/2 ao + 2 vsigma grad_rho.grad_ao) + h.c.]
                 aow = 0.5 * vrho[:, None] * aoR_k + 2.0 * jnp.einsum(
                     "xg,g,kxgi->kgi", grho, vsigma, ao_grad_k)
                 half = weight * jnp.einsum("kgi,kgj->kij", aoR_k.conj(), aow)
-                vxc = np.asarray(half + half.conj().transpose(0, 2, 1))
+                vxc = half + half.conj().transpose(0, 2, 1)
+                if vtau is not None:
+                    vxc = vxc + 0.5 * weight * jnp.einsum(
+                        "kxgi,g,kxgj->kij", ao_grad_k.conj(), vtau,
+                        ao_grad_k)
+                vxc = np.asarray(vxc)
             else:
                 exc, vrho, _ = xcspec.exc_vxc(rho_j)
                 e_xc = float(weight * jnp.sum(rho_j * exc))

@@ -70,13 +70,19 @@ def kscf_ibz_kernel(
     w = info.weights
 
     xcspec = XCSpec(xc) if xc is not None else None
-    if xcspec is not None and getattr(xcspec, "omega", 0.0):
-        raise NotImplementedError(
-            f"range-separated functional {xc!r} not wired into this driver "
-            "yet; use scf_kernel / kscf_kernel / uhf_kernel")
     hyb = 1.0 if xcspec is None else xcspec.hyb
-    need_k = hyb > 0
+    alpha = hyb if xcspec is None else xcspec.alpha
+    omega = 0.0 if xcspec is None else xcspec.omega
+    rsh = omega != 0.0
+    need_k = hyb > 0 or alpha > 0
     is_gga = xcspec is not None and xcspec.family == "gga"
+    mad_add = hyb * system.madelung
+    if rsh:
+        from pyscf_isdf_tpu.ops import coulomb as _coulomb
+
+        mad_add = hyb * system.madelung \
+            + (alpha - hyb) * _coulomb.madelung_omega(cell, system.kpts,
+                                                      omega)
 
     aoR_k = system.aoR_k
     mesh = system.mesh
@@ -111,23 +117,45 @@ def kscf_ibz_kernel(
             isdfk = isdf_k_mod.build_isdf_k(
                 cell, aoR_k, system.kpts, c=isdf_c,
                 exxdiv=(exxdiv if exxdiv not in (None, "ewald") else None))
+            if rsh:
+                isdfk_lr = isdf_k_mod.build_isdf_k(
+                    cell, aoR_k, system.kpts, c=isdf_c, omega=omega)
 
-            def get_k_ibz(dm_full):
-                return isdf_k_mod.get_k_kpts(
-                    isdfk, jnp.asarray(dm_full, aoR_k.dtype), k1_idx=ibz)
+                def get_k_ibz(dm_full):
+                    dmj = jnp.asarray(dm_full, aoR_k.dtype)
+                    return hyb * isdf_k_mod.get_k_kpts(
+                        isdfk, dmj, k1_idx=ibz) \
+                        + (alpha - hyb) * isdf_k_mod.get_k_kpts(
+                            isdfk_lr, dmj, k1_idx=ibz)
+            else:
+                def get_k_ibz(dm_full):
+                    return hyb * isdf_k_mod.get_k_kpts(
+                        isdfk, jnp.asarray(dm_full, aoR_k.dtype),
+                        k1_idx=ibz)
         else:
             if exxdiv not in (None, "ewald"):
                 cp, _ = fftdf_k.make_k_kernels(cell, system.kpts, exxdiv=exxdiv)
                 coulG_pairs = jnp.asarray(cp)
             else:
                 coulG_pairs = jnp.asarray(system.coulG_pairs)
+            coulG_pairs_lr = None
+            if rsh:
+                cpl, _ = fftdf_k.make_k_kernels(cell, system.kpts,
+                                                omega=omega)
+                coulG_pairs_lr = jnp.asarray(cpl)
             expmikr = jnp.asarray(system.expmikr, dtype=aoR_k.dtype)
             kweight = weight / nk
 
             def get_k_ibz(dm_full):
-                return fftdf_k.get_k_kpts(
-                    aoR_k, jnp.asarray(dm_full, aoR_k.dtype), coulG_pairs,
-                    expmikr, mesh, kweight, k1_idx=ibz)
+                dmj = jnp.asarray(dm_full, aoR_k.dtype)
+                vk = hyb * fftdf_k.get_k_kpts(
+                    aoR_k, dmj, coulG_pairs, expmikr, mesh, kweight,
+                    k1_idx=ibz) if hyb != 0 else 0.0
+                if rsh:
+                    vk = vk + (alpha - hyb) * fftdf_k.get_k_kpts(
+                        aoR_k, dmj, coulG_pairs_lr, expmikr, mesh,
+                        kweight, k1_idx=ibz)
+                return vk
 
     S_i = system.S[list(ibz)]
     h_i = system.hcore[list(ibz)]
@@ -187,9 +215,9 @@ def kscf_ibz_kernel(
             vk_i = np.array(get_k_ibz(dm_full), dtype=np.complex128)
             if exxdiv == "ewald":
                 for k in range(nki):
-                    vk_i[k] += system.madelung * (S_i[k] @ dm_i[k] @ S_i[k])
-            veff -= 0.5 * hyb * vk_i
-            e_k = -0.25 * hyb * np.einsum(
+                    vk_i[k] += mad_add * (S_i[k] @ dm_i[k] @ S_i[k])
+            veff -= 0.5 * vk_i
+            e_k = -0.25 * np.einsum(
                 "k,kij,kji->", w, dm_i, vk_i).real / nk
 
         F = h_i + veff

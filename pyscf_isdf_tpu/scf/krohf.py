@@ -58,11 +58,19 @@ def krohf_kernel(
     cell = system.cell
     nk = len(system.kpts)
     xcspec = XCSpec(xc) if xc is not None else None
-    if xcspec is not None and getattr(xcspec, "omega", 0.0):
-        raise NotImplementedError("RSH in krohf: todo")
     hyb = 1.0 if xcspec is None else xcspec.hyb
-    need_k = hyb > 0
+    alpha = hyb if xcspec is None else xcspec.alpha
+    omega = 0.0 if xcspec is None else xcspec.omega
+    rsh = omega != 0.0
+    need_k = hyb > 0 or alpha > 0
     is_gga = xcspec is not None and xcspec.family == "gga"
+    mad_add = hyb * system.madelung
+    if rsh:
+        from pyscf_isdf_tpu.ops import coulomb as _coulomb
+
+        mad_add = hyb * system.madelung \
+            + (alpha - hyb) * _coulomb.madelung_omega(cell, system.kpts,
+                                                      omega)
 
     if nelec is None:
         na = (cell.nelectron + cell.spin) // 2
@@ -84,17 +92,36 @@ def krohf_kernel(
         isdfk = isdf_k_mod.build_isdf_k(
             cell, aoR_k, system.kpts, c=isdf_c,
             exxdiv=(exxdiv if exxdiv not in (None, "ewald") else None))
+        if rsh:
+            isdfk_lr = isdf_k_mod.build_isdf_k(
+                cell, aoR_k, system.kpts, c=isdf_c, omega=omega)
 
-        def get_k_spin(dm_s):
-            return isdf_k_mod.get_k_kpts(isdfk, jnp.asarray(dm_s, aoR_k.dtype))
+            def get_k_spin(dm_s):
+                dmj = jnp.asarray(dm_s, aoR_k.dtype)
+                return hyb * isdf_k_mod.get_k_kpts(isdfk, dmj) \
+                    + (alpha - hyb) * isdf_k_mod.get_k_kpts(isdfk_lr, dmj)
+        else:
+            def get_k_spin(dm_s):
+                return hyb * isdf_k_mod.get_k_kpts(
+                    isdfk, jnp.asarray(dm_s, aoR_k.dtype))
     else:
         coulG_pairs = jnp.asarray(system.coulG_pairs)
         expmikr = jnp.asarray(system.expmikr, dtype=aoR_k.dtype)
         kweight = weight / nk
+        coulG_pairs_lr = None
+        if rsh and need_k:
+            cpl, _ = fftdf_k.make_k_kernels(cell, system.kpts, omega=omega)
+            coulG_pairs_lr = jnp.asarray(cpl)
 
         def get_k_spin(dm_s):
-            return fftdf_k.get_k_kpts(aoR_k, jnp.asarray(dm_s, aoR_k.dtype),
-                                      coulG_pairs, expmikr, mesh, kweight)
+            dmj = jnp.asarray(dm_s, aoR_k.dtype)
+            vk = hyb * fftdf_k.get_k_kpts(aoR_k, dmj, coulG_pairs, expmikr,
+                                          mesh, kweight) \
+                if hyb != 0 else 0.0
+            if rsh:
+                vk = vk + (alpha - hyb) * fftdf_k.get_k_kpts(
+                    aoR_k, dmj, coulG_pairs_lr, expmikr, mesh, kweight)
+            return vk
 
     ao_grad_k = None
     if is_gga:
@@ -184,11 +211,11 @@ def krohf_kernel(
             vkb = np.array(get_k_spin(dm_b), dtype=np.complex128)
             if exxdiv == "ewald":
                 for k in range(nk):
-                    vka[k] += system.madelung * (S[k] @ dm_a[k] @ S[k])
-                    vkb[k] += system.madelung * (S[k] @ dm_b[k] @ S[k])
-            veff_a -= hyb * vka
-            veff_b -= hyb * vkb
-            e_k = -0.5 * hyb * (
+                    vka[k] += mad_add * (S[k] @ dm_a[k] @ S[k])
+                    vkb[k] += mad_add * (S[k] @ dm_b[k] @ S[k])
+            veff_a -= vka
+            veff_b -= vkb
+            e_k = -0.5 * (
                 np.einsum("kij,kji->", dm_a, vka)
                 + np.einsum("kij,kji->", dm_b, vkb)
             ).real / nk

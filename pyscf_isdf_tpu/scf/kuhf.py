@@ -45,13 +45,19 @@ def kuhf_kernel(
     cell = system.cell
     nk = len(system.kpts)
     xcspec = XCSpec(xc) if xc is not None else None
-    if xcspec is not None and getattr(xcspec, "omega", 0.0):
-        raise NotImplementedError(
-            f"range-separated functional {xc!r} not wired into this driver "
-            "yet; use scf_kernel / kscf_kernel / uhf_kernel")
     hyb = 1.0 if xcspec is None else xcspec.hyb
-    need_k = hyb > 0
+    alpha = hyb if xcspec is None else xcspec.alpha
+    omega = 0.0 if xcspec is None else xcspec.omega
+    rsh = omega != 0.0
+    need_k = hyb > 0 or alpha > 0
     is_gga = xcspec is not None and xcspec.family == "gga"
+    mad_add = hyb * system.madelung
+    if rsh:
+        from pyscf_isdf_tpu.ops import coulomb as _coulomb
+
+        mad_add = hyb * system.madelung \
+            + (alpha - hyb) * _coulomb.madelung_omega(cell, system.kpts,
+                                                      omega)
 
     if nelec is None:
         na = (cell.nelectron + cell.spin) // 2
@@ -70,15 +76,28 @@ def kuhf_kernel(
     if df not in ("fftdf", "isdf"):
         raise ValueError(f"unknown df engine {df!r}: use 'fftdf' or 'isdf'")
     get_k_spin = None
+    coulG_pairs_lr = None
+    if rsh and need_k and df != "isdf":
+        cpl, _ = fftdf_k.make_k_kernels(cell, system.kpts, omega=omega)
+        coulG_pairs_lr = jnp.asarray(cpl)
     if df == "isdf" and need_k:
         from pyscf_isdf_tpu.df import isdf_k as isdf_k_mod
 
         isdfk = isdf_k_mod.build_isdf_k(
             cell, aoR_k, system.kpts, c=isdf_c,
             exxdiv=(exxdiv if exxdiv not in (None, "ewald") else None))
+        if rsh:
+            isdfk_lr = isdf_k_mod.build_isdf_k(
+                cell, aoR_k, system.kpts, c=isdf_c, omega=omega)
 
-        def get_k_spin(dm_s):
-            return isdf_k_mod.get_k_kpts(isdfk, jnp.asarray(dm_s, aoR_k.dtype))
+            def get_k_spin(dm_s):
+                dmj = jnp.asarray(dm_s, aoR_k.dtype)
+                return hyb * isdf_k_mod.get_k_kpts(isdfk, dmj) \
+                    + (alpha - hyb) * isdf_k_mod.get_k_kpts(isdfk_lr, dmj)
+        else:
+            def get_k_spin(dm_s):
+                return hyb * isdf_k_mod.get_k_kpts(
+                    isdfk, jnp.asarray(dm_s, aoR_k.dtype))
 
     ao_grad_k = None
     if is_gga:
@@ -169,19 +188,26 @@ def kuhf_kernel(
                 vka = np.array(get_k_spin(dm_a), dtype=np.complex128)
                 vkb = np.array(get_k_spin(dm_b), dtype=np.complex128)
             else:
-                vka = np.array(fftdf_k.get_k_kpts(
-                    aoR_k, jnp.asarray(dm_a, aoR_k.dtype), coulG_pairs,
-                    expmikr, mesh, kweight), dtype=np.complex128)
-                vkb = np.array(fftdf_k.get_k_kpts(
-                    aoR_k, jnp.asarray(dm_b, aoR_k.dtype), coulG_pairs,
-                    expmikr, mesh, kweight), dtype=np.complex128)
+                def _k_fft(dm_s):
+                    dmj = jnp.asarray(dm_s, aoR_k.dtype)
+                    vk = hyb * fftdf_k.get_k_kpts(
+                        aoR_k, dmj, coulG_pairs, expmikr, mesh, kweight) \
+                        if hyb != 0 else 0.0
+                    if rsh:
+                        vk = vk + (alpha - hyb) * fftdf_k.get_k_kpts(
+                            aoR_k, dmj, coulG_pairs_lr, expmikr, mesh,
+                            kweight)
+                    return vk
+
+                vka = np.array(_k_fft(dm_a), dtype=np.complex128)
+                vkb = np.array(_k_fft(dm_b), dtype=np.complex128)
             if exxdiv == "ewald":
                 for k in range(nk):
-                    vka[k] += system.madelung * (S[k] @ dm_a[k] @ S[k])
-                    vkb[k] += system.madelung * (S[k] @ dm_b[k] @ S[k])
-            veff_a -= hyb * vka
-            veff_b -= hyb * vkb
-            e_k = -0.5 * hyb * (
+                    vka[k] += mad_add * (S[k] @ dm_a[k] @ S[k])
+                    vkb[k] += mad_add * (S[k] @ dm_b[k] @ S[k])
+            veff_a -= vka
+            veff_b -= vkb
+            e_k = -0.5 * (
                 np.einsum("kij,kji->", dm_a, vka)
                 + np.einsum("kij,kji->", dm_b, vkb)
             ).real / nk

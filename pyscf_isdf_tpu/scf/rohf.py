@@ -42,12 +42,11 @@ def rohf_kernel(
     """
     cell = system.cell
     xcspec = XCSpec(xc) if xc is not None else None
-    if xcspec is not None and getattr(xcspec, "omega", 0.0):
-        raise NotImplementedError(
-            f"range-separated functional {xc!r} not wired into this driver "
-            "yet; use scf_kernel / kscf_kernel / uhf_kernel")
     hyb = 1.0 if xcspec is None else xcspec.hyb
-    need_k = hyb > 0
+    alpha = hyb if xcspec is None else xcspec.alpha
+    omega = 0.0 if xcspec is None else xcspec.omega
+    rsh = omega != 0.0
+    need_k = hyb > 0 or alpha > 0
 
     if nelec is None:
         na = (cell.nelectron + cell.spin) // 2
@@ -70,17 +69,43 @@ def rohf_kernel(
 
     if df not in ("fftdf", "isdf"):
         raise ValueError(f"unknown df engine {df!r}: use 'fftdf' or 'isdf'")
+    # RSH (scf/hf.py:172-181 semantics): K_eff = hyb*K_full +
+    # (alpha-hyb)*K_LR(omega); each part carries its own madelung.
+    coulG_lr = None
+    mad_add = hyb * system.madelung
+    if rsh:
+        from pyscf_isdf_tpu.ops import coulomb as _coulomb
+
+        coulG_lr = jnp.asarray(
+            _coulomb.get_coulG(cell, exxdiv=None, omega=omega))
+        mad_add = hyb * system.madelung \
+            + (alpha - hyb) * _coulomb.madelung_omega(cell, None, omega)
     if df == "isdf" and need_k:
         from pyscf_isdf_tpu.df import isdf as isdf_mod
 
-        isdf = isdf_mod.build_isdf(aoR, coulG, mesh, weight, c=isdf_c)
+        if rsh:
+            isdf, isdf_lr = isdf_mod.build_isdf_multi(
+                aoR, [coulG, coulG_lr], mesh, weight, c=isdf_c)
 
-        def get_k(dm_s):
-            return isdf_mod.get_k(isdf, jnp.asarray(dm_s, aoR.dtype))
+            def get_k(dm_s):
+                dmj = jnp.asarray(dm_s, aoR.dtype)
+                return hyb * isdf_mod.get_k(isdf, dmj) \
+                    + (alpha - hyb) * isdf_mod.get_k(isdf_lr, dmj)
+        else:
+            isdf = isdf_mod.build_isdf(aoR, coulG, mesh, weight, c=isdf_c)
+
+            def get_k(dm_s):
+                return hyb * isdf_mod.get_k(isdf,
+                                            jnp.asarray(dm_s, aoR.dtype))
     else:
         def get_k(dm_s):
-            return fftdf.get_k(aoR, jnp.asarray(dm_s, aoR.dtype), coulG,
-                               mesh, weight)
+            dmj = jnp.asarray(dm_s, aoR.dtype)
+            vk = hyb * fftdf.get_k(aoR, dmj, coulG, mesh, weight) \
+                if hyb != 0 else 0.0
+            if rsh:
+                vk = vk + (alpha - hyb) * fftdf.get_k(aoR, dmj, coulG_lr,
+                                                      mesh, weight)
+            return vk
 
     def eig(F):
         Fp = X.T @ F @ X
@@ -115,12 +140,12 @@ def rohf_kernel(
             vka = np.asarray(get_k(dm_a), dtype=np.float64)
             vkb = np.asarray(get_k(dm_b), dtype=np.float64)
             if exxdiv == "ewald":
-                vka = vka + system.madelung * (S @ dm_a @ S)
-                vkb = vkb + system.madelung * (S @ dm_b @ S)
-            veff_a -= hyb * vka
-            veff_b -= hyb * vkb
-            e_k = -0.5 * hyb * (np.einsum("ij,ji->", dm_a, vka)
-                                + np.einsum("ij,ji->", dm_b, vkb))
+                vka = vka + mad_add * (S @ dm_a @ S)
+                vkb = vkb + mad_add * (S @ dm_b @ S)
+            veff_a -= vka
+            veff_b -= vkb
+            e_k = -0.5 * (np.einsum("ij,ji->", dm_a, vka)
+                          + np.einsum("ij,ji->", dm_b, vkb))
 
         Fa = hcore + veff_a
         Fb = hcore + veff_b

@@ -36,25 +36,43 @@ def _spin_vxc(aoR, ao_grad, dm_a, dm_b, weight, xcspec):
         vmat_a = weight * ((aoR.T * va) @ aoR)
         vmat_b = weight * ((aoR.T * vb) @ aoR)
         return float(e_xc), np.asarray(vmat_a), np.asarray(vmat_b)
-    # GGA
+    # GGA / meta-GGA
     ga = 2.0 * jnp.einsum("gi,xgi->xg", ta, ao_grad)
     gb = 2.0 * jnp.einsum("gi,xgi->xg", tb, ao_grad)
     s_aa = jnp.sum(ga * ga, axis=0)
     s_ab = jnp.sum(ga * gb, axis=0)
     s_bb = jnp.sum(gb * gb, axis=0)
-    exc, (va, vb), (vsaa, vsab, vsbb) = xcspec.exc_vxc_spin(
-        rho_a, rho_b, s_aa, s_ab, s_bb)
+    vtau = None
+    if xcspec.family == "mgga":
+        tga = jnp.einsum("xgi,ij->xgj", ao_grad, dm_a)
+        tgb = jnp.einsum("xgi,ij->xgj", ao_grad, dm_b)
+        tau_a = 0.5 * jnp.einsum("xgj,xgj->g", tga, ao_grad)
+        tau_b = 0.5 * jnp.einsum("xgj,xgj->g", tgb, ao_grad)
+        exc, (va, vb), (vsaa, vsab, vsbb), (vta, vtb) = \
+            xcspec.exc_vxc_mgga_spin(rho_a, rho_b, s_aa, s_ab, s_bb,
+                                     tau_a, tau_b)
+        vtau = (vta, vtb)
+    else:
+        exc, (va, vb), (vsaa, vsab, vsbb) = xcspec.exc_vxc_spin(
+            rho_a, rho_b, s_aa, s_ab, s_bb)
     e_xc = weight * jnp.sum((rho_a + rho_b) * exc)
 
-    def vmat(vrho, vs_ss, g_s, vs_ab, g_t):
+    def vmat(vrho, vs_ss, g_s, vs_ab, g_t, vt=None):
         aow = 0.5 * vrho[:, None] * aoR + jnp.einsum(
             "xg,xgi->gi", 2.0 * vs_ss[None, :] * g_s + vs_ab[None, :] * g_t,
             ao_grad)
         half = weight * (aoR.T @ aow)
-        return half + half.T
+        out = half + half.T
+        if vt is not None:
+            out = out + 0.5 * weight * jnp.einsum(
+                "xgi,g,xgj->ij", ao_grad, vt, ao_grad)
+        return out
 
-    return (float(e_xc), np.asarray(vmat(va, vsaa, ga, vsab, gb)),
-            np.asarray(vmat(vb, vsbb, gb, vsab, ga)))
+    return (float(e_xc),
+            np.asarray(vmat(va, vsaa, ga, vsab, gb,
+                            vtau[0] if vtau else None)),
+            np.asarray(vmat(vb, vsbb, gb, vsab, ga,
+                            vtau[1] if vtau else None)))
 
 
 def uhf_kernel(
@@ -90,7 +108,7 @@ def uhf_kernel(
     if rsh:
         mad_add = hyb * system.madelung \
             + (alpha - hyb) * coulomb.madelung_omega(cell, None, omega)
-    is_gga = xcspec is not None and xcspec.family == "gga"
+    is_gga = xcspec is not None and xcspec.family in ("gga", "mgga")
 
     if nelec is None:
         na = (cell.nelectron + cell.spin) // 2

@@ -30,7 +30,7 @@ def _converge(cell, xc):
     return system, res
 
 
-@pytest.mark.parametrize("xc", [None, "pbe0", "b3lyp"])
+@pytest.mark.parametrize("xc", [None, "pbe0", "b3lyp", "hse06"])
 def test_h2_gradient_vs_fd(xc):
     system, res = _converge(_h2_cell(), xc)
     g, e_chk = rhf_gradient(system, res, xc=xc, return_energy=True)

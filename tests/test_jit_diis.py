@@ -61,3 +61,40 @@ def test_jit_diis_krks_lda_fftdf():
                                         df="fftdf")
     assert conv
     assert e == pytest.approx(ref["e_tot"], abs=1e-11)
+
+
+def test_jit_diis_krks_pbe_fftdf():
+    """k-point GGA in the jitted driver (VERDICT r2 missing #7): the
+    deployment-mode loop runs the production functional (KPBE)."""
+    cell = diamond_primitive(mesh=(14, 14, 14))
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1], with_gamma_point=False)
+    ksys = build_kscf_system(cell, kpts)
+    ref = kscf_kernel(ksys, xc="pbe", conv_tol=1e-10)
+    e, dm, it, conv = run_kscf_jit_diis(ksys, xc="pbe", conv_tol=1e-10,
+                                        df="fftdf")
+    assert conv
+    assert e == pytest.approx(ref["e_tot"], abs=1e-11)
+
+
+def test_jit_diis_rks_hse06(gamma_sys):
+    """Gamma RSH in the jitted driver: HSE06 == host loop, both on the
+    exact FFT exchange engine."""
+    ref = scf_kernel(gamma_sys, xc="hse06", conv_tol=1e-10)
+    e, dm, it, conv = run_scf_jit_diis(gamma_sys, xc="hse06",
+                                       conv_tol=1e-10, df="fftdf")
+    assert conv
+    assert e == pytest.approx(ref["e_tot"], abs=1e-11)
+
+
+def test_jit_diis_krks_hse06_isdf():
+    """k-point RSH in the jitted driver via the dual (full + LR) k-ISDF
+    factorization == host loop on the same engine."""
+    cell = diamond_primitive(mesh=(14, 14, 14))
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1], with_gamma_point=False)
+    ksys = build_kscf_system(cell, kpts)
+    ref = kscf_kernel(ksys, xc="hse06", conv_tol=1e-10, df="isdf",
+                      isdf_c=10)
+    e, dm, it, conv = run_kscf_jit_diis(ksys, xc="hse06", conv_tol=1e-10,
+                                        df="isdf", isdf_c=10)
+    assert conv
+    assert e == pytest.approx(ref["e_tot"], abs=1e-10)

@@ -33,6 +33,7 @@ def _setup(dx, xc, tol):
     (None, 1e-15, 5e-7),        # HF: bounded by DM residual (see module doc)
     ("lda,vwn", 1e-12, 1e-7),
     ("pbe", 1e-12, 1e-7),
+    ("hse06", 1e-15, 5e-7),   # RSH: hyb*K_full + (a-hyb)*K_LR(w)
 ])
 def test_kpoint_gradient_vs_fd(xc, tol, bar):
     system, res = _setup(0.0, xc, tol)

@@ -28,7 +28,8 @@ def _conv(eps, xc):
     return system, res
 
 
-@pytest.mark.parametrize("xc,bar", [("lda,vwn", 1e-6), (None, 1e-6)])
+@pytest.mark.parametrize("xc,bar", [("lda,vwn", 1e-6), (None, 1e-6),
+                                    ("hse06", 2e-6)])
 def test_kpoint_stress_vs_fd(xc, bar):
     system, res = _conv(np.zeros((3, 3)), xc)
     sig, e_chk, g = kstress_tensor(system, res, xc=xc, return_energy=True)

@@ -30,7 +30,7 @@ def _diamond(eps, xc):
     return system, res
 
 
-@pytest.mark.parametrize("xc", ["pbe0"])
+@pytest.mark.parametrize("xc", ["pbe0", "hse06"])
 def test_diamond_stress_vs_fd(xc):
     """Normal + shear strain derivatives (vnl projectors, GGA, hybrid
     exchange with the exactly-traced anisotropic probe-charge madelung)."""
