@@ -1,5 +1,7 @@
 from pyscf_isdf_tpu.cc.gccsd import ccsd, ccsd_t, kernel  # noqa: F401
 from pyscf_isdf_tpu.cc.kccsd import kccsd  # noqa: F401
+from pyscf_isdf_tpu.cc.kccsd_blocked import kccsd_blocked  # noqa: F401
+from pyscf_isdf_tpu.cc.krccsd import krccsd  # noqa: F401
 from pyscf_isdf_tpu.cc.fci import fci_ground_state  # noqa: F401
 from pyscf_isdf_tpu.cc.eom import (eom_ccsd, eom_from_scf,  # noqa: F401
                                    eom_ee_energies, eom_ee_iterative)

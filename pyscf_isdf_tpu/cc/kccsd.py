@@ -47,6 +47,11 @@ def build_composite_eris(system, scf_res):
                 chem[kp * nmo:(kp + 1) * nmo, kq * nmo:(kq + 1) * nmo,
                      kr * nmo:(kr + 1) * nmo, ks * nmo:(ks + 1) * nmo] \
                     = eri7[kp, kq, kr] / nk
+    # enforce the bra/ket swap symmetry (pq|rs) = (rs|pq) exactly: the
+    # grid transform breaks it at the aliasing level (~1e-5), and the
+    # blocked kernels (kccsd_blocked, krccsd) project it out — keeping
+    # all paths on one common, physical fixed point
+    chem = 0.5 * (chem + chem.transpose(2, 3, 0, 1))
 
     e_flat = mo_e.ravel()
     occ_flat = mo_occ.ravel() > 0.5

@@ -304,12 +304,36 @@ def CCSD(mf: _MeanField, with_t: bool = False, conv_tol: float = 1e-9):
     return e_corr, mf._res["e_tot"] + e_corr
 
 
-def KCCSD(mf: _KMeanField, with_t: bool = False, conv_tol: float = 1e-9):
+def KCCSD(mf: _KMeanField, with_t: bool = False, conv_tol: float = 1e-9,
+          tier: str = "auto"):
     """k-point CCSD per unit cell on a converged k-mean-field; returns
-    (e_corr, e_tot) — reference pbc.cc.KCCSD(mf) analog."""
-    from pyscf_isdf_tpu.cc.kccsd import kccsd as _kccsd
+    (e_corr, e_tot) — reference pbc.cc.KCCSD(mf) analog.
 
-    out = _kccsd(mf.system, mf._res, with_t=with_t, conv_tol=conv_tol)
+    tier: 'spatial' (production closed-shell blocked, cc/krccsd.py),
+    'blocked' (spin-orbital momentum-blocked), 'composite' (dense
+    oracle), or 'auto' — spatial when the reference is closed-shell with
+    uniform per-k occupation (and (T) is not requested), else composite.
+    """
+    if tier == "auto":
+        import numpy as _np
+
+        occ = _np.asarray(mf._res.get("mo_occ"))
+        uniform = (occ is not None and occ.ndim == 2
+                   and bool(_np.all((occ > 0.5).sum(1)
+                                    == (occ > 0.5).sum(1)[0])))
+        tier = "spatial" if (uniform and not with_t) else "composite"
+    if tier == "spatial":
+        from pyscf_isdf_tpu.cc.krccsd import krccsd as _kern
+
+        out = _kern(mf.system, mf._res, conv_tol=conv_tol)
+    elif tier == "blocked":
+        from pyscf_isdf_tpu.cc.kccsd_blocked import kccsd_blocked as _kern
+
+        out = _kern(mf.system, mf._res, conv_tol=conv_tol)
+    else:
+        from pyscf_isdf_tpu.cc.kccsd import kccsd as _kccsd
+
+        out = _kccsd(mf.system, mf._res, with_t=with_t, conv_tol=conv_tol)
     if not out["converged"]:
         raise RuntimeError("KCCSD did not converge")
     e_corr = out["e_corr"] + out.get("e_t", 0.0)

@@ -79,3 +79,17 @@ def poisson_slab(rho_slab, coulG_t_slab, mesh3):
     fG = fft3_slab(rho_slab.astype(cdtype), mesh3)
     fG = fG * kernel
     return ifft3_slab(fG, mesh3).real.astype(rho_slab.dtype)
+
+
+def poisson_slab_c(f_slab, coulG_t_slab, mesh3):
+    """Complex Poisson solve V = ifft(coulG * fft(f)) in x-slab layout.
+
+    Unlike :func:`poisson_slab` the result keeps its imaginary part —
+    needed for the q != 0 kernels of the k-point ISDF W build, where
+    coulG(q+G) is not inversion-symmetric."""
+    nx, ny, nz = mesh3
+    nyl = coulG_t_slab.shape[-1] // (nx * nz)
+    kernel = coulG_t_slab.reshape(nyl, nx, nz).transpose(1, 0, 2)
+    fG = fft3_slab(f_slab, mesh3)
+    fG = fG * kernel
+    return ifft3_slab(fG, mesh3)
