@@ -119,12 +119,14 @@ def plan_ao_blocks(cell, coords=None, block: int = 512, imax: int | None = None)
         IMAX = imax or max(128, -(-cmax // 128) * 128)
         if cmax > IMAX:
             raise ValueError(f"IMAX={IMAX} < required {cmax}")
-        imgs = np.zeros((ns, nb, 3, IMAX), dtype=np.float64)
-        for s in range(ns):
-            for b in range(nb):
-                sel = images[keep[s, b]]
-                imgs[s, b, :, : len(sel)] = sel.T
-                imgs[s, b, :, len(sel):] = 1e6  # dummy far image
+        # vectorized packing of the kept images into the leading IMAX
+        # slots (stable argsort floats kept-first; the per-(s,b) python
+        # loop this replaces dominated the 3x3x3 bench setup at ~10 s)
+        order = np.argsort(~keep, axis=2, kind="stable")[:, :, :IMAX]
+        imgs = images[order]                       # (ns, nb, IMAX, 3)
+        slot = np.arange(IMAX)[None, None, :]
+        imgs[slot >= counts[:, :, None]] = 1e6     # dummy far image
+        imgs = np.ascontiguousarray(imgs.transpose(0, 1, 3, 2))
         # output rows (s-major, then k, then m) -> AO columns
         cols = []
         for ish, sh in shells:
