@@ -1,0 +1,386 @@
+"""q-resolved k-point ISDF: per-momentum-transfer interpolation vectors.
+
+This is the translation-symmetric supercell ISDF expressed in momentum
+space. Pick ONE set of interpolation points S0 in the primitive cell
+(|S0| = c * nao — the same IP density as a Gamma-supercell build with
+that c); the supercell factorization over the translated copies of S0
+block-diagonalizes EXACTLY over momentum transfers q:
+
+    C1_q[P,P'] = (1/nk) sum_k  R_k[P,P'] conj(R_{k-q}[P,P'])
+    C2_q[g,P]  = (1/nk) sum_k  P_k[g,P]  conj(P_{k-q}[g,P])
+    X_q        = (C1_q + eps I)^{-1} C2_q^H          (nip, ng)
+
+with R_k / P_k the k-resolved AO pair Grams restricted to S0. A Bloch
+pair density conj(phi_k1,mu) phi_k2,nu (momentum q = k2 - k1) is fitted
+by the q-sector vectors alone:
+
+    rho~(g) = sum_P X_q[P,g] conj(phi_k1,mu(r_P)) phi_k2,nu(r_P)
+
+The per-q solves cost nk * nip^2 * ng — a factor nk^2 below the dense
+supercell solve — which is what makes float64 CPU accuracy studies
+feasible at scales where the supercell solve is out of reach (the
+BENCH_r03 1e-6 Ha certification at diamond 3x3x3, VERDICT r2 next #1).
+Identity tests (supercell symmetric-IP build == this, to ~1e-13 on the
+solve and ~1e-6 relative on exchange deficits) live in
+tests/test_isdf_q.py.
+
+Compared to the shared-real-xi ISDF-K engine (df/isdf_k.py, Hu-Lin-Yang
+arXiv:1707.09141), the q-resolved form is strictly more expressive per
+interpolation point: isdf_k needs n_ip ~ c * nk * nao points in the
+unit cell (one xi set must serve every (k1,k2) pair class), while here
+n_ip ~ c * nao suffices because each momentum sector gets its own
+complex vectors. Per-iteration exchange drops from nk^2 (c nk nao)^2 to
+nk^2 (c nao)^2 Hadamard/GEMM work.
+
+Reference baseline: the exact k-point exchange these kernels replace is
+pyscf/pbc/df/fft_jk.py:50-107 (get_k_kpts; nao * nk^2 grid FFTs per
+iteration).
+
+Conventions (validated in the n_ip == ng exact limit):
+    K_k1 = (1/nk) sum_k2 A1^H (M2 o conj(W_q)) A1,  M2 = A2 D2 A2^H
+    W_q[P,Q] = w sum_g conj(X_q[P,g]) (V_q X_q[Q])(g)
+    (V_q f)(g) = e^{iq.r_g} ifft( coulG(q) fft(e^{-iq.r} f) )(g)
+with A_k = aoR_k[:, S0] (Bloch values, phases included) and D the
+ket-major density matrix dm[k][mu,nu] = sum_i C[mu,i] occ_i conj(C[nu,i]).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pyscf_isdf_tpu.df.fftdf import fft3, ifft3
+from pyscf_isdf_tpu.df.isdf_k import (_select_ips_complex,
+                                      _select_ips_complex_blocked, unique_q)
+from pyscf_isdf_tpu.ops import coulomb
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class ISDFQ:
+    """q-resolved k-point ISDF factorization (device arrays; a pytree)."""
+
+    Ag: jnp.ndarray        # (nk, nip, nao) complex Bloch AO values at IPs
+    Wq: jnp.ndarray        # (nq, nip, nip) complex per-q kernels
+    qmap: np.ndarray       # (nk, nk) -> q index of (k_i - k_j); static
+    ip_idx: jnp.ndarray    # (nip,) primitive-grid indices
+    Xq: jnp.ndarray | None = None    # (nq, nip, ng) per-q interp vectors
+    VXq: jnp.ndarray | None = None   # (nq, nip, ng) V_q-applied Xq rows
+    phase_q: jnp.ndarray | None = None  # (nq, ng) e^{-i q.r} (with Xq/VXq)
+
+    def tree_flatten(self):
+        return (self.Ag, self.Wq, self.ip_idx, self.Xq, self.VXq,
+                self.phase_q), (self.qmap.tobytes(), self.qmap.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        Ag, Wq, ip_idx, Xq, VXq, phase_q = children
+        qb, qshape = aux
+        qmap = np.frombuffer(qb, dtype=np.int64).reshape(qshape)
+        return cls(Ag=Ag, Wq=Wq, qmap=qmap, ip_idx=ip_idx, Xq=Xq, VXq=VXq,
+                   phase_q=phase_q)
+
+    @property
+    def n_ip(self) -> int:
+        return self.Ag.shape[1]
+
+
+def _k_sub_table(cell_a, kpts):
+    """ksub[i, j] = index m with k_m == k_i - k_j (mod reciprocal lattice).
+
+    Exact on a Gamma-centered Monkhorst-Pack mesh (the group property the
+    momentum block-diagonalization relies on).
+    """
+    from pyscf_isdf_tpu import lattice
+
+    b = lattice.reciprocal_vectors(cell_a)
+    kf = kpts @ np.linalg.inv(b)
+    nk = len(kpts)
+    tab = np.zeros((nk, nk), dtype=np.int64)
+    for i in range(nk):
+        d = kf[i] - kf
+        dd = ((d[:, None, :] - kf[None, :, :] + 0.5) % 1.0) - 0.5
+        m = np.argmin(np.abs(dd).sum(-1), axis=1)
+        if np.abs(dd[np.arange(nk), m]).max() > 1e-8:
+            raise ValueError("k-mesh is not closed under subtraction "
+                             "(need a Gamma-centered MP mesh)")
+        tab[i] = m
+    return tab
+
+
+@partial(jax.jit, static_argnames=("mesh", "fft_chunk"))
+def _build_q(A_k, Ag, ksub_q, coulG_q, phase_q, mesh, weight,
+             fft_chunk: int = 64):
+    """One momentum sector: (C1_q, C2_q) -> X_q, V_q X_q, W_q.
+
+    Args:
+        A_k: (nk, ng, nao) Bloch AOs; Ag: (nk, nip, nao) their IP rows.
+        ksub_q: (nk,) index of k - q per k.
+        phase_q: (ng,) e^{-i q.r}.
+    """
+    nk, ng, nao = A_k.shape
+    nip = Ag.shape[1]
+    R = jnp.einsum("kpa,kqa->kpq", Ag.conj(), Ag)          # (nk, nip, nip)
+    P = jnp.einsum("kga,kpa->kgp", A_k.conj(), Ag)         # (nk, ng, nip)
+    Rm = R[ksub_q]
+    Pm = P[ksub_q]
+    C1 = jnp.einsum("kpq,kpq->pq", R, Rm.conj()) / nk      # (nip, nip)
+    C2 = jnp.einsum("kgp,kgp->gp", P, Pm.conj()) / nk      # (ng, nip)
+    # Regularization matched to the supercell build (isdf._solve_xi):
+    # the q-sector Grams average to the supercell mean diagonal, so the
+    # same dtype-aware shift keeps the factorizations interchangeable.
+    is_f64 = jnp.finfo(C1.real.dtype).bits >= 64
+    diag_mean = jnp.real(jnp.trace(C1)) / nip
+    eps = jnp.asarray(1e-12 if is_f64 else 3e-7, C1.real.dtype) \
+        * (diag_mean if is_f64 else jnp.real(jnp.trace(C1)))
+    cho = jax.scipy.linalg.cho_factor(
+        C1 + eps * jnp.eye(nip, dtype=C1.dtype))
+    Xq = jax.scipy.linalg.cho_solve(cho, C2.conj().T)      # (nip, ng)
+
+    # V_q applied to each X_q row, streamed in fft_chunk batches
+    npad = (-nip) % fft_chunk
+    Xp = jnp.pad(Xq, ((0, npad), (0, 0)))
+
+    def v_of(block):                                       # (fc, ng)
+        per = phase_q[None, :] * block
+        v = ifft3(coulG_q[None, :] * fft3(per, mesh), mesh)
+        return phase_q.conj()[None, :] * v
+
+    VX = jax.lax.map(v_of, Xp.reshape(-1, fft_chunk, ng)).reshape(-1, ng)
+    VX = VX[:nip]
+    Wq = weight * (Xq.conj() @ VX.T)                       # (nip, nip)
+    Wq = 0.5 * (Wq + Wq.conj().T)
+    return Xq, VX, Wq
+
+
+def build_isdf_q(cell, aoR_k, kpts, n_ip=None, c: float = 16.0,
+                 exxdiv=None, omega: float = 0.0, keep_x: bool = False,
+                 method: str = "auto", blk: int = 64) -> ISDFQ:
+    """Build the q-resolved k-point ISDF factorization.
+
+    Args:
+        aoR_k: (nk, ng, nao) complex Bloch AO values on the primitive
+            grid (ops.ao_eval conventions).
+        c: IP count as a multiple of nao — the SUPERCELL-equivalent
+            compression (n_ip = c * nao points in the primitive cell,
+            matching a Gamma-supercell build at the same c).
+        exxdiv: None or 'vcut_*' baked into the kernels; 'ewald' is the
+            SCF loop's post-hoc madelung shift — pass None for it.
+        keep_x: retain Xq/VXq/phase_q (needed by the robust exchange and
+            the residual-deficit certifier).
+    """
+    kpts = np.reshape(np.asarray(kpts), (-1, 3))
+    nk, ng, nao = aoR_k.shape
+    if n_ip is None:
+        n_ip = int(c * nao)
+    n_ip = min(n_ip, ng)
+
+    # IP selection on the k-stacked periodic parts (same metric as the
+    # shared-xi engine; the factorization is exact-per-index-set, so the
+    # selection only affects quality, not the identities)
+    coords = np.asarray(cell.uniform_grid())
+    rdt = np.float64 if aoR_k.dtype == jnp.complex128 else np.float32
+    if n_ip >= ng:
+        # exact limit: every grid point is an interpolation point (the
+        # identity-test configuration) — skip the pivoted selection,
+        # whose Gram is exactly singular past the pair rank
+        ip_idx = np.arange(ng)
+    else:
+        phases = jnp.asarray(np.exp(-1j * coords @ kpts.T), aoR_k.dtype)
+        U3 = aoR_k * jnp.transpose(phases)[:, :, None]
+        U = jnp.transpose(U3, (1, 0, 2)).reshape(ng, nk * nao)
+        if method == "auto":
+            method = "cholesky-blocked" if n_ip >= 512 else "cholesky"
+        if method == "cholesky":
+            ip_idx = _select_ips_complex(U, n_ip)
+        elif method == "cholesky-blocked":
+            ip_idx = _select_ips_complex_blocked(U, n_ip, blk=blk)
+        else:
+            raise ValueError(f"unknown IP selection method {method!r}")
+
+    from pyscf_isdf_tpu import lattice
+
+    q_list, qmap = unique_q(cell, kpts)
+    nq = len(q_list)
+    ksub = np.zeros((nq, nk), dtype=np.int64)
+    sub_full = _k_sub_table(cell.a, kpts)
+    # ksub[iq, ik] = index of k_ik - q_iq; q_list rows ARE k-mesh points
+    # (mod G) on a Gamma-centered MP mesh
+    binv = np.linalg.inv(lattice.reciprocal_vectors(cell.a))
+    for iq in range(nq):
+        df = ((q_list[iq] - kpts) @ binv + 0.5) % 1.0 - 0.5
+        kq = int(np.argmin(np.abs(df).sum(1)))
+        if np.abs(df[kq]).max() > 1e-8:
+            raise ValueError("momentum transfer off the k-mesh")
+        ksub[iq] = sub_full[:, kq]
+
+    coulG_q = np.stack([
+        coulomb.get_coulG(cell, k=q, exxdiv=exxdiv, kpts=kpts,
+                          omega=(omega or None))
+        for q in q_list
+    ]).astype(rdt)
+    # q=0: symmetrize over G -> -G. On non-orthogonal lattices the
+    # fftfreq Nyquist planes make |G|^2 index-asymmetric (the -n/2
+    # frequency is kept, +n/2 aliases onto it); the real Gamma pipeline
+    # implicitly symmetrizes by taking .real of ifft, and the k-point J
+    # (fftdf_k.get_j_kpts / scf.khf) does the same — this keeps the
+    # complex q=0 sector on the identical convention.
+    mesh3 = tuple(cell.mesh)
+    neg = np.ravel_multi_index(
+        np.meshgrid(*[(-np.arange(n)) % n for n in mesh3], indexing="ij"),
+        mesh3).ravel()
+    for iq in range(nq):
+        if np.abs(q_list[iq]).max() < 1e-9:
+            coulG_q[iq] = 0.5 * (coulG_q[iq] + coulG_q[iq][neg])
+    phase_q = jnp.asarray(np.exp(-1j * coords @ q_list.T).T.copy(),
+                          aoR_k.dtype)                     # (nq, ng)
+    Ag = aoR_k[:, np.asarray(ip_idx)]                      # (nk, nip, nao)
+
+    Xq_l, VXq_l, Wq_l = [], [], []
+    for iq in range(nq):
+        Xq, VX, Wq = _build_q(aoR_k, Ag, jnp.asarray(ksub[iq]),
+                              jnp.asarray(coulG_q[iq]), phase_q[iq],
+                              tuple(cell.mesh), cell.grid_weight)
+        Wq_l.append(Wq)
+        if keep_x:
+            Xq_l.append(Xq)
+            VXq_l.append(VX)
+    return ISDFQ(Ag=Ag, Wq=jnp.stack(Wq_l), qmap=qmap,
+                 ip_idx=jnp.asarray(ip_idx),
+                 Xq=(jnp.stack(Xq_l) if keep_x else None),
+                 VXq=(jnp.stack(VXq_l) if keep_x else None),
+                 phase_q=(phase_q if keep_x else None))
+
+
+def get_j_kpts(isdfq: ISDFQ, dm_k):
+    """Fitted Coulomb: the q=0 sector is a REAL Gamma-type ISDF.
+
+    vj_k = A_k^H diag(W_0 rho_ip) A_k,
+    rho_ip[P] = (1/nk) sum_k2 (A2 D2 A2^H)[P,P].
+    """
+    nk = isdfq.Ag.shape[0]
+    q0 = int(isdfq.qmap[0, 0])
+
+    @jax.jit
+    def _run(Ag, W0, dm):
+        rho = jnp.einsum("kpa,kab,kpb->p", Ag, dm, Ag.conj()) / nk
+        u = W0 @ rho
+        return jnp.einsum("kpa,p,kpb->kab", Ag.conj(), u, Ag)
+
+    return _run(isdfq.Ag, isdfq.Wq[q0],
+                jnp.asarray(dm_k, isdfq.Ag.dtype))
+
+
+def get_k_kpts(isdfq: ISDFQ, dm_k, k1_idx=None):
+    """Fitted exchange: K_k1 = (1/nk) sum_k2 A1^H (M2 o conj(W_q)) A1."""
+    nk = isdfq.Ag.shape[0]
+    qmap = isdfq.qmap
+    k1_list = tuple(range(nk)) if k1_idx is None else tuple(k1_idx)
+
+    @jax.jit
+    def _run(Ag, Wq, dm):
+        M_all = [Ag[k2] @ dm[k2] @ Ag[k2].conj().T for k2 in range(nk)]
+        out = []
+        for k1 in k1_list:
+            acc = jnp.zeros((Ag.shape[2], Ag.shape[2]), Ag.dtype)
+            for k2 in range(nk):
+                W = Wq[qmap[k2, k1]]
+                acc = acc + Ag[k1].conj().T @ (M_all[k2] * W.conj()) @ Ag[k1]
+            out.append(acc / nk)
+        return jnp.stack(out)
+
+    return _run(isdfq.Ag, isdfq.Wq, jnp.asarray(dm_k, isdfq.Ag.dtype))
+
+
+def get_k_kpts_robust(isdfq: ISDFQ, dm_k, aoR_k, weight, k1_idx=None):
+    """Robust-fit exchange (error quadratic in the fit residual):
+
+        K_rob = T + T^H - K_fit,
+        T_k1  = (w/nk) sum_k2 Phi1^H ((t2 o conj(VX_q^T)) A1),
+        t2    = Phi2 D2 A2^H
+
+    — one exact pair per term, the k-point analog of isdf.get_k_robust.
+    Requires build_isdf_q(..., keep_x=True).
+    """
+    if isdfq.VXq is None:
+        raise ValueError("robust K needs build_isdf_q(..., keep_x=True)")
+    nk = isdfq.Ag.shape[0]
+    qmap = isdfq.qmap
+    k1_list = tuple(range(nk)) if k1_idx is None else tuple(k1_idx)
+
+    @jax.jit
+    def _run(Ag, Wq, VXq, dm, aoR):
+        nao = Ag.shape[2]
+        M_all = [Ag[k2] @ dm[k2] @ Ag[k2].conj().T for k2 in range(nk)]
+        t_all = [aoR[k2] @ dm[k2] @ Ag[k2].conj().T for k2 in range(nk)]
+        out = []
+        for k1 in k1_list:
+            T = jnp.zeros((nao, nao), Ag.dtype)
+            Kf = jnp.zeros((nao, nao), Ag.dtype)
+            for k2 in range(nk):
+                iq = qmap[k2, k1]
+                Y = t_all[k2] * VXq[iq].conj().T           # (ng, nip)
+                T = T + aoR[k1].conj().T @ (Y @ Ag[k1])
+                Kf = Kf + Ag[k1].conj().T @ (
+                    M_all[k2] * Wq[iq].conj()) @ Ag[k1]
+            T = weight * T / nk
+            out.append(T + T.conj().T - Kf / nk)
+        return jnp.stack(out)
+
+    return _run(isdfq.Ag, isdfq.Wq, isdfq.VXq,
+                jnp.asarray(dm_k, isdfq.Ag.dtype), aoR_k)
+
+
+def deficit_robust(isdfq: ISDFQ, psi_k, kpts, coulG_q_full, mesh, weight):
+    """EXACT robust-fit exchange-energy error at a k-sampled density:
+
+        tr(D (K_exact - K_rob)) = (w/nk) sum_{k1 i k2 j} (r, V_q r),
+        r = conj(psi_k1,i) psi_k2,j  -  X_q^T [pair at IPs]
+
+    a POSITIVE sum with no large-number cancellation (the robust error
+    telescopes to the residual Coulomb norm per occupied pair). This is
+    the BENCH_r03 certification quantity: the f64 evaluation is feasible
+    at the diamond 3x3x3 scale because every object is per-q
+    (nk * nip^2 * ng solve; nk^2 nocc^2 small FFTs), where the
+    equivalent supercell evaluation is ~nk^2 x more flops.
+
+    Args:
+        psi_k: (nk, ng, nocc) sqrt(occupation)-scaled occupied Bloch
+            orbitals on the primitive grid.
+        coulG_q_full: (nq, ng) per-q Coulomb kernels (exxdiv=None).
+    Returns the TOTAL (supercell) deficit in Hartree, and the per-pair
+    breakdown's maximum for diagnostics.
+    """
+    if isdfq.Xq is None:
+        raise ValueError("deficit needs build_isdf_q(..., keep_x=True)")
+    nk, ng, nocc = psi_k.shape
+    qmap = isdfq.qmap
+    ipg = np.asarray(isdfq.ip_idx)
+    psig = psi_k[:, ipg, :]                                # (nk, nip, nocc)
+    mesh = tuple(mesh)
+
+    @jax.jit
+    def pair_block(k1_psi, k1_psig, k2_psi, k2_psig, Xq, phq, coulG):
+        # all nocc^2 pairs of one (k1, k2) at once
+        p = k1_psi.conj()[:, :, None] * k2_psi[:, None, :]   # (ng, no, no)
+        pg = k1_psig.conj()[:, :, None] * k2_psig[:, None, :]
+        p = p.reshape(ng, -1).T                              # (no^2, ng)
+        pg = pg.reshape(len(ipg), -1).T
+        r = p - pg @ Xq                                      # residual
+        per = phq[None, :] * r
+        v = ifft3(coulG[None, :] * fft3(per, mesh), mesh)
+        vr = phq.conj()[None, :] * v
+        return jnp.sum(jnp.real(jnp.sum(r.conj() * vr, axis=1)))
+
+    total = 0.0
+    for k1 in range(nk):
+        for k2 in range(nk):
+            iq = int(qmap[k2, k1])
+            total += float(pair_block(
+                psi_k[k1], psig[k1], psi_k[k2], psig[k2],
+                isdfq.Xq[iq], isdfq.phase_q[iq],
+                jnp.asarray(coulG_q_full[iq])))
+    return weight * total / nk

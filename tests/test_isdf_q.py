@@ -1,0 +1,119 @@
+"""q-resolved k-point ISDF identities vs the k-point FFTDF oracle.
+
+The q-resolved factorization (df/isdf_q.py) is the supercell ISDF
+expressed in momentum space: one primitive-cell IP set, per-momentum-
+transfer complex interpolation vectors. These tests pin down every
+convention (phases, conjugations, 1/nk normalization) in the EXACT
+limit n_ip == ng (where the fit is the identity projection, so fitted
+J/K must equal the FFT oracle to solver precision), then check the
+compressed regime and the robust-fit residual-deficit identity used by
+the BENCH accuracy certification.
+
+Reference baseline for the oracle semantics:
+pyscf/pbc/df/fft_jk.py:50-107 (get_k_kpts double k-loop).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyscf_isdf_tpu import lattice
+from pyscf_isdf_tpu.models import diamond_primitive
+from pyscf_isdf_tpu.ops import coulomb
+from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+from pyscf_isdf_tpu.df import fftdf_k, isdf_q
+
+
+def _system(mesh=(9, 9, 9), nks=(1, 1, 2)):
+    cell = diamond_primitive(mesh=mesh)
+    kpts = lattice.make_kpts(cell.a, list(nks), with_gamma_point=True)
+    system = build_kscf_system(cell, kpts)
+    res = kscf_kernel(system, xc="lda,vwn", conv_tol=1e-9)
+    return cell, kpts, system, res
+
+
+def _ref_jk(system, dm):
+    nk = len(system.kpts)
+    q0 = system.coulG_pairs[0, 0]
+    vj = fftdf_k.get_j_kpts(system.aoR_k, jnp.asarray(dm),
+                            jnp.asarray(q0), system.mesh, system.weight)
+    vk = fftdf_k.get_k_kpts(system.aoR_k, jnp.asarray(dm),
+                            jnp.asarray(system.coulG_pairs),
+                            jnp.asarray(system.expmikr), system.mesh,
+                            system.weight / nk)
+    return np.asarray(vj), np.asarray(vk)
+
+
+def test_exact_limit_jk():
+    """n_ip == ng: the fit is a projection containing every pair density,
+    so fitted J and K equal the FFT oracle to solve precision."""
+    cell, kpts, system, res = _system()
+    dm = res["dm"]
+    vj_ref, vk_ref = _ref_jk(system, dm)
+
+    isdfq = isdf_q.build_isdf_q(cell, system.aoR_k, kpts,
+                                n_ip=system.aoR_k.shape[1])
+    vj = np.asarray(isdf_q.get_j_kpts(isdfq, dm))
+    vk = np.asarray(isdf_q.get_k_kpts(isdfq, dm))
+    assert np.abs(vj - vj_ref).max() < 1e-8
+    assert np.abs(vk - vk_ref).max() < 1e-8
+
+
+def test_compressed_and_robust():
+    """Compressed c: plain fitted K approximates; robust K (linear-order
+    error cancellation) is at least as accurate and the residual-deficit
+    identity matches the direct trace difference."""
+    cell, kpts, system, res = _system(mesh=(15, 15, 15))
+    dm = res["dm"]
+    nk = len(kpts)
+    _, vk_ref = _ref_jk(system, dm)
+
+    isdfq = isdf_q.build_isdf_q(cell, system.aoR_k, kpts, c=16.0,
+                                keep_x=True)
+    vk = np.asarray(isdf_q.get_k_kpts(isdfq, dm))
+    vk_rob = np.asarray(isdf_q.get_k_kpts_robust(
+        isdfq, dm, system.aoR_k, system.weight))
+    err_plain = np.abs(vk - vk_ref).max()
+    err_rob = np.abs(vk_rob - vk_ref).max()
+    assert err_plain < 5e-3
+    assert err_rob < err_plain
+
+    # residual-deficit identity: tr(D (K_exact - K_rob)) as a positive
+    # per-pair Coulomb norm of the fit residual
+    mo = np.asarray(res["mo_coeff"])          # (nk, nao, nmo)
+    occ = np.asarray(res["mo_occ"])           # (nk, nmo)
+    nocc = int((occ[0] > 0).sum())
+    C_w = mo[:, :, :nocc] * np.sqrt(occ[:, None, :nocc])
+    psi_k = jnp.einsum("kgi,kij->kgj", system.aoR_k,
+                       jnp.asarray(C_w, system.aoR_k.dtype))
+
+    q_list, _ = isdf_q.unique_q(cell, kpts)
+    coulG_q = np.stack([
+        coulomb.get_coulG(cell, k=q, exxdiv=None, kpts=kpts)
+        for q in q_list
+    ])
+    de_direct = 0.0
+    for k1 in range(nk):
+        de_direct += float(np.real(np.einsum(
+            "ij,ji->", np.asarray(dm)[k1], (vk_ref - vk_rob)[k1]))) / nk
+    de_res = isdf_q.deficit_robust(isdfq, psi_k, kpts, coulG_q,
+                                   system.mesh, system.weight)
+    assert de_res > 0.0
+    assert abs(de_res - de_direct) < 0.05 * abs(de_direct) + 1e-10
+
+
+def test_krhf_energy_parity():
+    """End-to-end: KRHF exchange energy with the q-resolved robust K
+    tracks the FFTDF-k result at the converged density."""
+    cell, kpts, system, res = _system(mesh=(15, 15, 15))
+    dm = res["dm"]
+    nk = len(kpts)
+    _, vk_ref = _ref_jk(system, dm)
+    isdfq = isdf_q.build_isdf_q(cell, system.aoR_k, kpts, c=20.0,
+                                keep_x=True)
+    vk_rob = np.asarray(isdf_q.get_k_kpts_robust(
+        isdfq, dm, system.aoR_k, system.weight))
+    ex_ref = sum(float(np.real(np.einsum("ij,ji->", np.asarray(dm)[k],
+                                         vk_ref[k]))) for k in range(nk))
+    ex_rob = sum(float(np.real(np.einsum("ij,ji->", np.asarray(dm)[k],
+                                         vk_rob[k]))) for k in range(nk))
+    assert abs(ex_rob - ex_ref) / abs(ex_ref) < 1e-5
