@@ -88,29 +88,6 @@ class ISDFQ:
         return self.Ag.shape[1]
 
 
-def _k_sub_table(cell_a, kpts):
-    """ksub[i, j] = index m with k_m == k_i - k_j (mod reciprocal lattice).
-
-    Exact on a Gamma-centered Monkhorst-Pack mesh (the group property the
-    momentum block-diagonalization relies on).
-    """
-    from pyscf_isdf_tpu import lattice
-
-    b = lattice.reciprocal_vectors(cell_a)
-    kf = kpts @ np.linalg.inv(b)
-    nk = len(kpts)
-    tab = np.zeros((nk, nk), dtype=np.int64)
-    for i in range(nk):
-        d = kf[i] - kf
-        dd = ((d[:, None, :] - kf[None, :, :] + 0.5) % 1.0) - 0.5
-        m = np.argmin(np.abs(dd).sum(-1), axis=1)
-        if np.abs(dd[np.arange(nk), m]).max() > 1e-8:
-            raise ValueError("k-mesh is not closed under subtraction "
-                             "(need a Gamma-centered MP mesh)")
-        tab[i] = m
-    return tab
-
-
 @partial(jax.jit, static_argnames=("mesh", "fft_chunk"))
 def _build_q(A_k, Ag, ksub_q, coulG_q, phase_q, mesh, weight,
              fft_chunk: int = 64):
@@ -205,17 +182,21 @@ def build_isdf_q(cell, aoR_k, kpts, n_ip=None, c: float = 16.0,
 
     q_list, qmap = unique_q(cell, kpts)
     nq = len(q_list)
+    # ksub[iq, ik] = index m with k_m == k_ik - q_iq (mod G). Differences
+    # of MP-mesh points lie on the Gamma-centered difference mesh, so
+    # k - q stays on the (possibly shifted) k-mesh for ANY uniform MP
+    # mesh — Gamma-centered or not.
     ksub = np.zeros((nq, nk), dtype=np.int64)
-    sub_full = _k_sub_table(cell.a, kpts)
-    # ksub[iq, ik] = index of k_ik - q_iq; q_list rows ARE k-mesh points
-    # (mod G) on a Gamma-centered MP mesh
     binv = np.linalg.inv(lattice.reciprocal_vectors(cell.a))
+    kf = kpts @ binv
     for iq in range(nq):
-        df = ((q_list[iq] - kpts) @ binv + 0.5) % 1.0 - 0.5
-        kq = int(np.argmin(np.abs(df).sum(1)))
-        if np.abs(df[kq]).max() > 1e-8:
-            raise ValueError("momentum transfer off the k-mesh")
-        ksub[iq] = sub_full[:, kq]
+        tgt = kf - q_list[iq] @ binv                       # (nk, 3) frac
+        dd = ((tgt[:, None, :] - kf[None, :, :] + 0.5) % 1.0) - 0.5
+        m = np.argmin(np.abs(dd).sum(-1), axis=1)
+        if np.abs(dd[np.arange(nk), m]).max() > 1e-8:
+            raise ValueError("k-mesh is not closed under q-translation "
+                             "(need a uniform Monkhorst-Pack mesh)")
+        ksub[iq] = m
 
     coulG_q = np.stack([
         coulomb.get_coulG(cell, k=q, exxdiv=exxdiv, kpts=kpts,

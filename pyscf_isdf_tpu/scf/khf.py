@@ -187,11 +187,37 @@ def kscf_kernel(
                 return vj, (vk if with_k else None)
 
     if get_jk is None:
-        if df not in ("fftdf", "isdf"):
+        if df not in ("fftdf", "isdf", "isdf_q"):
             raise ValueError(f"unknown df engine {df!r}: use 'fftdf', "
-                             "'isdf' or 'gdf'")
+                             "'isdf', 'isdf_q' or 'gdf'")
         ex_kern = exxdiv if exxdiv not in (None, "ewald") else None
-        if df == "isdf" and need_k:
+        if df == "isdf_q" and need_k:
+            # q-resolved k-point ISDF (df/isdf_q.py): one primitive-cell
+            # IP set, per-momentum-transfer complex interpolation
+            # vectors; robust-fit exchange (error quadratic in the fit
+            # residual). n_ip = isdf_c * nao TOTAL (the supercell-
+            # equivalent compression), vs isdf_c * nk * nao for the
+            # shared-xi 'isdf' engine.
+            from pyscf_isdf_tpu.df import isdf_q as isdf_q_mod
+
+            isdfq_full = isdf_q_mod.build_isdf_q(
+                cell, aoR_k, system.kpts, c=isdf_c, exxdiv=ex_kern,
+                keep_x=True)
+            if rsh:
+                isdfq_lr = isdf_q_mod.build_isdf_q(
+                    cell, aoR_k, system.kpts, c=isdf_c, omega=omega,
+                    keep_x=True)
+
+                def get_k_fn(dmj):
+                    return hyb * isdf_q_mod.get_k_kpts_robust(
+                        isdfq_full, dmj, aoR_k, weight) \
+                        + (alpha - hyb) * isdf_q_mod.get_k_kpts_robust(
+                            isdfq_lr, dmj, aoR_k, weight)
+            else:
+                def get_k_fn(dmj):
+                    return isdf_q_mod.get_k_kpts_robust(
+                        isdfq_full, dmj, aoR_k, weight)
+        elif df == "isdf" and need_k:
             from pyscf_isdf_tpu.df import isdf_k as isdf_k_mod
 
             if rsh:

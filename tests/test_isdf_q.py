@@ -101,6 +101,19 @@ def test_compressed_and_robust():
     assert abs(de_res - de_direct) < 0.05 * abs(de_direct) + 1e-10
 
 
+def test_kscf_df_isdf_q():
+    """Full KRHF through kscf_kernel(df='isdf_q') converges to the FFTDF
+    energy (the with_df swap seam, reference pyscf/pbc/scf/hf.py:810)."""
+    cell = diamond_primitive(mesh=(15, 15, 15))
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1], with_gamma_point=True)
+    system = build_kscf_system(cell, kpts)
+    ref = kscf_kernel(system, xc=None, conv_tol=1e-9)
+    res = kscf_kernel(system, xc=None, conv_tol=1e-9, df="isdf_q",
+                      isdf_c=20.0)
+    assert res["converged"]
+    assert abs(res["e_tot"] - ref["e_tot"]) < 5e-6
+
+
 def test_krhf_energy_parity():
     """End-to-end: KRHF exchange energy with the q-resolved robust K
     tracks the FFTDF-k result at the converged density."""
