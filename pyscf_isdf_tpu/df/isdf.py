@@ -64,6 +64,34 @@ class ISDF:
         return self.aoRg.shape[0]
 
 
+@jax.jit
+def _solve_xi(aoR, aoRg):
+    """Interpolation vectors xi (nip, ng) solving xi C1 = C2^T.
+
+    Regularized Cholesky solve (C1 is PSD, near-singular for large c).
+    dtype-aware regularization: 1e-12 is below f32 resolution and leaves
+    the near-singular Gram factorization unstable on TPU; f32 needs the
+    shift relative to the LARGEST eigenvalue (~trace), not the mean
+    diagonal, to keep Cholesky finite. The solve is applied as two GEMMs
+    with the explicit inverse factor: XLA's blocked triangular_solve on
+    a grid-sized RHS keeps every per-panel temp alive simultaneously
+    (~nip^2 ng / 256 bytes — 19.7 GB at the 3x3x3 bench scale, an HBM
+    OOM); inverting the SMALL (nip, nip) factor once and streaming the
+    RHS through the MXU is the same solve with O(nip ng) peak memory.
+    """
+    nip = aoRg.shape[0]
+    C1 = (aoRg @ aoRg.T) ** 2                             # (nip, nip)
+    C2 = (aoR @ aoRg.T) ** 2                              # (ng, nip)
+    is_f64 = jnp.finfo(aoR.dtype).bits >= 64
+    eps = jnp.asarray(1e-12 if is_f64 else 3e-7, aoR.dtype) \
+        * (jnp.trace(C1) / nip if is_f64 else jnp.trace(C1))
+    C1r = C1 + eps * jnp.eye(nip, dtype=aoR.dtype)
+    L = jnp.linalg.cholesky(C1r)
+    Linv = jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(nip, dtype=aoR.dtype), lower=True)
+    return Linv.T @ (Linv @ C2.T)                         # (nip, ng)
+
+
 @partial(jax.jit, static_argnames=("mesh", "fft_chunk", "keep_v"))
 def _build_from_idx(aoR, ip_idx, coulG, mesh, weight, fft_chunk: int = 128,
                     keep_v: bool = False):
@@ -77,29 +105,7 @@ def _build_from_idx(aoR, ip_idx, coulG, mesh, weight, fft_chunk: int = 128,
     """
     aoRg = aoR[ip_idx]                                    # (nip, nao)
     nip = aoRg.shape[0]
-
-    # interpolation vectors: xi (nip, ng) solving xi C1 = C2^T
-    C1 = (aoRg @ aoRg.T) ** 2                             # (nip, nip)
-    C2 = (aoR @ aoRg.T) ** 2                              # (ng, nip)
-    # regularized Cholesky solve (C1 is PSD, near-singular for large c)
-    # dtype-aware regularization: 1e-12 is below f32 resolution and
-    # leaves the near-singular Gram factorization unstable on TPU
-    is_f64 = jnp.finfo(aoR.dtype).bits >= 64
-    # f32 needs the shift relative to the LARGEST eigenvalue
-    # (~trace), not the mean diagonal, to keep Cholesky finite
-    eps = jnp.asarray(1e-12 if is_f64 else 3e-7, aoR.dtype) \
-        * (jnp.trace(C1) / nip if is_f64 else jnp.trace(C1))
-    C1r = C1 + eps * jnp.eye(nip, dtype=aoR.dtype)
-    # Cholesky solve applied as two GEMMs with the explicit inverse
-    # factor: XLA's blocked triangular_solve on a grid-sized RHS keeps
-    # every per-panel temp alive simultaneously (~nip^2 ng / 256 bytes —
-    # 19.7 GB at the 3x3x3 bench scale, an HBM OOM); inverting the SMALL
-    # (nip, nip) factor once and streaming the RHS through the MXU is
-    # mathematically the same solve with O(nip ng) peak memory.
-    L = jnp.linalg.cholesky(C1r)
-    Linv = jax.scipy.linalg.solve_triangular(
-        L, jnp.eye(nip, dtype=aoR.dtype), lower=True)
-    xi = Linv.T @ (Linv @ C2.T)                           # (nip, ng)
+    xi = _solve_xi(aoR, aoRg)                             # (nip, ng)
 
     # W = w * xi V xi^T with V the Coulomb kernel on the mesh, streamed:
     # each fft_chunk of xi is FFT'd once (shared across kernels) and
@@ -255,3 +261,54 @@ def get_j(isdf: ISDF, dm):
     rho_ip = jnp.einsum("pi,ij,pj->p", isdf.aoRg, dm, isdf.aoRg)
     u = isdf.W @ rho_ip
     return isdf.aoRg.T @ (u[:, None] * isdf.aoRg)
+
+
+def robust_k_error(isdf: ISDF, aoR, C_w, coulG, mesh, weight):
+    """EXACT residual form of the robust-fit exchange-energy error:
+
+        tr(D (K_exact - K_robust)) = w sum_ij (r_ij, V r_ij) >= 0,
+        r_ij = rho_ij - rho~_ij
+
+    (the robust fit's error is quadratic: E_rob = 2(rho,V rho~) -
+    (rho~,V rho~) per occupied pair, so the deficit telescopes to the
+    residual Coulomb norm). Because the estimator is a POSITIVE sum with
+    no large-number cancellation, it is float32-safe: evaluating it on
+    the TPU at the bench configuration gives the method error that a
+    float64 CPU study would report (validated against the f64 dEk table
+    of BENCH_NOTES at diamond 2x2x2), at the cost of one occupied-pair
+    FFT sweep — which is how BENCH_r03 certifies the 1e-6 Ha bar at the
+    3x3x3 scale where an f64 CPU xi solve (2 nip^2 ng ~ 6e15 flops) is
+    unreachable.
+
+    Args:
+        C_w: (nao, nocc) occupied orbitals scaled by sqrt(occupation).
+    Returns float: tr(D K_exact) - tr(D K_robust) for the SAME density
+    D = C_w C_w^T.
+    """
+    psi = aoR @ jnp.asarray(C_w, aoR.dtype)           # (ng, no)
+    psig = isdf.aoRg @ jnp.asarray(C_w, aoR.dtype)    # (nip, no)
+    cdtype = jnp.complex128 if aoR.dtype == jnp.float64 else jnp.complex64
+    mesh = tuple(mesh)
+    no = psi.shape[1]
+    # the EXPLICIT residual r = rho - xi c is what makes the estimator
+    # float32-safe: evaluating (rho,Vrho) - 2(rho,Vrho~) + (rho~,Vrho~)
+    # as three separate large terms reintroduces exactly the
+    # large-number cancellation the identity exists to avoid (measured:
+    # 34x noise inflation at diamond 2x2x2 c=16 in f32). xi is re-solved
+    # with the build's own regularized Cholesky (_solve_xi) so the
+    # residual is that of the factorization actually in use.
+    xi = _solve_xi(aoR, isdf.aoRg)                    # (nip, ng)
+
+    @jax.jit
+    def per_i(i):
+        rho = (psi * psi[:, i][:, None]).T            # (no, ng)
+        c = (psig * psig[:, i][:, None]).T            # (no, nip)
+        r = rho - c @ xi                              # explicit residual
+        fG = fft3(r.astype(cdtype), mesh)
+        Vr = ifft3(coulG[None, :] * fG, mesh).real.astype(rho.dtype)
+        return weight * jnp.sum(r * Vr)
+
+    total = 0.0
+    for i in range(no):
+        total += float(per_i(i))
+    return total

@@ -54,8 +54,40 @@ import jax.numpy as jnp
 
 from pyscf_isdf_tpu.df.fftdf import fft3, ifft3
 from pyscf_isdf_tpu.df.isdf_k import (_select_ips_complex,
-                                      _select_ips_complex_blocked, unique_q)
+                                      _select_ips_complex_blocked)
 from pyscf_isdf_tpu.ops import coulomb
+
+
+def unique_q(cell, kpts):
+    """Map (k2, k1) pairs to unique momentum-transfer CLASSES q = k2 - k1
+    wrapped into [-1/2, 1/2) fractional coordinates (mod G).
+
+    Wrapping merges representatives differing by a reciprocal-lattice
+    vector, so nq == nk on any uniform MP mesh (the unwrapped variant in
+    df/isdf_k.py keeps up to (2n-1)^3 duplicates; those are needed there
+    because its periodic-part pair phases are tied to the unwrapped
+    k2 - k1). Here the fit acts on FULL Bloch pair values, which are
+    representative-independent; only phase_q/coulG_q must use the same
+    representative, which build_isdf_q guarantees.
+    Returns (q_list (nq, 3), qmap (nk, nk) int), first-appearance order.
+    """
+    from pyscf_isdf_tpu import lattice as _lat
+
+    kpts = np.reshape(kpts, (-1, 3))
+    nk = len(kpts)
+    b = _lat.reciprocal_vectors(cell.a)
+    diffs = (kpts[:, None, :] - kpts[None, :, :]).reshape(-1, 3)
+    frac = diffs @ np.linalg.inv(b)
+    frac = ((frac + 0.5) % 1.0) - 0.5
+    # snap to exact grid multiples so np.unique bins are stable
+    diffs = np.round(frac, 8) @ b
+    _, first, inv = np.unique(np.round(diffs, 8), axis=0,
+                              return_index=True, return_inverse=True)
+    order = np.argsort(first)
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    qmap = rank[inv.ravel()].reshape(nk, nk).astype(np.int64)
+    return diffs[np.sort(first)], qmap
 
 
 @jax.tree_util.register_pytree_node_class
@@ -135,7 +167,8 @@ def _build_q(A_k, Ag, ksub_q, coulG_q, phase_q, mesh, weight,
 
 def build_isdf_q(cell, aoR_k, kpts, n_ip=None, c: float = 16.0,
                  exxdiv=None, omega: float = 0.0, keep_x: bool = False,
-                 method: str = "auto", blk: int = 64) -> ISDFQ:
+                 method: str = "auto", blk: int = 64,
+                 coulG_q=None) -> ISDFQ:
     """Build the q-resolved k-point ISDF factorization.
 
     Args:
@@ -198,24 +231,33 @@ def build_isdf_q(cell, aoR_k, kpts, n_ip=None, c: float = 16.0,
                              "(need a uniform Monkhorst-Pack mesh)")
         ksub[iq] = m
 
-    coulG_q = np.stack([
-        coulomb.get_coulG(cell, k=q, exxdiv=exxdiv, kpts=kpts,
-                          omega=(omega or None))
-        for q in q_list
-    ]).astype(rdt)
-    # q=0: symmetrize over G -> -G. On non-orthogonal lattices the
-    # fftfreq Nyquist planes make |G|^2 index-asymmetric (the -n/2
-    # frequency is kept, +n/2 aliases onto it); the real Gamma pipeline
-    # implicitly symmetrizes by taking .real of ifft, and the k-point J
-    # (fftdf_k.get_j_kpts / scf.khf) does the same — this keeps the
-    # complex q=0 sector on the identical convention.
-    mesh3 = tuple(cell.mesh)
-    neg = np.ravel_multi_index(
-        np.meshgrid(*[(-np.arange(n)) % n for n in mesh3], indexing="ij"),
-        mesh3).ravel()
-    for iq in range(nq):
-        if np.abs(q_list[iq]).max() < 1e-9:
-            coulG_q[iq] = 0.5 * (coulG_q[iq] + coulG_q[iq][neg])
+    if coulG_q is None:
+        coulG_q = np.stack([
+            coulomb.get_coulG(cell, k=q, exxdiv=exxdiv, kpts=kpts,
+                              omega=(omega or None))
+            for q in q_list
+        ]).astype(rdt)
+        # q=0: symmetrize over G -> -G. On non-orthogonal lattices the
+        # fftfreq Nyquist planes make |G|^2 index-asymmetric (the -n/2
+        # frequency is kept, +n/2 aliases onto it); the real Gamma
+        # pipeline implicitly symmetrizes by taking .real of ifft, and
+        # the k-point J (fftdf_k.get_j_kpts / scf.khf) does the same —
+        # this keeps the complex q=0 sector on the identical convention.
+        mesh3 = tuple(cell.mesh)
+        neg = np.ravel_multi_index(
+            np.meshgrid(*[(-np.arange(n)) % n for n in mesh3],
+                        indexing="ij"), mesh3).ravel()
+        for iq in range(nq):
+            if np.abs(q_list[iq]).max() < 1e-9:
+                coulG_q[iq] = 0.5 * (coulG_q[iq] + coulG_q[iq][neg])
+    else:
+        # caller-supplied (nq, ng) kernel table in q_list order (e.g.
+        # coset slices of a supercell kernel for the exact supercell
+        # correspondence — df/isdf_sym.py)
+        coulG_q = np.asarray(coulG_q, dtype=rdt)
+        if coulG_q.shape != (nq, ng):
+            raise ValueError(f"coulG_q must be ({nq}, {ng}), "
+                             f"got {coulG_q.shape}")
     phase_q = jnp.asarray(np.exp(-1j * coords @ q_list.T).T.copy(),
                           aoR_k.dtype)                     # (nq, ng)
     Ag = aoR_k[:, np.asarray(ip_idx)]                      # (nk, nip, nao)
