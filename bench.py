@@ -7,6 +7,14 @@ pyscf/pbc/df/fft_jk.py:276-291) vs this framework's ISDF engine (one-time
 W build, then GEMM-cost exchange), with the exchange energy within
 1e-6 Ha. ``--small`` runs the diamond 2x2x2 config instead.
 
+Accuracy certification (VERDICT r2 next #1): the timed factorization is
+a FLOAT64 per-q build (translation-symmetric supercell ISDF,
+df/isdf_sym.py) staged on the host CPU and f32-cast for the device —
+its exact robust-fit deficit tr(D(K_exact-K_rob)) at the f64-converged
+LDA density is computed in float64 during staging and reported on the
+same JSON line (dE_f64_ha). Speed and certified method accuracy of ONE
+configuration.
+
 Baselines recorded:
   - vs_baseline: speedup over the *CPU reference estimate* — the
     fft_jk K-build algorithm executed with numpy (the reference's
@@ -179,6 +187,60 @@ def cpu_reference_periter(aoR, coulG, mesh, weight, chunk=2, n_chunks=3,
     return t_j + t_k, t_j + t_k_occ
 
 
+def _staged_sym_isdf(cell, nrep, mesh, aoR, log):
+    """Load (staging via a CPU-f64 subprocess if absent) the certified
+    translation-symmetric factorization and assemble it on device.
+    Returns (ISDF, certified f64 |dE|) or (None, None) on any failure."""
+    import subprocess
+
+    from pyscf_isdf_tpu.df import isdf_sym
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    tag = "".join(map(str, nrep))
+    path = os.environ.get("BENCH_SYMFAC",
+                          os.path.join(here, "tools", f"symfac_{tag}.npz"))
+    # c=32 is the measured 1e-6 Ha crossing at diamond 3x3x3 (f64
+    # ladder, tools/certify_sym.py: c=28 -> 3.3e-6, c=32 -> 6.8e-7,
+    # c=36 -> 1.5e-7)
+    c = os.environ.get("BENCH_SYM_C", "32")
+    if not os.path.exists(path):
+        pm = mesh[0] // nrep[0]
+        log(f"staging certified f64 sym-ISDF (c={c}) in a CPU "
+            "subprocess (tools/certify_sym.py) ...")
+        env = {k: v for k, v in os.environ.items()
+               if k != "PALLAS_AXON_POOL_IPS"}
+        env["JAX_PLATFORMS"] = "cpu"
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "certify_sym.py"),
+             "--nrep", ",".join(map(str, nrep)), "--pm", str(pm),
+             "--c", c, "--save", c, "--out", path],
+            env=env, capture_output=True, text=True, timeout=7200)
+        log(f"staging: rc={r.returncode} "
+            f"[{time.perf_counter()-t0:.0f} s]")
+        for line in r.stdout.splitlines()[-6:]:
+            log("  " + line)
+        if r.returncode != 0:
+            log(r.stderr[-2000:])
+            return None, None
+    dat = np.load(path)
+    if tuple(int(n) for n in np.asarray(dat["prim_mesh"]) * dat["nrep"]) \
+            != tuple(cell.mesh):
+        log(f"symfac {path} mesh mismatch — on-device fallback")
+        return None, None
+    t0 = time.perf_counter()
+    isdf = isdf_sym.assemble_pieces(
+        tuple(int(n) for n in dat["nrep"]),
+        tuple(int(n) for n in dat["prim_mesh"]), dat["prim_a"],
+        dat["q_list"], dat["ip_idx"], dat["VXq"], dat["Mq"], aoR,
+        dtype=aoR.dtype)
+    _sync(isdf.W)
+    de = float(dat["dE_f64_ha"])
+    log(f"assembled certified sym-ISDF (n_ip={isdf.n_ip}, c={dat['c']}): "
+        f"{time.perf_counter()-t0:.1f} s; certified f64 |dE| = {de:.3e} Ha")
+    return isdf, de
+
+
 def main():
     from pyscf_isdf_tpu.models import diamond_supercell
     from pyscf_isdf_tpu.ops import coulomb
@@ -208,19 +270,35 @@ def main():
     nao = cell.nao
     dm = jnp.asarray(2.0 / nao * np.eye(nao), dtype)
 
-    # c from the f64 accuracy study (BENCH_NOTES): robust-fit K at c=24
-    # meets the 1e-6 Ha bar on diamond222 (5.5e-7 at the converged
-    # density); the 3x3x3 default uses c=16 with the measured accuracy
-    # documented (the exact-rank regime is out of reach there).
-    c_default = 24.0 if name == "diamond222" else 16.0
-    t0 = time.perf_counter()
-    isdf = isdf_mod.build_isdf(aoR, coulG, mesh3, w,
-                               c=float(os.environ.get("BENCH_ISDF_C",
-                                                      c_default)),
-                               method="cholesky-blocked", keep_v=True)
-    _sync(isdf.W)
-    log(f"ISDF build (n_ip={isdf.n_ip}): {time.perf_counter()-t0:.2f} s "
-        "(incl compile)")
+    # The CERTIFIED configuration (VERDICT r2 next #1): a float64 per-q
+    # build of the translation-symmetric supercell ISDF, staged on the
+    # host CPU (tools/certify_sym.py — the f64 build avoids the
+    # measured 30x f32 Gram-regularization degradation, and its exact
+    # robust-fit deficit tr(D(K_exact-K_rob)) at the converged LDA
+    # density IS the method error in float64). The staged pieces are
+    # cached in tools/symfac_*.npz; the TPU assembles and f32-casts the
+    # SAME factorization it then times — speed and certified accuracy
+    # of one configuration. BENCH_SYM=0 falls back to the on-device
+    # f32 greedy build.
+    de_cert = None
+    isdf = None
+    if os.environ.get("BENCH_SYM", "1") == "1":
+        isdf, de_cert = _staged_sym_isdf(cell, nrep, mesh, aoR, log)
+    if isdf is None:
+        # fallback: on-device f32 build. c from the f64 accuracy study
+        # (BENCH_NOTES): robust c=24 meets 1e-6 Ha on diamond222 IN
+        # FLOAT64; the f32 build itself carries ~30x extra method error
+        # (tools/validate_residual.py) — certified runs use the staged
+        # path above.
+        c_default = 24.0 if name == "diamond222" else 16.0
+        t0 = time.perf_counter()
+        isdf = isdf_mod.build_isdf(aoR, coulG, mesh3, w,
+                                   c=float(os.environ.get("BENCH_ISDF_C",
+                                                          c_default)),
+                                   method="cholesky-blocked", keep_v=True)
+        _sync(isdf.W)
+        log(f"ISDF build (n_ip={isdf.n_ip}): "
+            f"{time.perf_counter()-t0:.2f} s (incl compile)")
 
     nocc = cell.nelectron // 2
     use_pallas = os.environ.get("BENCH_USE_PALLAS", "0") == "1"
@@ -267,25 +345,23 @@ def main():
         f"|dEk|={dek:.2e} Ha (f32 probe; f64 method accuracy in "
         "BENCH_NOTES)")
 
-    # certified method accuracy AT THE BENCH CONFIG (VERDICT r2 next #1):
-    # the robust-fit error is EXACTLY tr(D(K_exact-K_rob)) = w sum (r,Vr)
-    # over occupied pairs of the f64-converged LDA density
-    # (tools/density_333.npz, stage tools/density_333.py) — a positive
-    # sum with no cancellation, so the on-device f32 evaluation carries
-    # f64-grade method accuracy (validated vs the f64 dEk table at
-    # diamond 2x2x2; see BENCH_NOTES).
+    # secondary on-device residual certificate (fallback path only):
+    # when the shipped factorization was built ON DEVICE in f32, the
+    # residual identity evaluated with the f32 xi re-solve reports that
+    # f32 build's true method error (tools/validate_residual.py). The
+    # staged sym path instead carries its own f64 certificate (de_cert).
     de_res = None
     dpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "tools", f"density_{''.join(map(str, nrep))}.npz")
-    if os.path.exists(dpath):
+    if de_cert is None and os.path.exists(dpath):
         dat = np.load(dpath)
         if tuple(dat["mesh"]) == tuple(cell.mesh):
             C_w = jnp.asarray(dat["C_w"], dtype)
             t0 = time.perf_counter()
             de_res = isdf_mod.robust_k_error(isdf, aoR, C_w, coulG,
                                              mesh3, w)
-            log(f"residual-identity |dE| (converged f64 density, exact "
-                f"robust-fit error): {de_res:.3e} Ha "
+            log(f"residual-identity |dE| (converged f64 density, "
+                f"f32-build robust-fit error): {de_res:.3e} Ha "
                 f"[{time.perf_counter()-t0:.0f} s]")
 
     # CPU reference estimate (numpy fft_jk, float64), generic + occ paths
@@ -308,8 +384,14 @@ def main():
         "vs_fftdf_tpu_occ": round(t_fftdf_occ / t_isdf, 2),
         "dE_k_ha": float(f"{dek:.3e}"),
     }
-    if de_res is not None:
-        out["dE_f64_ha"] = float(f"{abs(de_res):.3e}")
+    if de_cert is not None:
+        # f64 method error of the SHIPPED factorization, certified at
+        # the converged LDA density by the exact residual identity
+        # (tools/certify_sym.py; tr(D dK) — conservative: the SCF
+        # total-energy error is ~1/4 of this trace metric)
+        out["dE_f64_ha"] = float(f"{de_cert:.3e}")
+    elif de_res is not None:
+        out["dE_f64_ha_f32build"] = float(f"{abs(de_res):.3e}")
     print(json.dumps(out))
 
 

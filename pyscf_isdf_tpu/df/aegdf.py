@@ -1,0 +1,219 @@
+"""All-electron Gaussian density fitting by range separation (analytic).
+
+The uniform-mesh collocation engines (FFTDF/ISDF/grid-GDF) cannot
+resolve deep-core basis functions: the mesh grows like ke ~ 74 a_max
+(BECKE_GRIDS.md measured Si all-electron non-convergent at practical
+cutoffs — the same regime the reference covers with analytic-integral
+GDF, pyscf/pbc/df/df.py:127 + lib/pbc/fill_ints.c:528, while its FFTDF
+warns off all-electron at pyscf/pbc/df/fft.py:221-227). This module is
+the mesh-free path:
+
+    1/r = erfc(w r)/r + erf(w r)/r
+
+* SHORT-RANGE (erfc): decays like a Gaussian of range 1/w REGARDLESS of
+  basis steepness, so the real-space lattice sums converge absolutely in
+  a few image shells — computed analytically by the McMurchie-Davidson
+  engine (ops/md_int.py), host float64;
+* LONG-RANGE (erf): Fourier kernel v_lr(G) = 4 pi/G^2 exp(-G^2/(4 w^2))
+  dies at |G| ~ 2 w sqrt(ln 1/eps) independent of exponents, so it is a
+  SMALL G-sphere sum over analytic AO FTs (ops/ft_ao.py — exact, no
+  collocation, no aliasing).
+
+G = 0 convention: every reciprocal sum drops G = 0 (the repo-wide
+exxdiv=None kernel convention, matching df/gdf.py's coulG[0] = 0 and
+FFTDF). The real-space SR sums implicitly CONTAIN their G = 0 Fourier
+component v_sr(0) = pi/w^2, which is subtracted analytically:
+
+    j2c[P,Q] -= pi/(w^2 vol) q_P q_Q          (q_P = int chi_P)
+    j3c[P,mn] -= pi/(w^2 vol) q_P S_mn
+    vne[mn]  += pi Z_tot/(w^2 vol) S_mn
+
+so the assembled tensors are EXACTLY the G-not-0 Coulomb-metric objects
+the rest of the framework uses, evaluated without any grid. Total
+energies then follow the standard neutral-cell composition (dropped-G0
+J and V_ne + Ewald nuclear energy + madelung-shifted exchange).
+
+The split is exact: results are w-independent (the strongest internal
+check — tests/test_aegdf.py verifies two distant w values agree), and
+0-dimension cells (omega=None, direct 1/r real-space) reproduce exact
+molecular RHF against ops/md_int.int2e_molecular.
+
+Auxiliary basis: the shared even-tempered product expansion
+(df/gdf.py aug_etb_spec; reference pyscf/df/addons.py aug_etb).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from pyscf_isdf_tpu.df.gdf import GDF, make_auxcell, _get_jk_cd
+from pyscf_isdf_tpu.ops import coulomb, ft_ao, md_int
+
+__all__ = ["build_ae_gdf", "ae_hcore", "aehf_kernel", "lr_gvectors"]
+
+
+def lr_gvectors(cell, omega: float, tol: float = 1e-14) -> np.ndarray:
+    """All reciprocal vectors 0 < |G| <= Gmax with
+    exp(-Gmax^2/(4 w^2)) = tol — the LR kernel's own support."""
+    gmax = 2.0 * omega * np.sqrt(np.log(1.0 / tol))
+    b = cell.reciprocal_vectors()
+    # bound the integer search box by the inverse metric
+    binv = np.linalg.inv(b)
+    nmax = np.ceil(gmax * np.linalg.norm(binv, axis=0)).astype(int)
+    grids = [np.arange(-n, n + 1) for n in nmax]
+    m = np.stack(np.meshgrid(*grids, indexing="ij"), -1).reshape(-1, 3)
+    Gv = m @ b
+    g2 = np.einsum("gi,gi->g", Gv, Gv)
+    keep = (g2 > 1e-12) & (g2 <= gmax * gmax)
+    return Gv[keep]
+
+
+def _vlr(Gv, omega):
+    g2 = np.einsum("gi,gi->g", Gv, Gv)
+    return 4.0 * np.pi / g2 * np.exp(-g2 / (4.0 * omega * omega))
+
+
+def build_ae_gdf(cell, omega: float = 0.4, beta: float = 2.0,
+                 l_extra: int = 2, lindep: float = 1e-10,
+                 gtol: float = 1e-14, auxcell=None):
+    """Assemble the whitened all-electron fit tensor (Gamma point).
+
+    omega=None is the 0-dimension (molecular) mode: direct 1/r
+    real-space integrals, no reciprocal part (only valid for
+    dimension=0 cells where the lattice sums terminate).
+    """
+    if auxcell is None:
+        auxcell = make_auxcell(cell, beta=beta, l_extra=l_extra)
+    naux, nao = auxcell.nao, cell.nao
+
+    j2c = md_int.int2c(auxcell, omega)
+    j3c = md_int.int3c(cell, auxcell, omega)
+
+    if omega is not None:
+        vol = cell.vol
+        Gv = lr_gvectors(cell, omega, gtol)
+        vlr = _vlr(Gv, omega)
+        ftP = ft_ao.ft_ao(auxcell, Gv)                    # (ng, naux)
+        ftmn = ft_ao.ft_aopair(cell, Gv)                  # (ng, nao, nao)
+        j2c = j2c + np.real(
+            np.einsum("gP,g,gQ->PQ", ftP.conj(), vlr, ftP,
+                      optimize=True)) / vol
+        j3c = j3c + np.real(
+            np.einsum("gP,g,gmn->Pmn", ftP.conj(), vlr, ftmn,
+                      optimize=True)) / vol
+        # subtract the SR sums' implicit G=0 component (pi/w^2 kernel)
+        qP = np.real(ft_ao.ft_ao(auxcell, np.zeros((1, 3)))[0])
+        S = md_int.overlap(cell)
+        g0 = np.pi / (omega * omega * vol)
+        j2c = j2c - g0 * np.outer(qP, qP)
+        j3c = j3c - g0 * np.einsum("P,mn->Pmn", qP, S)
+
+    w, U = np.linalg.eigh(j2c)
+    keep = w > w.max() * lindep
+    cd = (U[:, keep] / np.sqrt(w[keep])).T @ j3c.reshape(naux, -1)
+    return GDF(cderi=jnp.asarray(cd.reshape(-1, nao, nao)),
+               naux=int(keep.sum()))
+
+
+def ae_hcore(cell, omega: float = 0.4, gtol: float = 1e-14):
+    """All-electron core Hamiltonian h = T + V_ne (analytic, mesh-free).
+
+    T from the closed-form lattice sums (ops/ft_ao); V_ne by the same
+    range separation as the fit tensors, with the dropped-G0 convention
+    (the pi Z_tot/(w^2 vol) S shift restores consistency with J's
+    dropped G0 + the Ewald nuclear energy for neutral cells).
+    Returns (S, h) float64.
+    """
+    S_c, T = ft_ao.overlap_and_kinetic_analytic(cell)
+    S = np.asarray(S_c).real
+    h = np.asarray(T).real + md_int.vne(cell, omega)
+    if omega is not None:
+        vol = cell.vol
+        Z = np.asarray(cell.charges, float)
+        Gv = lr_gvectors(cell, omega, gtol)
+        vlr = _vlr(Gv, omega)
+        ftmn = ft_ao.ft_aopair(cell, Gv)                  # (ng, nao, nao)
+        SI = np.exp(-1j * cell.coords @ Gv.T)             # (natm, ng)
+        vhatA = -(Z @ SI) * vlr                           # (ng,)
+        h = h + np.real(
+            np.einsum("g,gmn->mn", vhatA, ftmn.conj(),
+                      optimize=True)) / vol
+        h = h + np.pi * Z.sum() / (omega * omega * vol) * S
+    return S, h
+
+
+def aehf_kernel(cell, omega: float = 0.4, beta: float = 2.0,
+                l_extra: int = 2, exxdiv: str = "ewald",
+                max_cycle: int = 80, conv_tol: float = 1e-10,
+                gdf: GDF | None = None, verbose: bool = False):
+    """All-electron restricted HF, fully mesh-free (Gamma point).
+
+    The per-cycle J/K come from the whitened fit tensor (two GEMMs,
+    device-side); hcore/S are the analytic hosts. exxdiv='ewald'
+    applies the madelung S D S shift to K — identical to scf/hf.py's
+    convention, so energies are comparable across engines.
+    """
+    import scipy.linalg as sla
+
+    if gdf is None:
+        gdf = build_ae_gdf(cell, omega=omega, beta=beta, l_extra=l_extra)
+    S, h = ae_hcore(cell, omega)
+    mad = coulomb.madelung(cell) if (exxdiv == "ewald"
+                                     and cell.dimension != 0) else 0.0
+    e_nn = (coulomb.ewald(cell) if cell.dimension != 0
+            else _e_nuc_molecular(cell))
+    nocc = cell.nelectron // 2
+    f = h.copy()
+    e_old = 0.0
+    dm = np.zeros_like(S)
+    # simple Pulay DIIS on the commutator residual
+    errs, focks = [], []
+    conv = False
+    for it in range(max_cycle):
+        _, cmo = sla.eigh(f, S)
+        dm = 2.0 * cmo[:, :nocc] @ cmo[:, :nocc].T
+        vj, vk = _get_jk_cd(gdf.cderi, jnp.asarray(dm))
+        vj, vk = np.asarray(vj), np.asarray(vk)
+        if mad:
+            vk = vk + mad * (S @ dm @ S)
+        f_new = h + vj - 0.5 * vk
+        e = 0.5 * np.einsum("ij,ji->", dm, h + f_new) + e_nn
+        err = f_new @ dm @ S - S @ dm @ f_new
+        errs.append(err.ravel())
+        focks.append(f_new)
+        if len(errs) > 8:
+            errs.pop(0)
+            focks.pop(0)
+        n = len(errs)
+        B = np.empty((n + 1, n + 1))
+        B[:n, :n] = np.array([[ei @ ej for ej in errs] for ei in errs])
+        B[n, :n] = B[:n, n] = -1.0
+        B[n, n] = 0.0
+        rhs = np.zeros(n + 1)
+        rhs[n] = -1.0
+        try:
+            cdiis = np.linalg.solve(B, rhs)[:n]
+            f = sum(ci * fi for ci, fi in zip(cdiis, focks))
+        except np.linalg.LinAlgError:
+            f = f_new
+        if verbose:
+            print(f"  aehf cycle {it}: E = {e:.10f}  "
+                  f"dE = {e - e_old:.2e}", flush=True)
+        if abs(e - e_old) < conv_tol and it > 1:
+            conv = True
+            break
+        e_old = e
+    return {"e_tot": float(e), "converged": conv, "dm": dm,
+            "mo_coeff": cmo, "niter": it + 1, "gdf": gdf}
+
+
+def _e_nuc_molecular(cell):
+    Z = np.asarray(cell.charges, float)
+    R = cell.coords
+    e = 0.0
+    for i in range(len(Z)):
+        for j in range(i):
+            e += Z[i] * Z[j] / np.linalg.norm(R[i] - R[j])
+    return float(e)

@@ -170,38 +170,70 @@ def assemble(sym: SymISDF, aoR_super, prim_a, dtype=None) -> ISDF:
     assembled from the per-q pieces by the translation-group DFT. The
     output feeds isdf.get_k / isdf.get_k_robust / isdf.get_j unchanged.
     """
-    Rs = translations(sym.nrep)
+    return assemble_pieces(sym.nrep, sym.prim_mesh, prim_a, sym.q_list,
+                           np.asarray(sym.isdfq.ip_idx),
+                           np.asarray(sym.isdfq.VXq), sym.Mq,
+                           aoR_super, dtype=dtype)
+
+
+def assemble_pieces(nrep, prim_mesh, prim_a, q_list, ip_idx, VXq, Mq,
+                    aoR_super, dtype=None) -> ISDF:
+    """Array-based assembly core (also used by bench.py, which stages
+    the f64 per-q pieces in a CPU subprocess — tools/certify_sym.py —
+    and assembles/casts them on the TPU)."""
+    Rs = translations(nrep)
     Ts = Rs @ np.asarray(prim_a)
-    qph = np.exp(1j * Ts @ sym.q_list.T)          # (ncell, nq)
-    ns = grid_map(sym.prim_mesh, sym.nrep)        # (ncell, ngp)
-    ipg = np.asarray(sym.isdfq.ip_idx)
+    qph = np.exp(1j * Ts @ np.asarray(q_list).T)  # (ncell, nq)
+    ns = grid_map(prim_mesh, nrep)                # (ncell, ngp)
+    ipg = np.asarray(ip_idx)
     ip_super = ns[:, ipg].reshape(-1)             # (ncell*nip,)
 
     dtype = dtype or aoR_super.dtype
-    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-    qph_j = jnp.asarray(qph, cdtype)
+    rdt = np.float64 if dtype == jnp.float64 else np.float32
     nk = len(Rs)
     nip = len(ipg)
     ngp = ns.shape[1]
 
-    # W_super: (ncell*nip, ncell*nip)
-    Mq_j = jnp.asarray(sym.Mq, cdtype)
-    W = jnp.einsum("rq,sq,qPQ->rPsQ", qph_j.conj(), qph_j, Mq_j) / nk
-    W = W.real.astype(dtype).reshape(nk * nip, nk * nip)
+    # complex operands are shipped as (real, imag) float pairs and
+    # combined on device: the axon TPU runtime supports neither complex
+    # device_put nor device-side dtype widening (UNIMPLEMENTED)
+    def _parts(x):
+        x = np.asarray(x)
+        return (jnp.asarray(np.ascontiguousarray(x.real, dtype=rdt)),
+                jnp.asarray(np.ascontiguousarray(x.imag, dtype=rdt)))
+
+    qr, qi = _parts(qph)                          # (ncell, nq)
+
+    @jax.jit
+    def _w_block(qr, qi, Mr, Mi):
+        q = jax.lax.complex(qr, qi)
+        M = jax.lax.complex(Mr, Mi)
+        W = jnp.einsum("rq,sq,qPQ->rPsQ", q.conj(), q, M)
+        return (W.real / nk).astype(dtype)
+
+    W = _w_block(qr, qi, *_parts(Mq)).reshape(nk * nip, nk * nip)
 
     # Vxi_super: assemble per grid-cell block s, scatter into supercell
     # column order (one (ncell*nip, ngp) GEMM-sized einsum per cell)
-    VXq_j = jnp.asarray(np.asarray(sym.isdfq.VXq), cdtype)  # (nq, nip, ngp)
-    cols = jnp.asarray(ns)                        # (ncell, ngp)
+    Vr, Vi = _parts(VXq)                          # (nq, nip, ngp)
+    cols = jnp.asarray(ns.astype(np.int32))       # (ncell, ngp)
+
+    @jax.jit
+    def _v_block(s, qr, qi, Vr, Vi):
+        q = jax.lax.complex(qr, qi)
+        V = jax.lax.complex(Vr, Vi)
+        blk = jnp.einsum("rq,q,qPg->rPg", q.conj(), q[s], V)
+        return (blk.real / nk).astype(dtype)
+
     Vxi = jnp.zeros((nk * nip, nk * ngp), dtype)
     for s in range(nk):
-        blk = jnp.einsum("rq,q,qPg->rPg", qph_j.conj(), qph_j[s], VXq_j)
-        blk = blk.real.astype(dtype).reshape(nk * nip, ngp) / nk
-        Vxi = Vxi.at[:, cols[s]].set(blk)
+        # s as a device scalar: ONE trace, dynamic q[s] indexing
+        blk = _v_block(jnp.asarray(s, jnp.int32), qr, qi, Vr, Vi)
+        Vxi = Vxi.at[:, cols[s]].set(blk.reshape(nk * nip, ngp))
 
-    aoRg = jnp.asarray(aoR_super)[jnp.asarray(ip_super)]
-    return ISDF(aoRg=aoRg.astype(dtype), W=W,
-                ip_idx=jnp.asarray(ip_super), Vxi=Vxi)
+    ip_j = jnp.asarray(ip_super.astype(np.int32))
+    aoRg = jnp.asarray(aoR_super)[ip_j]
+    return ISDF(aoRg=aoRg.astype(dtype), W=W, ip_idx=ip_j, Vxi=Vxi)
 
 
 def certify_deficit(sym: SymISDF, psi_k) -> float:

@@ -43,3 +43,55 @@ def test_f32_build_tracks_f64():
                                   np.float32(w))
     e32r = float(jnp.einsum("ij,ji->", dm64.astype(jnp.float32), vk32r))
     assert abs(e32r - e64) < 5e-4
+
+
+def test_residual_certifier_f32_vs_f64():
+    """The residual certifier (isdf.robust_k_error) in the unsaturated
+    compression regime (VERDICT r2 next #10): it must (a) equal the direct f64
+    trace difference exactly, (b) when evaluated in f32 on the f32-BUILT
+    factorization, report THAT build's true method error (measured 30x
+    above f64 at diamond 2x2x2 c=16 — real degradation from the
+    f32-scale Gram regularization, not estimator noise), which is why
+    the bench's certified configuration is staged in f64
+    (tools/certify_sym.py) and only cast for the TPU."""
+    cell = diamond_primitive(mesh=(15, 15, 15))
+    system = build_scf_system(cell)
+    aoR = system.aoR
+    coulG = jnp.asarray(system.coulG)
+    mesh3, w = tuple(cell.mesh), cell.grid_weight
+    nao = cell.nao
+    nocc = cell.nelectron // 2
+    # deterministic "occupied orbitals": S^-1/2 columns (any density works
+    # for the identity; this one is cheap and full-rank)
+    S = np.asarray(aoR.T @ aoR) * w
+    sw, su = np.linalg.eigh(S)
+    C_w = jnp.asarray((su / np.sqrt(sw)) [:, :nocc] * np.sqrt(2.0))
+    dm = C_w @ C_w.T
+
+    isdf64 = isdf_mod.build_isdf(aoR, coulG, mesh3, w, c=3, keep_v=True)
+    vk_ref = fftdf.get_k(aoR, dm, coulG, mesh3, w)
+    vk_rob = isdf_mod.get_k_robust(isdf64, aoR, dm, w)
+    de_direct = float(jnp.einsum("ij,ji->", dm, vk_ref - vk_rob))
+    de_res = float(isdf_mod.robust_k_error(isdf64, aoR, C_w, coulG,
+                                           mesh3, w))
+    assert de_direct > 0 and de_res > 0
+    assert abs(de_res - de_direct) < 0.02 * de_direct
+
+    # f32-built factorization: the f32 residual must track the true
+    # (f64-evaluated) error of THAT factorization
+    aoR32 = aoR.astype(jnp.float32)
+    isdf32 = isdf_mod.build_isdf(aoR32, coulG.astype(jnp.float32), mesh3,
+                                 np.float32(w), c=3, keep_v=True)
+    isdf32_up = isdf_mod.ISDF(aoRg=isdf32.aoRg.astype(jnp.float64),
+                              W=isdf32.W.astype(jnp.float64),
+                              ip_idx=isdf32.ip_idx,
+                              Vxi=isdf32.Vxi.astype(jnp.float64))
+    vk_rob32 = isdf_mod.get_k_robust(isdf32_up, aoR, dm, w)
+    de32_true = float(jnp.einsum("ij,ji->", dm, vk_ref - vk_rob32))
+    de32_res = float(isdf_mod.robust_k_error(
+        isdf32, aoR32, C_w.astype(jnp.float32),
+        coulG.astype(jnp.float32), mesh3, np.float32(w)))
+    assert de32_res > 0
+    assert 0.2 * de32_true < de32_res < 5.0 * de32_true
+    # and the f64 build must be at least as accurate as the f32 build
+    assert de_direct <= de32_true * 1.5
