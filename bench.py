@@ -257,6 +257,13 @@ def main():
     log(f"system: {name}, natm={cell.natm} nao={cell.nao} "
         f"ngrids={cell.ngrids} mesh={cell.mesh}")
 
+    # First contact on the axon relay costs 40-500 s (tunnel cold-start,
+    # measured in PROGRESS notes r3) — warm it up so the build segment
+    # times the build, not the environment.
+    t0 = time.perf_counter()
+    _sync(jnp.ones((8, 128)))
+    log(f"tunnel warmup: {time.perf_counter()-t0:.1f} s")
+
     t0 = time.perf_counter()
     from pyscf_isdf_tpu.ops.pallas_ao import make_ao_evaluator
     evaluator = make_ao_evaluator(cell, dtype=dtype)

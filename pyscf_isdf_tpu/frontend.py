@@ -276,6 +276,29 @@ class KGHF(_KMeanField):
                            verbose=self.verbose)
 
 
+def GW(mf, nw: int = 100, orbs=None, linearized: bool = False):
+    """G0W0-AC quasiparticle energies on a converged (K)RHF/(K)RKS
+    object — reference gw.GW(mf) / krgw_ac.KRGWAC(mf) analog.
+
+    Returns a GWResult (Gamma) or KGWResult (k-point) with .qp_energy."""
+    from pyscf_isdf_tpu.gw import gw_ac_gamma, kgw_ac
+
+    if isinstance(mf, _KMeanField):
+        return kgw_ac(mf.system, mf._res, xc=mf.xc, nw=nw, orbs=orbs,
+                      linearized=linearized)
+    return gw_ac_gamma(mf.system, mf._res, xc=mf.xc, nw=nw, orbs=orbs,
+                       linearized=linearized)
+
+
+def RPA(mf: _MeanField, nw: int = 100):
+    """Direct-RPA correlation energy on a converged Gamma mean-field
+    (reference pyscf/gw/rpa.py capability); returns (e_corr, e_tot)."""
+    from pyscf_isdf_tpu.gw import rpa_ecorr_gamma
+
+    ec = rpa_ecorr_gamma(mf.system, mf._res, nw=nw)
+    return ec, mf._res["e_tot"] + ec
+
+
 def MP2(mf: _MeanField):
     """Gamma-point MP2 on a converged RHF object; returns (e_corr, e_tot)."""
     from pyscf_isdf_tpu.mp import mp2_energy

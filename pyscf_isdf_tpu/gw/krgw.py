@@ -1,0 +1,261 @@
+"""k-point G0W0-AC quasiparticle band energies.
+
+Reference contract: /root/reference/pyscf/pbc/gw/krgw_ac.py (Zhu & Chan,
+arXiv:2007.03148): per momentum transfer kL the density response is
+summed over conserving (ki, kj = ki - kL) pairs, the dielectric matrix
+is inverted in the auxiliary basis, and the self-energy at band kn picks
+up the screened interaction from the km = kn + kL pair — then Pade
+continuation + Newton QP solves, exactly as at Gamma.
+
+TPU-native shape: per kL ALL quadrature frequencies and all ki are
+batched into stacked GEMMs (vs krgw_ac.py:289-330's nested Python
+loops); the (ki) pair tensors for one kL share one whitened q-space
+auxiliary basis (df/gdf.py build_gdf_kpts caches the whitening by q), so
+they stack into a single (nk, naux_q, nmo, nmo) array.  The host loop
+over the nk momentum transfers remains (naux_q varies per q, which
+would force padded shapes on-device; nk is small).
+
+Finite-size (q->0 head/wing, gw.fc) corrections are not included — QP
+gaps converge with the k-mesh like exxdiv=None exchange.  Documented
+difference from krgw_ac.py:255-282 (fc=True default).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pyscf_isdf_tpu.scf.khf import vxc_kpts
+from pyscf_isdf_tpu.ops.xc import XCSpec
+from pyscf_isdf_tpu.df import fftdf_k
+from pyscf_isdf_tpu.gw.rgw import (
+    scaled_legendre, thiele_coefficients, pade_eval, _pade_fit_points)
+
+
+@dataclass
+class KGWResult:
+    qp_energy: np.ndarray       # (nk, nmo)
+    mo_energy: np.ndarray
+    sigma_x: np.ndarray         # (nk, nmo) diag <p| -0.5 K |p>
+    v_mf: np.ndarray            # (nk, nmo) diag <p| veff - vj |p>
+    converged: bool
+    nocc: int
+
+
+def _k_index_table(kpts, a):
+    """ktab[i, L] = index of k_i - k_L folded to the mesh (and the
+    reverse map is ktab with roles swapped).  kscaled differences of a
+    Monkhorst-Pack mesh close under subtraction."""
+    kpts = np.reshape(kpts, (-1, 3))
+    ks = kpts @ a.T / (2.0 * np.pi)
+    nk = len(kpts)
+    tab = np.full((nk, nk), -1, dtype=np.int64)
+    for i in range(nk):
+        for L in range(nk):
+            d = ks[i] - ks[L]
+            for j in range(nk):
+                if np.linalg.norm(np.round(ks[j] - d) - (ks[j] - d)) < 1e-10:
+                    tab[i, L] = j
+                    break
+    if (tab < 0).any():
+        raise ValueError("k-mesh not closed under subtraction "
+                         "(GW needs a full Monkhorst-Pack mesh)")
+    return tab
+
+
+@partial(jax.jit, static_argnames=("nocc", "nk"))
+def _kl_contribution(L_stack, Lw_stack, e_i, e_a, e_m, freqs, wts,
+                     omega_grid, ef, nocc, nk):
+    """One momentum transfer kL: returns sigma contribution
+    (nklist, nmo, nw_sigma) complex.
+
+    Args:
+        L_stack: (nk, naux, nocc, nvir) MO pair tensors L^{ki, ki-kL}.
+        Lw_stack: (nklist, naux, nmo, nmo) W-side tensors L^{kn+kL, kn}.
+        e_i/e_a: (nk, nocc) / (nk, nvir) eigenvalues at ki / ki-kL.
+        e_m: (nklist, nmo) eigenvalues at km = kn + kL.
+    """
+    nw = freqs.shape[0]
+    naux = L_stack.shape[1]
+    Lov = L_stack.reshape(nk, naux, -1)                    # (nk,P,ia)
+    eia = (e_i[:, :, None] - e_a[:, None, :]).reshape(nk, -1)
+    f = eia[None] / (freqs[:, None, None] ** 2 + eia[None] ** 2)
+    # Pi[w] = 4/nk sum_k,ia L_P f conj(L_Q)
+    Pi = (4.0 / nk) * jnp.einsum("kPx,wkx,kQx->wPQ", Lov, f, Lov.conj())
+
+    eye = jnp.eye(naux, dtype=Pi.dtype)
+    eps_inv = jnp.linalg.solve(eye[None] - Pi,
+                               jnp.broadcast_to(eye, (nw, naux, naux)))
+    eps_m1 = eps_inv - eye[None]
+
+    # W_mn(iw) at each kn: 1/nk sum_PQ conj(L_Pmn) (eps^-1-1)_PQ L_Qmn
+    Wmn = (1.0 / nk) * jnp.einsum("nPmq,wPQ,nQmq->wnmq",
+                                  Lw_stack.conj(), eps_m1, Lw_stack)
+
+    emo_occ = -1j * omega_grid[None, None, :] + ef - e_m[:, :, None]
+    emo_vir = +1j * omega_grid[None, None, :] + ef - e_m[:, :, None]
+    g0_occ = emo_occ[None] / (emo_occ[None] ** 2
+                              + (freqs ** 2)[:, None, None, None])
+    g0_vir = emo_vir[None] / (emo_vir[None] ** 2
+                              + (freqs ** 2)[:, None, None, None])
+
+    wts_c = wts.astype(Wmn.dtype)
+    sig_occ = -jnp.einsum("w,wnmq,wnmu->nqu", wts_c, Wmn, g0_occ) / jnp.pi
+    sig_vir = -jnp.einsum("w,wnmq,wnmu->nqu", wts_c, Wmn, g0_vir) / jnp.pi
+    nmo = Lw_stack.shape[3]
+    sel = (jnp.arange(nmo) < nocc)[None, :, None]
+    return jnp.where(sel, sig_occ, sig_vir)
+
+
+def build_lmo_kpts(system, mo_coeff, beta: float = 2.0, l_extra: int = 2):
+    """Whitened per-(k1,k2) DF tensors in the MO basis:
+    Lmo[k1][k2][P,p,q] = C^{k1 dagger} cd^{k1k2}_P C^{k2}."""
+    from pyscf_isdf_tpu.df import gdf as gdf_mod
+
+    kg = gdf_mod.build_gdf_kpts(system.cell, system.aoR_k, system.kpts,
+                                system.mesh, system.weight, beta=beta,
+                                l_extra=l_extra)
+    nk = kg.nk
+    C = [jnp.asarray(c) for c in mo_coeff]
+    out = []
+    for k1 in range(nk):
+        row = []
+        for k2 in range(nk):
+            cd = kg.cd[k1][k2]
+            row.append(jnp.einsum("pij,ia,jb->pab",
+                                  cd, C[k1].conj(), C[k2]))
+        out.append(row)
+    return out
+
+
+def _mf_potentials_kpts(system, res, xc: Optional[str]):
+    """(nk, nmo) diagonal MO elements of v_mf = veff - vj and of the HF
+    exchange on the SCF density (kscf_kernel Fock conventions)."""
+    aoR_k = system.aoR_k
+    dm = np.asarray(res["dm"])
+    C = np.asarray(res["mo_coeff"])
+    nk = len(system.kpts)
+
+    vk = np.array(fftdf_k.get_k_kpts(
+        aoR_k, jnp.asarray(dm, aoR_k.dtype), system.coulG_pairs,
+        system.expmikr, system.mesh, system.weight), dtype=np.complex128)
+    S = system.S
+    for k in range(nk):
+        vk[k] += system.madelung * (S[k] @ dm[k] @ S[k])
+    vx_ao = -0.5 * vk
+
+    v_mf_ao = np.zeros_like(vx_ao)
+    if xc is not None:
+        spec = XCSpec(xc)
+        if spec.omega != 0.0:
+            raise NotImplementedError("k-GW on range-separated hybrids: todo")
+        ao_grad_k = None
+        if spec.family in ("gga", "mgga"):
+            from pyscf_isdf_tpu.ops.ao_eval import ao_gradient_fft_k
+
+            coords = jnp.asarray(system.cell.uniform_grid())
+            Gv = jnp.asarray(system.cell.get_Gv())
+            ao_grad_k = jnp.stack([
+                ao_gradient_fft_k(aoR_k[k], system.mesh, Gv,
+                                  jnp.asarray(system.kpts[k]), coords)
+                for k in range(nk)])
+        _, vxc = vxc_kpts(aoR_k, ao_grad_k, dm, system.weight, spec)
+        v_mf_ao += vxc
+        if spec.hyb > 0:
+            v_mf_ao += spec.hyb * vx_ao
+    else:
+        v_mf_ao += vx_ao
+
+    vx_mo = np.einsum("kip,kij,kjp->kp", C.conj(), vx_ao, C).real
+    v_mf_mo = np.einsum("kip,kij,kjp->kp", C.conj(), v_mf_ao, C).real
+    return vx_mo, v_mf_mo
+
+
+def kgw_ac(system, res, xc: Optional[str] = None, nw: int = 100,
+           orbs=None, kptlist=None, linearized: bool = False,
+           Lmo=None) -> KGWResult:
+    """G0W0-AC on a converged k-point SCF result (kscf_kernel dict)."""
+    from scipy.optimize import newton
+
+    mo_energy = np.asarray(res["mo_energy"], dtype=np.float64)
+    nk, nmo = mo_energy.shape
+    if system.nelec_tot % (2 * nk):
+        raise ValueError("k-GW needs a uniform integer band filling")
+    nocc = system.nelec_tot // (2 * nk)
+    if orbs is None:
+        orbs = np.arange(nmo)
+    if kptlist is None:
+        kptlist = list(range(nk))
+    orbs = np.asarray(orbs)
+
+    homo = mo_energy[:, nocc - 1].max()
+    lumo = mo_energy[:, nocc].min()
+    if lumo - homo < 1e-3:
+        raise ValueError("GW-AC does not support metallic references")
+    ef = 0.5 * (homo + lumo)
+
+    if Lmo is None:
+        Lmo = build_lmo_kpts(system, res["mo_coeff"])
+
+    freqs, wts = scaled_legendre(nw)
+    iw_cutoff = 5.0
+    nw_sigma = int(np.sum(freqs < iw_cutoff)) + 1
+    omega_grid = np.zeros(nw_sigma)
+    omega_grid[1:] = freqs[: nw_sigma - 1]
+
+    ktab = _k_index_table(system.kpts, system.cell.a)
+
+    sigma = np.zeros((len(kptlist), nmo, nw_sigma), dtype=np.complex128)
+    fj, wj, og = jnp.asarray(freqs), jnp.asarray(wts), jnp.asarray(omega_grid)
+    for kL in range(nk):
+        kidx = ktab[:, kL]                       # kj = ki - kL
+        L_stack = jnp.stack([Lmo[i][kidx[i]][:, :nocc, nocc:]
+                             for i in range(nk)])
+        # km = kn + kL: solve ktab[km, kL] == kn
+        km_of = np.array([int(np.nonzero(kidx == kn)[0][0])
+                          for kn in kptlist])
+        Lw_stack = jnp.stack([Lmo[km_of[j]][kptlist[j]]
+                              for j in range(len(kptlist))])
+        e_i = jnp.asarray(mo_energy[:, :nocc])
+        e_a = jnp.asarray(mo_energy[kidx, nocc:])
+        e_m = jnp.asarray(mo_energy[km_of, :])
+        sigma += np.asarray(_kl_contribution(
+            L_stack, Lw_stack, e_i, e_a, e_m, fj, wj, og, ef, nocc, nk))
+
+    vx_mo, v_mf_mo = _mf_potentials_kpts(system, res, xc)
+
+    fit = _pade_fit_points(nw_sigma)
+    qp = mo_energy.copy()
+    conv = True
+    for j, kn in enumerate(kptlist):
+        for p in orbs:
+            sgn = -1.0 if p < nocc else 1.0
+            zn = 1j * sgn * omega_grid[fit]
+            a = thiele_coefficients(sigma[j, p, fit], zn)
+
+            def sigma_real(w, zn=zn, a=a):
+                return pade_eval(w - ef, zn, a).real
+
+            def qp_eq(w, kn=kn, p=p, sigma_real=sigma_real):
+                return w - mo_energy[kn, p] - (
+                    sigma_real(w) + vx_mo[kn, p] - v_mf_mo[kn, p])
+
+            if linearized:
+                de = 1e-6
+                s0 = sigma_real(mo_energy[kn, p])
+                z = 1.0 / (1.0 - (sigma_real(mo_energy[kn, p] + de)
+                                  - s0) / de)
+                qp[kn, p] = mo_energy[kn, p] + z * (
+                    s0 + vx_mo[kn, p] - v_mf_mo[kn, p])
+            else:
+                try:
+                    qp[kn, p] = newton(qp_eq, mo_energy[kn, p],
+                                       tol=1e-6, maxiter=100)
+                except RuntimeError:
+                    conv = False
+    return KGWResult(qp_energy=qp, mo_energy=mo_energy, sigma_x=vx_mo,
+                     v_mf=v_mf_mo, converged=conv, nocc=nocc)

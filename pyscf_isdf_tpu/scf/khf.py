@@ -96,6 +96,54 @@ def _global_occ(mo_e_k, nocc_tot):
     return occupations_mod.exact_count_occ(mo_e_k, nocc_tot, scale=2.0)
 
 
+def vxc_kpts(aoR_k, ao_grad_k, dm, weight, xcspec):
+    """k-averaged XC quadrature: (e_xc, vxc_k (nk,nao,nao) np.complex128).
+
+    The density is the k-average rho = (1/nk) sum_k Re tr(D_k ao ao*);
+    GGA rungs add the spectral AO gradients (ao_grad_k), mGGA the tau
+    term.  Shared by the SCF loop and post-SCF consumers (GW needs
+    v_mf = vxc on the converged density)."""
+    nk = aoR_k.shape[0]
+    is_gga = xcspec.family == "gga"
+    is_mgga = xcspec.family == "mgga"
+    dmj = jnp.asarray(dm, aoR_k.dtype)
+    t = jnp.einsum("kgi,kij->kgj", aoR_k, dmj)        # (nk, ng, nao)
+    rho = jnp.einsum("kgj,kgj->g", t, aoR_k.conj()).real / nk
+    rho_j = jnp.maximum(rho, 1e-30)
+    if is_gga or is_mgga:
+        # grad rho = (2/nk) Re sum_k conj(t) . grad(ao)
+        grho = 2.0 / nk * jnp.einsum(
+            "kgj,kxgj->xg", t.conj(), ao_grad_k).real  # (3, ng)
+        sigma_g = jnp.maximum(jnp.sum(grho * grho, axis=0), 1e-30)
+        vtau = None
+        if is_mgga:
+            tg = jnp.einsum("kxgi,kij->kxgj", ao_grad_k, dmj)
+            tau_g = jnp.maximum(0.5 / nk * jnp.einsum(
+                "kxgj,kxgj->g", tg, ao_grad_k.conj()).real, 1e-30)
+            exc, vrho, vsigma, vtau = xcspec.exc_vxc_mgga(
+                rho_j, sigma_g, tau_g)
+        else:
+            exc, vrho, vsigma = xcspec.exc_vxc(rho_j, sigma_g)
+        e_xc = float(weight * jnp.sum(rho_j * exc))
+        # V_k = w [conj(ao)^T (vrho/2 ao + 2 vsigma grad_rho.grad_ao) + h.c.]
+        aow = 0.5 * vrho[:, None] * aoR_k + 2.0 * jnp.einsum(
+            "xg,g,kxgi->kgi", grho, vsigma, ao_grad_k)
+        half = weight * jnp.einsum("kgi,kgj->kij", aoR_k.conj(), aow)
+        vxc = half + half.conj().transpose(0, 2, 1)
+        if vtau is not None:
+            vxc = vxc + 0.5 * weight * jnp.einsum(
+                "kxgi,g,kxgj->kij", ao_grad_k.conj(), vtau,
+                ao_grad_k)
+        vxc = np.asarray(vxc)
+    else:
+        exc, vrho, _ = xcspec.exc_vxc(rho_j)
+        e_xc = float(weight * jnp.sum(rho_j * exc))
+        vxc = np.asarray(
+            weight * jnp.einsum("kgi,g,kgj->kij", aoR_k.conj(), vrho, aoR_k)
+        )
+    return e_xc, vxc
+
+
 def kscf_kernel(
     system: KSCFSystem,
     xc: Optional[str] = None,
@@ -328,41 +376,7 @@ def kscf_kernel(
         veff = vj.copy()
         e_xc = 0.0
         if xcspec is not None:
-            dmj = jnp.asarray(dm, aoR_k.dtype)
-            t = jnp.einsum("kgi,kij->kgj", aoR_k, dmj)        # (nk, ng, nao)
-            rho = jnp.einsum("kgj,kgj->g", t, aoR_k.conj()).real / nk
-            rho_j = jnp.maximum(rho, 1e-30)
-            if is_gga or is_mgga:
-                # grad rho = (2/nk) Re sum_k conj(t) . grad(ao)
-                grho = 2.0 / nk * jnp.einsum(
-                    "kgj,kxgj->xg", t.conj(), ao_grad_k).real  # (3, ng)
-                sigma_g = jnp.maximum(jnp.sum(grho * grho, axis=0), 1e-30)
-                vtau = None
-                if is_mgga:
-                    tg = jnp.einsum("kxgi,kij->kxgj", ao_grad_k, dmj)
-                    tau_g = jnp.maximum(0.5 / nk * jnp.einsum(
-                        "kxgj,kxgj->g", tg, ao_grad_k.conj()).real, 1e-30)
-                    exc, vrho, vsigma, vtau = xcspec.exc_vxc_mgga(
-                        rho_j, sigma_g, tau_g)
-                else:
-                    exc, vrho, vsigma = xcspec.exc_vxc(rho_j, sigma_g)
-                e_xc = float(weight * jnp.sum(rho_j * exc))
-                # V_k = w [conj(ao)^T (vrho/2 ao + 2 vsigma grad_rho.grad_ao) + h.c.]
-                aow = 0.5 * vrho[:, None] * aoR_k + 2.0 * jnp.einsum(
-                    "xg,g,kxgi->kgi", grho, vsigma, ao_grad_k)
-                half = weight * jnp.einsum("kgi,kgj->kij", aoR_k.conj(), aow)
-                vxc = half + half.conj().transpose(0, 2, 1)
-                if vtau is not None:
-                    vxc = vxc + 0.5 * weight * jnp.einsum(
-                        "kxgi,g,kxgj->kij", ao_grad_k.conj(), vtau,
-                        ao_grad_k)
-                vxc = np.asarray(vxc)
-            else:
-                exc, vrho, _ = xcspec.exc_vxc(rho_j)
-                e_xc = float(weight * jnp.sum(rho_j * exc))
-                vxc = np.asarray(
-                    weight * jnp.einsum("kgi,g,kgj->kij", aoR_k.conj(), vrho, aoR_k)
-                )
+            e_xc, vxc = vxc_kpts(aoR_k, ao_grad_k, dm, weight, xcspec)
             veff += vxc
         e_k = 0.0
         if need_k:
