@@ -109,14 +109,16 @@ def plan_ao_blocks(cell, coords=None, block: int = 512, imax: int | None = None)
         K = packed.coeffs[l].shape[2]
         M = 2 * l + 1
         rcuts = np.array([shell_rcut(sh) for _, sh in shells])
-        # distance from every translated center to every block center
+        # distance from every translated center to every block center:
+        # |t - b|^2 = |t|^2 + |b|^2 - 2 t.b with the cross term as a
+        # batched GEMM — a broadcast diff array at the 3x3x3 bench scale
+        # is a 745 MB temporary (measured; dominated the cold plan)
         ctr = packed.centers[l]                                # (ns, 3)
         tc = ctr[:, None, :] + images[None, :, :]              # (ns, nimg, 3)
-        # squared distances via einsum: np.linalg.norm on the broadcast
-        # view materializes strided temps and runs ~35x slower (measured
-        # 18 s vs 0.5 s at the 3x3x3 bench scale)
-        diff = tc[:, None, :, :] - bcent[None, :, None, :]     # (ns,nb,ni,3)
-        d2 = np.einsum("sbti,sbti->sbt", diff, diff, optimize=True)
+        tnorm = np.einsum("sti,sti->st", tc, tc)               # (ns, nimg)
+        bnorm = np.einsum("bi,bi->b", bcent, bcent)            # (nb,)
+        cross = np.matmul(bcent, tc.transpose(0, 2, 1))        # (ns, nb, ni)
+        d2 = tnorm[:, None, :] + bnorm[None, :, None] - 2.0 * cross
         rmax = rcuts[:, None, None] + brad[None, :, None]
         keep = d2 <= rmax * rmax                               # (ns, nb, nimg)
         counts = keep.sum(axis=2).astype(np.int32)
@@ -125,10 +127,18 @@ def plan_ao_blocks(cell, coords=None, block: int = 512, imax: int | None = None)
         if cmax > IMAX:
             raise ValueError(f"IMAX={IMAX} < required {cmax}")
         # vectorized packing of the kept images into the leading IMAX
-        # slots (stable argsort floats kept-first; the per-(s,b) python
-        # loop this replaces dominated the 3x3x3 bench setup at ~10 s)
-        order = np.argsort(~keep, axis=2, kind="stable")[:, :, :IMAX]
-        imgs = images[order]                       # (ns, nb, IMAX, 3)
+        # slots: O(nimg) argpartition pulls every kept image into the
+        # first IMAX positions, then an O(IMAX log IMAX) argsort on just
+        # that slice floats them kept-first (the kernel's fori_loop
+        # reads slots 0..cnt); a full-width stable argsort here cost
+        # ~0.1 s x 31M elements on the 3x3x3 bench setup
+        nimg = keep.shape[2]
+        kth = min(IMAX - 1, nimg - 1)
+        order = np.argpartition(~keep, kth, axis=2)[:, :, :IMAX]
+        sub = np.take_along_axis(~keep, order, axis=2)
+        order = np.take_along_axis(
+            order, np.argsort(sub, axis=2, kind="stable"), axis=2)
+        imgs = np.moveaxis(images.T[:, order], 0, 3)   # (ns, nb, IMAX, 3)
         slot = np.arange(IMAX)[None, None, :]
         imgs[slot >= counts[:, :, None]] = 1e6     # dummy far image
         imgs = np.ascontiguousarray(imgs.transpose(0, 1, 3, 2))
