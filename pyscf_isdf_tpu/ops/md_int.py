@@ -261,6 +261,62 @@ def overlap(cell, ktol: float = 1e-14) -> np.ndarray:
     return out
 
 
+def kinetic(cell, ktol: float = 1e-14) -> np.ndarray:
+    """Lattice-summed kinetic matrix -1/2 <mu|lap|nu>, analytic
+    (steepness-independent — the all-electron X2C companion of
+    :func:`overlap`; the FT path ops/ft_ao needs a converged G-mesh).
+
+    Per-axis derivative reduction on the ket primitive
+    d^2/dx^2 [x^j e^{-b x^2}] = j(j-1) x^{j-2} - 2b(2j+1) x^j
+    + 4 b^2 x^{j+2}, so the 1D kinetic factor combines ket-shifted 1D
+    overlaps E[i, j+-2, 0] (reference operator contract:
+    pbc_intor('int1e_kin'), pyscf/pbc/gto/cell.py:1693)."""
+    nao = cell.nao
+    out = np.zeros((nao, nao))
+    ao_loc = cell.ao_loc
+    blocks = _shell_norm_blocks(cell)
+
+    def t1d(E, j, b, ax):
+        # -1/2 d^2/dx^2 combination of 1D overlaps for ket power j
+        val = -2.0 * b * b * E[ax, j + 2, 0]
+        val = val + b * (2 * j + 1) * E[ax, j, 0]
+        if j >= 2:
+            val = val - 0.5 * j * (j - 1) * E[ax, j - 2, 0]
+        return val
+
+    for ii, (shi, mi, Ci) in enumerate(blocks):
+        A = cell.coords[shi.atom]
+        for jj, (shj, mj, Cj) in enumerate(blocks):
+            blk = np.zeros((shi.coeffs.shape[1], 2 * shi.l + 1,
+                            shj.coeffs.shape[1], 2 * shj.l + 1))
+            for ip, a in enumerate(shi.exps):
+                for jp, b in enumerate(shj.exps):
+                    B = _bra_images(cell, shi, shj, a, b, ktol)
+                    if B.shape[0] == 0:
+                        continue
+                    # ket angular momenta up to l+2 for the reduction
+                    (Ex, Ey, Ez), p, P = _e3_cart(
+                        shi.l, shj.l + 2, mi, mj, A, B, a, b)
+                    pref = (np.pi / p) ** 1.5
+                    Ic = np.empty((len(mi), len(mj)))
+                    for ai, (ax, ay, az) in enumerate(mi):
+                        for bj, (bx, by, bz) in enumerate(mj):
+                            sx = Ex[ax, bx, 0]
+                            sy = Ey[ay, by, 0]
+                            sz = Ez[az, bz, 0]
+                            tx = t1d(Ex, bx, b, ax)
+                            ty = t1d(Ey, by, b, ay)
+                            tz = t1d(Ez, bz, b, az)
+                            Ic[ai, bj] = pref * np.sum(
+                                tx * sy * sz + sx * ty * sz + sx * sy * tz)
+                    Is = _sph_contract(Ic, Ci, Cj)
+                    blk += np.einsum(
+                        "k,l,MN->kMlN", shi.coeffs[ip], shj.coeffs[jp], Is)
+            out[ao_loc[ii]:ao_loc[ii + 1], ao_loc[jj]:ao_loc[jj + 1]] = \
+                blk.reshape(shi.nao, shj.nao)
+    return out
+
+
 def int2c(auxcell, omega, ktol: float = 1e-14) -> np.ndarray:
     """(chi_P | g | chi_Q) two-center Coulomb over the aux basis,
     lattice-summed over Q images (g = erfc(w r)/r, or 1/r if omega None
