@@ -1,0 +1,231 @@
+"""Finite-difference electron-phonon coupling at the Gamma point.
+
+Reference contract: /root/reference/pyscf/pbc/eph/eph_fd.py — run SCF at
++-disp/2 displacements of every (atom, axis), finite-difference the
+self-consistent potential V = hcore - T + veff for the coupling matrices
+and the analytic forces for the dynamical matrix, then project onto
+mass-weighted phonon modes (pyscf/eph/rhf.py solve_hmat /
+_freq_mass_weighted_vec semantics).
+
+The FD of the AO-basis potential matrices contains spurious
+basis-movement terms <d mu/dR|V|nu> + <mu|V|d nu/dR>; the reference
+subtracts them with libcint derivative integrals (eph_fd.py:83-111).
+TPU-native redesign: the same correction is the finite difference of the
+FROZEN central potential evaluated in the displaced basis —
+B(R) = <mu(R)| V0 |nu(R)> with V0 = (vloc0 + vH0) grid potentials, the
+frozen-(vrho0, vsigma0, grad-rho0) XC operator, and the nonlocal
+projectors pinned at the central atoms (ops/pp.py get_vppnl pp_coords
+seam).  vmat = FD[V(R)] - FD[B(R)] needs no derivative-integral code at
+all and is exact to the same O(disp^2) as the FD itself; translation
+invariance (the acoustic sum rule sum_a vmat[a,x] = 0) is the pinning
+test.
+
+Hessian: finite difference of the AUTODIFF forces (grad/rhf.py) — the
+reference differences its analytic grad.kernel() the same way
+(eph_fd.py:121-133).
+
+Scope: Gamma point, closed shell, LDA/GGA or pure-J references (no
+hybrid exchange: the frozen-K correction would need mixed-basis exchange
+kernels; reference eph is used with semilocal functionals).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from pyscf_isdf_tpu.scf.hf import build_scf_system, scf_kernel
+from pyscf_isdf_tpu.ops.xc import XCSpec
+from pyscf_isdf_tpu.ops.ao_eval import ao_gradient_fft
+from pyscf_isdf_tpu.ops import pp as pp_mod
+from pyscf_isdf_tpu.df import fftdf
+from pyscf_isdf_tpu.grad.rhf import rhf_gradient
+
+# standard atomic weights (CIAAW 2021, amu) for elements the GTH tables
+# cover; converted with the proton-mass ratio below
+ATOMIC_MASS = {
+    "H": 1.008, "He": 4.0026, "Li": 6.94, "Be": 9.0122, "B": 10.81,
+    "C": 12.011, "N": 14.007, "O": 15.999, "F": 18.998, "Ne": 20.180,
+    "Na": 22.990, "Mg": 24.305, "Al": 26.982, "Si": 28.085, "P": 30.974,
+    "S": 32.06, "Cl": 35.45, "Ar": 39.948, "K": 39.098, "Ca": 40.078,
+    "Ga": 69.723, "Ge": 72.630, "As": 74.922, "Se": 78.971, "Br": 79.904,
+}
+AMU_TO_ME = 1822.888486209           # m_u / m_e
+
+
+@dataclass
+class EPHResult:
+    omega: np.ndarray        # (nmodes,) phonon frequencies (a.u.)
+    modes: np.ndarray        # (3*natm, nmodes) mass-weighted eigenvectors
+    vmat: np.ndarray         # (3*natm, nao, nao) corrected dV/dR
+    g: np.ndarray            # (nmodes, n, n) e-ph couplings (AO or MO)
+    hessian: np.ndarray      # (natm, 3, natm, 3)
+    mo_rep: bool
+
+
+def _xc_frozen(aoR, ao_grad, frozen, weight, family):
+    """XC-operator matrix with frozen potential grids in a (possibly
+    displaced) basis — same contractions as scf/hf.py _vxc_lda/_vxc_gga."""
+    vrho = frozen["vrho"]
+    if family == "lda":
+        return weight * ((aoR.T * vrho) @ aoR)
+    aow = 0.5 * vrho[:, None] * aoR + 2.0 * jnp.einsum(
+        "xg,g,xgi->gi", frozen["grho"], frozen["vsigma"], ao_grad)
+    half = weight * (aoR.T @ aow)
+    return half + half.T
+
+
+def _v_and_frozen(cell, system, res, xcspec):
+    """Potential matrix V = vloc + vnl + vH + vxc at this geometry from
+    its converged density, plus the frozen-potential grids."""
+    aoR = system.aoR
+    mesh, weight = system.mesh, system.weight
+    dm = jnp.asarray(res["dm"], aoR.dtype)
+
+    vloc_mat, vlocR = pp_mod.get_vpploc(cell, np.asarray(aoR))
+    vnl_mat = pp_mod.get_vppnl(cell)
+
+    rho = fftdf.get_rho(aoR, dm)
+    vHG = jnp.asarray(system.coulG) * fftdf.fft3(
+        rho.astype(jnp.complex128), mesh)
+    vHR = fftdf.ifft3(vHG, mesh).real
+    vH_mat = weight * ((aoR.T * vHR) @ aoR)
+
+    frozen = {"vlocR": vlocR, "vHR": np.asarray(vHR)}
+    vxc_mat = 0.0
+    family = None
+    if xcspec is not None:
+        family = xcspec.family
+        if family == "mgga":
+            raise NotImplementedError("eph: meta-GGA frozen operator todo")
+        if family == "gga":
+            ao_grad = ao_gradient_fft(aoR, mesh,
+                                      jnp.asarray(system.Gv, aoR.dtype))
+            t = aoR @ dm
+            grho = 2.0 * jnp.einsum("gi,xgi->xg", t, ao_grad)
+            sigma = jnp.sum(grho * grho, axis=0)
+            _, vrho, vsigma = xcspec.exc_vxc(rho, sigma)
+            frozen.update(vrho=vrho, vsigma=vsigma, grho=grho)
+            vxc_mat = _xc_frozen(aoR, ao_grad, frozen, weight, "gga")
+        else:
+            _, vrho, _ = xcspec.exc_vxc(rho)
+            frozen.update(vrho=vrho)
+            vxc_mat = _xc_frozen(aoR, None, frozen, weight, "lda")
+
+    V = np.asarray(vloc_mat, dtype=np.float64) + np.asarray(vnl_mat).real \
+        + np.asarray(vH_mat, dtype=np.float64)
+    if xcspec is not None:
+        V = V + np.asarray(vxc_mat, dtype=np.float64)
+    return V, frozen, family
+
+
+def _frozen_matrix(cell_d, system_d, frozen, family, pp_coords):
+    """Matrix of the FROZEN central potential in the displaced basis."""
+    aoR = system_d.aoR
+    mesh, weight = system_d.mesh, system_d.weight
+    # vloc quadrature carries the 1/N of the ifft (ops/pp.py convention)
+    B = (np.asarray(aoR, np.float64).T * frozen["vlocR"]) @ np.asarray(
+        aoR, np.float64)
+    B += np.asarray(
+        weight * ((aoR.T * jnp.asarray(frozen["vHR"], aoR.dtype)) @ aoR),
+        dtype=np.float64)
+    B += np.asarray(pp_mod.get_vppnl(cell_d, pp_coords=pp_coords)).real
+    if family is not None:
+        ao_grad = None
+        if family == "gga":
+            ao_grad = ao_gradient_fft(aoR, mesh,
+                                      jnp.asarray(system_d.Gv, aoR.dtype))
+        B += np.asarray(_xc_frozen(aoR, ao_grad, frozen, weight, family),
+                        dtype=np.float64)
+    return B
+
+
+def phonon_modes(cell, hessian):
+    """Mass-weighted dynamical matrix eigensolve.
+
+    Returns (omega (3N,), vec (3N, 3N)) sorted descending in omega
+    (imaginary frequencies reported as negative), reference
+    pyscf/eph/rhf.py:52-68 semantics."""
+    masses = np.array([ATOMIC_MASS[s] for s in cell.symbols]) * AMU_TO_ME
+    natm = cell.natm
+    h = hessian / np.sqrt(masses[:, None, None, None]
+                          * masses[None, None, :, None])
+    fm = h.transpose(0, 1, 2, 3).reshape(3 * natm, 3 * natm)
+    fm = 0.5 * (fm + fm.T)
+    w2, vec = np.linalg.eigh(fm)
+    order = np.argsort(w2)[::-1]
+    w2, vec = w2[order], vec[:, order]
+    omega = np.sign(w2) * np.sqrt(np.abs(w2))
+    return omega, vec
+
+
+def eph_kernel(cell, xc: Optional[str] = "lda,vwn", disp: float = 1e-3,
+               mo_rep: bool = True, conv_tol: float = 1e-12,
+               cutoff_au: float = 1e-4) -> EPHResult:
+    """Electron-phonon coupling matrices at Gamma (reference
+    eph_fd.kernel).  6*natm displaced SCF runs + force evaluations.
+
+    g_J,pq = sum_ax modes[ax,J] / sqrt(2 m_a omega_J) * vmat[ax,pq]
+    for modes with omega > cutoff_au (acoustic/imaginary filtered)."""
+    xcspec = XCSpec(xc) if xc is not None else None
+    if xcspec is not None and (xcspec.hyb > 0 or xcspec.omega != 0):
+        raise NotImplementedError("eph: hybrid references not supported")
+
+    system0 = build_scf_system(cell)
+    res0 = scf_kernel(system0, xc=xc, conv_tol=conv_tol)
+    if not res0["converged"]:
+        raise RuntimeError("central SCF not converged")
+    dm0 = res0["dm"]
+    coords0 = np.asarray(cell.coords)
+    natm = cell.natm
+
+    # frozen central potential (for the basis-movement correction)
+    _, frozen, family = _v_and_frozen(cell, system0, res0, xcspec)
+
+    vmat = []
+    grads_p, grads_m = [], []
+    for ia in range(natm):
+        for x in range(3):
+            out = []
+            for sgn in (+1.0, -1.0):
+                c = coords0.copy()
+                c[ia, x] += sgn * disp / 2.0
+                cell_d = replace(cell, coords=c)
+                sys_d = build_scf_system(cell_d)
+                res_d = scf_kernel(sys_d, xc=xc, conv_tol=conv_tol,
+                                   dm0=dm0)
+                if not res_d["converged"]:
+                    raise RuntimeError(f"displaced SCF ({ia},{x},{sgn}) "
+                                       "not converged")
+                V, _, _ = _v_and_frozen(cell_d, sys_d, res_d, xcspec)
+                B = _frozen_matrix(cell_d, sys_d, frozen, family, coords0)
+                g = rhf_gradient(sys_d, res_d, xc=xc)
+                out.append((V - B, g))
+            (Vp, gp), (Vm, gm) = out
+            vmat.append((Vp - Vm) / disp)
+            grads_p.append(gp)
+            grads_m.append(gm)
+    vmat = np.asarray(vmat)                          # (3N, nao, nao)
+
+    hess = np.asarray([(gp - gm) / disp
+                       for gp, gm in zip(grads_p, grads_m)])
+    hess = hess.reshape(natm, 3, natm, 3)
+
+    omega, vec = phonon_modes(cell, hess)
+
+    # freq-mass weighting (reference _freq_mass_weighted_vec)
+    masses = np.array([ATOMIC_MASS[s] for s in cell.symbols]) * AMU_TO_ME
+    keep = omega > cutoff_au
+    om_k = omega[keep]
+    vec_k = vec[:, keep].reshape(natm, 3, -1)
+    wvec = vec_k / np.sqrt(2.0 * masses[:, None, None] * om_k[None, None, :])
+    wvec = wvec.reshape(3 * natm, -1)
+
+    gmat = np.einsum("xJ,xpq->Jpq", wvec, vmat)
+    if mo_rep:
+        C = np.asarray(res0["mo_coeff"])
+        gmat = np.einsum("Jpq,pi,qj->Jij", gmat, C, C)
+    return EPHResult(omega=omega, modes=vec, vmat=vmat, g=gmat,
+                     hessian=hess, mo_rep=mo_rep)

@@ -65,6 +65,27 @@ class _MeanField:
     run = kernel
     scf = kernel
 
+    def kernel_jit(self, df=None, isdf_c=None):
+        """Deployment-mode SCF: the fully jitted lax.while_loop driver
+        (scf/jit_diis.py) — ONE device program per SCF, required on the
+        tunneled TPU runtime where per-cycle host round-trips stall
+        (restricted Gamma/k classes; LDA/GGA/mGGA/hybrid/RSH).
+
+        Populates e_tot/dm/converged/niter; orbital quantities need the
+        host-loop kernel()."""
+        from pyscf_isdf_tpu.scf import jit_diis as _jd
+
+        runner = (_jd.run_kscf_jit_diis if isinstance(self, _KMeanField)
+                  else _jd.run_scf_jit_diis)
+        e_tot, dm, niter, conv = runner(
+            self.system, xc=self.xc, exxdiv=self.exxdiv,
+            df=df or (self.df if self.df != "fftdf" else "isdf"),
+            isdf_c=isdf_c or self.isdf_c,
+            max_cycle=self.max_cycle, conv_tol=self.conv_tol)
+        self._res = {"e_tot": e_tot, "dm": dm, "converged": conv,
+                     "niter": niter}
+        return e_tot
+
     def __getattr__(self, name):
         res = self.__dict__.get("_res")
         if res is not None and name in res:

