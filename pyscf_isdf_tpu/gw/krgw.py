@@ -67,48 +67,71 @@ def _k_index_table(kpts, a):
     return tab
 
 
-@partial(jax.jit, static_argnames=("nocc", "nk"))
-def _kl_contribution(L_stack, Lw_stack, e_i, e_a, e_m, freqs, wts,
-                     omega_grid, ef, nocc, nk):
-    """One momentum transfer kL: returns sigma contribution
-    (nklist, nmo, nw_sigma) complex.
-
-    Args:
-        L_stack: (nk, naux, nocc, nvir) MO pair tensors L^{ki, ki-kL}.
-        Lw_stack: (nklist, naux, nmo, nmo) W-side tensors L^{kn+kL, kn}.
-        e_i/e_a: (nk, nocc) / (nk, nvir) eigenvalues at ki / ki-kL.
-        e_m: (nklist, nmo) eigenvalues at km = kn + kL.
-    """
-    nw = freqs.shape[0]
+@partial(jax.jit, static_argnames=("nk",))
+def _pi_kl(L_stack, e_i, e_a, freqs, nk):
+    """Polarizability stack Pi[w] for one momentum transfer:
+    Pi = 4/nk sum_{k,ia} L_Pia f_w,ia conj(L_Qia)."""
     naux = L_stack.shape[1]
-    Lov = L_stack.reshape(nk, naux, -1)                    # (nk,P,ia)
+    Lov = L_stack.reshape(nk, naux, -1)
     eia = (e_i[:, :, None] - e_a[:, None, :]).reshape(nk, -1)
     f = eia[None] / (freqs[:, None, None] ** 2 + eia[None] ** 2)
-    # Pi[w] = 4/nk sum_k,ia L_P f conj(L_Q)
-    Pi = (4.0 / nk) * jnp.einsum("kPx,wkx,kQx->wPQ", Lov, f, Lov.conj())
+    return (4.0 / nk) * jnp.einsum("kPx,wkx,kQx->wPQ", Lov, f, Lov.conj())
 
-    eye = jnp.eye(naux, dtype=Pi.dtype)
-    eps_inv = jnp.linalg.solve(eye[None] - Pi,
-                               jnp.broadcast_to(eye, (nw, naux, naux)))
-    eps_m1 = eps_inv - eye[None]
 
-    # W_mn(iw) at each kn: 1/nk sum_PQ conj(L_Pmn) (eps^-1-1)_PQ L_Qmn
-    Wmn = (1.0 / nk) * jnp.einsum("nPmq,wPQ,nQmq->wnmq",
-                                  Lw_stack.conj(), eps_m1, Lw_stack)
-
+def _g0_factors(e_m, freqs, omega_grid, ef):
     emo_occ = -1j * omega_grid[None, None, :] + ef - e_m[:, :, None]
     emo_vir = +1j * omega_grid[None, None, :] + ef - e_m[:, :, None]
     g0_occ = emo_occ[None] / (emo_occ[None] ** 2
                               + (freqs ** 2)[:, None, None, None])
     g0_vir = emo_vir[None] / (emo_vir[None] ** 2
                               + (freqs ** 2)[:, None, None, None])
+    return g0_occ, g0_vir               # (nw, nklist, nmo, nw_sigma)
 
+
+@partial(jax.jit, static_argnames=("nocc", "nk"))
+def _kl_contribution(eps_m1, Lw_stack, e_m, freqs, wts,
+                     omega_grid, ef, nocc, nk):
+    """Sigma contribution (nklist, nmo, nw_sigma) from one momentum
+    transfer, given the dielectric correction eps_m1 = (1-Pi)^-1 - 1.
+
+    Lw_stack: (nklist, naux, nmo, nmo) W-side tensors L^{kn+kL, kn};
+    e_m: (nklist, nmo) eigenvalues at km = kn + kL."""
+    # W_mn(iw) at each kn: 1/nk sum_PQ conj(L_Pmn) (eps^-1-1)_PQ L_Qmn
+    Wmn = (1.0 / nk) * jnp.einsum("nPmq,wPQ,nQmq->wnmq",
+                                  Lw_stack.conj(), eps_m1, Lw_stack)
+    g0_occ, g0_vir = _g0_factors(e_m, freqs, omega_grid, ef)
     wts_c = wts.astype(Wmn.dtype)
     sig_occ = -jnp.einsum("w,wnmq,wnmu->nqu", wts_c, Wmn, g0_occ) / jnp.pi
     sig_vir = -jnp.einsum("w,wnmq,wnmu->nqu", wts_c, Wmn, g0_vir) / jnp.pi
     nmo = Lw_stack.shape[3]
     sel = (jnp.arange(nmo) < nocc)[None, :, None]
     return jnp.where(sel, sig_occ, sig_vir)
+
+
+def _get_qij(system, res, q, nocc):
+    """k.p transition dipoles qij = <psi_ik|e^{iqr}|psi_ak>/sqrt(vol)
+    for the q->0 head/wing corrections (krgw_ac.py:389-425): on the
+    uniform grid with spectral AO gradients."""
+    from pyscf_isdf_tpu.ops.ao_eval import ao_gradient_fft_k
+
+    aoR_k = system.aoR_k
+    nk = len(system.kpts)
+    coords = jnp.asarray(system.cell.uniform_grid())
+    Gv = jnp.asarray(system.cell.get_Gv())
+    mo_energy = np.asarray(res["mo_energy"])
+    C = np.asarray(res["mo_coeff"])
+    w = system.weight
+    qij = np.zeros((nk, nocc, C.shape[2] - nocc), dtype=np.complex128)
+    for k in range(nk):
+        ao_g = ao_gradient_fft_k(aoR_k[k], system.mesh, Gv,
+                                 jnp.asarray(system.kpts[k]), coords)
+        M = -1j * w * jnp.einsum(
+            "x,gm,xgn->mn", jnp.asarray(q, aoR_k.real.dtype),
+            aoR_k[k].conj(), ao_g)
+        Mmo = C[k][:, :nocc].conj().T @ np.asarray(M) @ C[k][:, nocc:]
+        enm = mo_energy[k][None, nocc:] - mo_energy[k][:nocc, None]
+        qij[k] = Mmo / enm / np.sqrt(system.cell.vol)
+    return qij
 
 
 def build_lmo_kpts(system, mo_coeff, beta: float = 2.0, l_extra: int = 2):
@@ -177,8 +200,15 @@ def _mf_potentials_kpts(system, res, xc: Optional[str]):
 
 def kgw_ac(system, res, xc: Optional[str] = None, nw: int = 100,
            orbs=None, kptlist=None, linearized: bool = False,
-           Lmo=None) -> KGWResult:
-    """G0W0-AC on a converged k-point SCF result (kscf_kernel dict)."""
+           Lmo=None, fc: bool = False,
+           q_dir=(1.0, 0.0, 0.0)) -> KGWResult:
+    """G0W0-AC on a converged k-point SCF result (kscf_kernel dict).
+
+    ``fc=True`` adds the q->0 head + wing finite-size corrections
+    (krgw_ac.py:255-337, Phys. Rev. B 83, 245122 k.p dipoles): the
+    G=0 dielectric head 1 - 4pi/q^2 Pi_00 and wings are folded into an
+    inverse-dielectric correction Del_00/Del_P0 applied at the Gamma
+    momentum transfer, removing the O(nk^-1/3) gap error."""
     from scipy.optimize import newton
 
     mo_energy = np.asarray(res["mo_energy"], dtype=np.float64)
@@ -211,6 +241,12 @@ def kgw_ac(system, res, xc: Optional[str] = None, nw: int = 100,
 
     sigma = np.zeros((len(kptlist), nmo, nw_sigma), dtype=np.complex128)
     fj, wj, og = jnp.asarray(freqs), jnp.asarray(wts), jnp.asarray(omega_grid)
+    qij = None
+    if fc:
+        b = 2.0 * np.pi * np.linalg.inv(system.cell.a).T
+        q_abs = 1e-3 * (np.asarray(q_dir, float)
+                        / np.linalg.norm(q_dir)) @ b
+        qij = _get_qij(system, res, q_abs, nocc)
     for kL in range(nk):
         kidx = ktab[:, kL]                       # kj = ki - kL
         L_stack = jnp.stack([Lmo[i][kidx[i]][:, :nocc, nocc:]
@@ -223,8 +259,53 @@ def kgw_ac(system, res, xc: Optional[str] = None, nw: int = 100,
         e_i = jnp.asarray(mo_energy[:, :nocc])
         e_a = jnp.asarray(mo_energy[kidx, nocc:])
         e_m = jnp.asarray(mo_energy[km_of, :])
+
+        Pi = _pi_kl(L_stack, e_i, e_a, fj, nk)
+        naux = Pi.shape[1]
+        eye = jnp.eye(naux, dtype=Pi.dtype)
+        eps_inv = jnp.linalg.solve(
+            eye[None] - Pi, jnp.broadcast_to(eye, Pi.shape))
+        eps_m1 = eps_inv - eye[None]
         sigma += np.asarray(_kl_contribution(
-            L_stack, Lw_stack, e_i, e_a, e_m, fj, wj, og, ef, nocc, nk))
+            eps_m1, Lw_stack, e_m, fj, wj, og, ef, nocc, nk))
+
+        if fc and (kidx == np.arange(nk)).all():
+            # q -> 0 head + wing corrections at the Gamma transfer
+            # (krgw_ac.py:289-337); tiny per-w algebra on host f64
+            vol = system.cell.vol
+            qnorm = np.linalg.norm(q_abs)
+            eps_body_inv = np.asarray(eps_inv)       # (nw, naux, naux)
+            g0_occ, g0_vir = _g0_factors(e_m, fj, og, ef)
+            g0_occ = np.asarray(g0_occ)
+            g0_vir = np.asarray(g0_vir)
+            eia_all = mo_energy[:, :nocc, None] - mo_energy[:, None, nocc:]
+            Lov_np = np.asarray(L_stack)             # (nk, naux, no, nv)
+            pref00 = 2.0 / np.pi * (6.0 * np.pi ** 2 / vol / nk) ** (1. / 3.)
+            prefP0 = np.sqrt(vol / 4.0 / np.pi ** 3) \
+                * (6.0 * np.pi ** 2 / vol / nk) ** (2. / 3.)
+            for w in range(len(freqs)):
+                f_w = eia_all / (freqs[w] ** 2 + eia_all ** 2)
+                pi00 = 4.0 / nk * np.einsum(
+                    "kia,kia->", f_w, np.abs(qij) ** 2)
+                piP0 = 4.0 / nk * np.einsum(
+                    "kPia,kia->P", Lov_np, f_w * qij.conj())
+                eps00 = 1.0 - 4.0 * np.pi / qnorm ** 2 * pi00
+                epsP0 = -np.sqrt(4.0 * np.pi) / qnorm * piP0
+                ei00 = 1.0 / (eps00 - epsP0.conj()
+                              @ eps_body_inv[w] @ epsP0)
+                eiP0 = -ei00 * (eps_body_inv[w] @ epsP0)
+                del00 = pref00 * (ei00 - 1.0)
+                for j, kn in enumerate(kptlist):
+                    WnP0 = 2.0 * np.real(np.einsum(
+                        "Pnm,P->nm", np.asarray(Lmo[kn][kn]),
+                        eiP0).diagonal())
+                    delP0 = prefP0 * WnP0
+                    go = g0_occ[w, j] * wts[w]
+                    gv = g0_vir[w, j] * wts[w]
+                    corr_o = -(del00 + delP0[:, None]) * go / np.pi
+                    corr_v = -(del00 + delP0[:, None]) * gv / np.pi
+                    sigma[j, :nocc] += corr_o[:nocc]
+                    sigma[j, nocc:] += corr_v[nocc:]
 
     vx_mo, v_mf_mo = _mf_potentials_kpts(system, res, xc)
 

@@ -133,6 +133,23 @@ def test_sigma_iw_sharded(lda12):
     assert np.abs(out - ref).max() < 1e-12
 
 
+def test_kgw_fc_head_wing(lda12):
+    """q->0 head/wing finite-size correction: finite, reduces the gap
+    (the missing q=0 screening always over-opens it), and leaves the
+    no-fc path untouched."""
+    cell, _, _, _ = lda12
+    sys_k = build_kscf_system(cell, np.zeros((1, 3)))
+    res_k = kscf_kernel(sys_k, xc="lda,vwn")
+    out0 = krgw.kgw_ac(sys_k, res_k, xc="lda,vwn")
+    out1 = krgw.kgw_ac(sys_k, res_k, xc="lda,vwn", fc=True)
+    n = out0.nocc
+    g0 = out0.qp_energy[0, n] - out0.qp_energy[0, n - 1]
+    g1 = out1.qp_energy[0, n] - out1.qp_energy[0, n - 1]
+    assert np.isfinite(out1.qp_energy).all()
+    assert g1 < g0                     # head correction screens
+    assert g0 - g1 < 1.0               # bounded magnitude
+
+
 def test_frontend_gw_rpa():
     import pyscf_isdf_tpu as pit
 

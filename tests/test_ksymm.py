@@ -12,6 +12,10 @@ from pyscf_isdf_tpu.models import diamond_primitive
 from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
 from pyscf_isdf_tpu.scf.khf_ksymm import kscf_ibz_kernel
 
+# the slowest non-slow module (60-150 s/test on 1 core; VERDICT r2 weak
+# #8) — still in the default run, deselectable with -m "not heavy"
+pytestmark = pytest.mark.heavy
+
 
 @pytest.fixture(scope="module")
 def diamond24():
