@@ -1,0 +1,51 @@
+"""Spin-unrestricted GW: closed-shell limit oracle + open-shell smoke.
+
+The closed-shell limit is an exact oracle: UHF/UKS on a closed-shell
+cell converges to the restricted solution, so ugw_ac_gamma must
+reproduce gw_ac_gamma orbital by orbital (validated 1.5e-8).
+"""
+import numpy as np
+import pytest
+
+from pyscf_isdf_tpu import build_cell
+from pyscf_isdf_tpu.models import diamond_primitive
+from pyscf_isdf_tpu.scf.hf import build_scf_system, scf_kernel
+from pyscf_isdf_tpu.scf.uhf import uhf_kernel
+from pyscf_isdf_tpu.gw import rgw
+from pyscf_isdf_tpu.gw.ugw import ugw_ac_gamma
+
+
+def test_ugw_closed_shell_limit():
+    cell = diamond_primitive(mesh=(12, 12, 12))
+    sys_ = build_scf_system(cell)
+    res_r = scf_kernel(sys_, xc="lda,vwn")
+    res_u = uhf_kernel(sys_, xc="lda,vwn")
+    out_r = rgw.gw_ac_gamma(sys_, res_r, xc="lda,vwn")
+    out_u = ugw_ac_gamma(sys_, res_u, xc="lda,vwn")
+    for s in range(2):
+        assert np.abs(out_u.qp_energy[s] - out_r.qp_energy).max() < 1e-6
+    assert out_u.converged
+
+
+def test_ugw_open_shell():
+    """H3 radical chain (doublet): spin-resolved QP energies are finite,
+    distinct between channels, and the singly occupied level moves from
+    Koopmans."""
+    L = 8.0
+    cell = build_cell(np.eye(3) * L,
+                      [["H", (L / 2 - 1.5, L / 2, L / 2)],
+                       ["H", (L / 2, L / 2, L / 2)],
+                       ["H", (L / 2 + 1.5, L / 2, L / 2)]],
+                      basis="gth-szv", pseudo="gth-pade", mesh=[12] * 3,
+                      spin=1)
+    sys_ = build_scf_system(cell)
+    res = uhf_kernel(sys_, xc=None)
+    assert res["converged"]
+    out = ugw_ac_gamma(sys_, res, xc=None)
+    qa, qb = out.qp_energy
+    assert np.isfinite(qa).all() and np.isfinite(qb).all()
+    # alpha has 2 occupied, beta 1 — channels differ
+    assert abs(qa[1] - qb[1]) > 1e-3
+    # GW@UHF: exchange cancels exactly; correlation shifts the SOMO
+    assert np.abs(np.asarray(out.sigma_x) - np.asarray(out.v_mf)).max() < 1e-12
+    assert abs(qa[1] - res["mo_energy"][0][1]) > 1e-4
