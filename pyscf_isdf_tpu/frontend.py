@@ -297,16 +297,23 @@ class KGHF(_KMeanField):
                            verbose=self.verbose)
 
 
-def GW(mf, nw: int = 100, orbs=None, linearized: bool = False):
-    """G0W0-AC quasiparticle energies on a converged (K)RHF/(K)RKS
-    object — reference gw.GW(mf) / krgw_ac.KRGWAC(mf) analog.
+def GW(mf, nw: int = 100, orbs=None, linearized: bool = False,
+       fc: bool = False):
+    """G0W0-AC quasiparticle energies on a converged (K)RHF/(K)RKS/
+    UHF/UKS object — reference gw.GW(mf) / krgw_ac.KRGWAC(mf) /
+    ugw_ac analog.
 
-    Returns a GWResult (Gamma) or KGWResult (k-point) with .qp_energy."""
-    from pyscf_isdf_tpu.gw import gw_ac_gamma, kgw_ac
+    Returns a GWResult (Gamma), KGWResult (k-point, optional ``fc``
+    head/wing finite-size correction) or UGWResult (spin-polarized)
+    with .qp_energy."""
+    from pyscf_isdf_tpu.gw import gw_ac_gamma, kgw_ac, ugw_ac_gamma
 
     if isinstance(mf, _KMeanField):
         return kgw_ac(mf.system, mf._res, xc=mf.xc, nw=nw, orbs=orbs,
-                      linearized=linearized)
+                      linearized=linearized, fc=fc)
+    if isinstance(mf, (UHF, UKS)):
+        return ugw_ac_gamma(mf.system, mf._res, xc=mf.xc, nw=nw,
+                            orbs=orbs)
     return gw_ac_gamma(mf.system, mf._res, xc=mf.xc, nw=nw, orbs=orbs,
                        linearized=linearized)
 

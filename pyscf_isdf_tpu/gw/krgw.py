@@ -134,14 +134,20 @@ def _get_qij(system, res, q, nocc):
     return qij
 
 
-def build_lmo_kpts(system, mo_coeff, beta: float = 2.0, l_extra: int = 2):
+def build_lmo_kpts(system, mo_coeff, beta: float = 2.0, l_extra: int = 2,
+                   kg=None):
     """Whitened per-(k1,k2) DF tensors in the MO basis:
-    Lmo[k1][k2][P,p,q] = C^{k1 dagger} cd^{k1k2}_P C^{k2}."""
+    Lmo[k1][k2][P,p,q] = C^{k1 dagger} cd^{k1k2}_P C^{k2}.
+
+    Pass a prebuilt ``kg`` (KGDF) to share one AO-basis fit across
+    several MO transforms (the spin channels of kugw_ac)."""
     from pyscf_isdf_tpu.df import gdf as gdf_mod
 
-    kg = gdf_mod.build_gdf_kpts(system.cell, system.aoR_k, system.kpts,
-                                system.mesh, system.weight, beta=beta,
-                                l_extra=l_extra)
+    if kg is None:
+        kg = gdf_mod.build_gdf_kpts(system.cell, system.aoR_k,
+                                    system.kpts, system.mesh,
+                                    system.weight, beta=beta,
+                                    l_extra=l_extra)
     nk = kg.nk
     C = [jnp.asarray(c) for c in mo_coeff]
     out = []

@@ -182,3 +182,150 @@ def ugw_ac_gamma(system, res, xc: Optional[str] = None, nw: int = 100,
     return UGWResult(qp_energy=qp, mo_energy=(e_a, e_b),
                      sigma_x=tuple(vx), v_mf=tuple(v_mf),
                      converged=conv, nocc=(nocc_a, nocc_b))
+
+
+# ------------------------------------------------------------------
+# k-point spin-unrestricted GW (reference pbc/gw/kugw_ac.py)
+
+def kugw_ac(system, res, xc=None, nw: int = 100, orbs=None,
+            nelec=None) -> UGWResult:
+    """Spin-unrestricted k-point G0W0-AC on a kuhf_kernel result.
+
+    Per momentum transfer the polarizability sums both spin channels
+    with unit occupancy, Pi = 2/nk sum_s sum_ki L^s f L^s*; the shared
+    screening feeds per-spin W/G contractions (kugw_ac.py structure on
+    the krgw engine of gw/krgw.py).  xc support: None (KUHF) or
+    LDA-family; spin k-GGA v_mf plumbing is a loud TODO.
+
+    Closed-shell limit == restricted kgw_ac (exact oracle, tested).
+    """
+    from scipy.optimize import newton
+    import jax
+
+    from pyscf_isdf_tpu.df import gdf as gdf_mod
+    from pyscf_isdf_tpu.df import fftdf_k
+    from pyscf_isdf_tpu.gw.krgw import (
+        _k_index_table, _kl_contribution, _pi_kl, build_lmo_kpts)
+    from pyscf_isdf_tpu.gw.rgw import _pade_fit_points
+
+    e_s = [np.asarray(e, np.float64) for e in res["mo_energy"]]
+    nk, nmo = e_s[0].shape
+    if nelec is None:
+        spin = system.cell.spin
+        ne_tot = system.nelec_tot
+        na = (ne_tot + spin * nk) // 2        # alpha electrons, all k
+        nelec = (na // nk, (ne_tot - na) // nk)
+    nocc_s = list(nelec)
+    if orbs is None:
+        orbs = np.arange(nmo)
+
+    homo = max(e_s[s][:, nocc_s[s] - 1].max()
+               for s in range(2) if nocc_s[s] > 0)
+    lumo = min(e_s[s][:, nocc_s[s]].min() for s in range(2))
+    if lumo - homo < 1e-3:
+        raise ValueError("GW-AC does not support metallic references")
+    ef = 0.5 * (homo + lumo)
+
+    kg = gdf_mod.build_gdf_kpts(system.cell, system.aoR_k, system.kpts,
+                                system.mesh, system.weight)
+    Lmo_s = [build_lmo_kpts(system, res["mo_coeff"][s], kg=kg)
+             for s in range(2)]
+
+    freqs, wts = scaled_legendre(nw)
+    nw_sigma = int(np.sum(freqs < 5.0)) + 1
+    omega_grid = np.zeros(nw_sigma)
+    omega_grid[1:] = freqs[: nw_sigma - 1]
+    fj, wj, og = (jnp.asarray(freqs), jnp.asarray(wts),
+                  jnp.asarray(omega_grid))
+
+    ktab = _k_index_table(system.kpts, system.cell.a)
+    sigma = [np.zeros((nk, nmo, nw_sigma), np.complex128)
+             for _ in range(2)]
+    for kL in range(nk):
+        kidx = ktab[:, kL]
+        km_of = np.array([int(np.nonzero(kidx == kn)[0][0])
+                          for kn in range(nk)])
+        Pi = 0.0
+        for s in range(2):
+            no = nocc_s[s]
+            L_stack = jnp.stack([Lmo_s[s][i][kidx[i]][:, :no, no:]
+                                 for i in range(nk)])
+            # _pi_kl carries the restricted factor 4/nk; each spin
+            # contributes 2/nk -> halve
+            Pi = Pi + 0.5 * _pi_kl(
+                L_stack, jnp.asarray(e_s[s][:, :no]),
+                jnp.asarray(e_s[s][kidx, no:]), fj, nk)
+        naux = Pi.shape[1]
+        eye = jnp.eye(naux, dtype=Pi.dtype)
+        eps_inv = jnp.linalg.solve(eye[None] - Pi,
+                                   jnp.broadcast_to(eye, Pi.shape))
+        eps_m1 = eps_inv - eye[None]
+        for s in range(2):
+            Lw_stack = jnp.stack([Lmo_s[s][km_of[kn]][kn]
+                                  for kn in range(nk)])
+            e_m = jnp.asarray(e_s[s][km_of, :])
+            sigma[s] += np.asarray(_kl_contribution(
+                eps_m1, Lw_stack, e_m, fj, wj, og, ef, nocc_s[s], nk))
+
+    # mean-field potentials per spin at k
+    aoR_k = system.aoR_k
+    dm = [np.asarray(d) for d in res["dm"]]
+    C = [np.asarray(c) for c in res["mo_coeff"]]
+    S = system.S
+    vx_mo = [None, None]
+    v_mf_mo = [None, None]
+    vxc_s = None
+    if xc is not None:
+        spec = XCSpec(xc)
+        if spec.family != "lda":
+            raise NotImplementedError("kugw: spin k-GGA v_mf todo")
+        dmj = [jnp.asarray(dm[s], aoR_k.dtype) for s in range(2)]
+        rho = [jnp.maximum(jnp.einsum(
+            "kgi,kij,kgj->g", aoR_k, dmj[s], aoR_k.conj()).real / nk,
+            1e-30) for s in range(2)]
+        _, (va, vb), _ = spec.exc_vxc_spin(rho[0], rho[1])
+        w = system.weight
+        vxc_s = [np.asarray(w * jnp.einsum(
+            "kgi,g,kgj->kij", aoR_k.conj(), v, aoR_k))
+            for v in (va, vb)]
+    for s in range(2):
+        vk = np.array(fftdf_k.get_k_kpts(
+            aoR_k, jnp.asarray(dm[s], aoR_k.dtype), system.coulG_pairs,
+            system.expmikr, system.mesh, system.weight), np.complex128)
+        for k in range(nk):
+            vk[k] += system.madelung * (S[k] @ dm[s][k] @ S[k])
+        vx_ao = -vk
+        if xc is None:
+            v_ao = vx_ao
+        else:
+            v_ao = vxc_s[s] + XCSpec(xc).hyb * vx_ao
+        vx_mo[s] = np.einsum("kip,kij,kjp->kp", np.conj(C[s]), vx_ao,
+                             C[s]).real
+        v_mf_mo[s] = np.einsum("kip,kij,kjp->kp", np.conj(C[s]), v_ao,
+                               C[s]).real
+
+    fit = _pade_fit_points(nw_sigma)
+    qp = tuple(e.copy() for e in e_s)
+    conv = True
+    for s in range(2):
+        for kn in range(nk):
+            for p in orbs:
+                sgn = -1.0 if p < nocc_s[s] else 1.0
+                zn = 1j * sgn * omega_grid[fit]
+                a = thiele_coefficients(sigma[s][kn, p, fit], zn)
+
+                def s_real(w, zn=zn, a=a):
+                    return pade_eval(w - ef, zn, a).real
+
+                def qp_eq(w, s=s, kn=kn, p=p, s_real=s_real):
+                    return w - e_s[s][kn, p] - (
+                        s_real(w) + vx_mo[s][kn, p] - v_mf_mo[s][kn, p])
+
+                try:
+                    qp[s][kn, p] = newton(qp_eq, e_s[s][kn, p],
+                                          tol=1e-6, maxiter=100)
+                except RuntimeError:
+                    conv = False
+    return UGWResult(qp_energy=qp, mo_energy=tuple(e_s),
+                     sigma_x=tuple(vx_mo), v_mf=tuple(v_mf_mo),
+                     converged=conv, nocc=tuple(nocc_s))

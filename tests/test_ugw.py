@@ -49,3 +49,28 @@ def test_ugw_open_shell():
     # GW@UHF: exchange cancels exactly; correlation shifts the SOMO
     assert np.abs(np.asarray(out.sigma_x) - np.asarray(out.v_mf)).max() < 1e-12
     assert abs(qa[1] - res["mo_energy"][0][1]) > 1e-4
+
+
+@pytest.mark.heavy
+def test_kugw_closed_shell_limit():
+    """k-point spin GW == restricted k-GW on a closed shell (2x1x1).
+
+    Tolerance 1e-4: the two SCF solvers pick different orbital phases /
+    rotations inside degenerate shells, and the diagonal-Sigma QP
+    energies are basis-dependent there (measured 1.3e-5)."""
+    from pyscf_isdf_tpu import lattice
+    from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+    from pyscf_isdf_tpu.scf.kuhf import kuhf_kernel
+    from pyscf_isdf_tpu.gw import krgw
+    from pyscf_isdf_tpu.gw.ugw import kugw_ac
+
+    cell = diamond_primitive(mesh=(12, 12, 12))
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1])
+    sys_k = build_kscf_system(cell, kpts)
+    res_r = kscf_kernel(sys_k, xc="lda,vwn")
+    res_u = kuhf_kernel(sys_k, xc="lda,vwn")
+    out_r = krgw.kgw_ac(sys_k, res_r, xc="lda,vwn")
+    out_u = kugw_ac(sys_k, res_u, xc="lda,vwn")
+    for s in range(2):
+        assert np.abs(out_u.qp_energy[s] - out_r.qp_energy).max() < 1e-4
+    assert out_u.converged
