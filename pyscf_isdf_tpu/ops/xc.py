@@ -317,6 +317,17 @@ class XCSpec:
     needed on the SR part).
     """
 
+    def __hash__(self):
+        # value-based identity: XCSpec is a jit static argument
+        # (scf/hf.py _vxc_* static_argnames); the default object-id hash
+        # made EVERY scf_kernel call recompile every jitted XC program
+        # (a fresh XCSpec per call), bloating the XLA program cache
+        # across a long process
+        return hash(("XCSpec", self.name))
+
+    def __eq__(self, other):
+        return isinstance(other, XCSpec) and other.name == self.name
+
     def __init__(self, name: str):
         name = name.lower().replace(" ", "")
         self.name = name
