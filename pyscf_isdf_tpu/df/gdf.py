@@ -197,12 +197,25 @@ def build_gdf_kpts(cell, aoR_k, kpts, mesh, weight, beta: float = 2.0,
     chi = fft3(aoR_aux.T, mesh).T * weight              # (ng, naux)
 
     cache = {}
+    b_mat = 2.0 * np.pi * np.linalg.inv(cell.a.T)
 
     def q_data(q):
-        key = tuple(np.round(q, 10))
+        # canonicalize q modulo the reciprocal lattice: pairs (k1,k2)
+        # and (k2,k1) on a half-BZ mesh carry q = +X and -X = X - G —
+        # the SAME momentum-transfer class. One whitened aux basis per
+        # class is load-bearing for consumers that STACK pair tensors
+        # across ki at fixed transfer (gw/krgw.py's polarizability):
+        # mixing two eigh whitenings of the same metric in one Pi
+        # matrix is frame-inconsistent (caught by the GW supercell
+        # parity test). The G-shifted phase e^{-i q_c r} stays
+        # lattice-periodic, so the fit itself is unchanged in quality.
+        scaled = (q @ cell.a.T) / (2.0 * np.pi)
+        frac = scaled - np.floor(scaled + 0.5 - 1e-9)   # [-0.5, 0.5)
+        q_c = frac @ b_mat
+        key = tuple(np.round(frac, 10))
         if key not in cache:
-            phase = jnp.asarray(np.exp(-1j * coords @ q))
-            vq = jnp.asarray(coulomb.get_coulG(cell, k=q, exxdiv=None,
+            phase = jnp.asarray(np.exp(-1j * coords @ q_c))
+            vq = jnp.asarray(coulomb.get_coulG(cell, k=q_c, exxdiv=None,
                                                kpts=kpts, omega=omega))
             j2c = np.asarray(chi.conj().T @ (vq[:, None] * chi)) / cell.vol
             w, U = np.linalg.eigh(j2c)

@@ -169,9 +169,13 @@ def _mf_potentials_kpts(system, res, xc: Optional[str]):
     C = np.asarray(res["mo_coeff"])
     nk = len(system.kpts)
 
+    # get_k_kpts expects weight = (1/nk) * vol/ngrids (df/fftdf_k.py
+    # docstring) — passing the bare grid weight doubles vx at nk=2
+    # (caught by the supercell-parity test)
     vk = np.array(fftdf_k.get_k_kpts(
         aoR_k, jnp.asarray(dm, aoR_k.dtype), system.coulG_pairs,
-        system.expmikr, system.mesh, system.weight), dtype=np.complex128)
+        system.expmikr, system.mesh, system.weight / nk),
+        dtype=np.complex128)
     S = system.S
     for k in range(nk):
         vk[k] += system.madelung * (S[k] @ dm[k] @ S[k])

@@ -289,9 +289,11 @@ def kugw_ac(system, res, xc=None, nw: int = 100, orbs=None,
             "kgi,g,kgj->kij", aoR_k.conj(), v, aoR_k))
             for v in (va, vb)]
     for s in range(2):
+        # weight = (1/nk) * vol/ngrids (df/fftdf_k.py get_k_kpts contract)
         vk = np.array(fftdf_k.get_k_kpts(
             aoR_k, jnp.asarray(dm[s], aoR_k.dtype), system.coulG_pairs,
-            system.expmikr, system.mesh, system.weight), np.complex128)
+            system.expmikr, system.mesh, system.weight / nk),
+            np.complex128)
         for k in range(nk):
             vk[k] += system.madelung * (S[k] @ dm[s][k] @ S[k])
         vx_ao = -vk
