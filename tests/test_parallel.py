@@ -133,7 +133,13 @@ def test_sharded_blocked_build_large():
     aoRg_1, W_1, _ = _build_from_idx(aoR, jnp.asarray(sh.ip_idx),
                                      coulG, mesh3, w)
     assert np.abs(np.asarray(sh.aoRg) - np.asarray(aoRg_1)).max() < 1e-9
-    assert np.abs(np.asarray(sh.W) - np.asarray(W_1)).max() < 1e-9
+    # W passes through the Gram solve: cross-device reduction-order
+    # noise (~eps_f64) is amplified by the Gram condition number
+    # (~1e8 at this n_ip/rank ratio) — observed 2.7e-8..2.4e-7 max
+    # across runs while the exchange-trace parity below holds at 1e-12,
+    # so a tight elementwise W bar tests the conditioning, not the
+    # distribution
+    assert np.abs(np.asarray(sh.W) - np.asarray(W_1)).max() < 1e-5
 
     # quality check: exchange parity against a single-device blocked build
     ref = isdf_mod.build_isdf(aoR, coulG, mesh3, w, n_ip=n_ip,
