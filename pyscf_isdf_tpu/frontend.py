@@ -318,12 +318,16 @@ def GW(mf, nw: int = 100, orbs=None, linearized: bool = False,
                        linearized=linearized)
 
 
-def RPA(mf: _MeanField, nw: int = 100):
-    """Direct-RPA correlation energy on a converged Gamma mean-field
-    (reference pyscf/gw/rpa.py capability); returns (e_corr, e_tot)."""
-    from pyscf_isdf_tpu.gw import rpa_ecorr_gamma
+def RPA(mf, nw: int = 100):
+    """Direct-RPA correlation energy on a converged mean-field
+    (reference pyscf/gw/rpa.py capability; the k-point form EXCEEDS it).
+    Returns (e_corr, e_tot) — per unit cell for k-point objects."""
+    from pyscf_isdf_tpu.gw import rpa_ecorr_gamma, rpa_ecorr_kpts
 
-    ec = rpa_ecorr_gamma(mf.system, mf._res, nw=nw)
+    if isinstance(mf, _KMeanField):
+        ec = rpa_ecorr_kpts(mf.system, mf._res, nw=nw)
+    else:
+        ec = rpa_ecorr_gamma(mf.system, mf._res, nw=nw)
     return ec, mf._res["e_tot"] + ec
 
 

@@ -350,3 +350,44 @@ def kgw_ac(system, res, xc: Optional[str] = None, nw: int = 100,
                     conv = False
     return KGWResult(qp_energy=qp, mo_energy=mo_energy, sigma_x=vx_mo,
                      v_mf=v_mf_mo, converged=conv, nocc=nocc)
+
+
+def rpa_ecorr_kpts(system, res, nw: int = 100, Lmo=None) -> float:
+    """k-point direct-RPA correlation energy PER UNIT CELL.
+
+    The supercell polarizability block-diagonalizes over momentum
+    transfers, so the ln-det trace splits per q (the same per-q Pi
+    stacks the GW engine builds):
+
+        Ec_cell = 1/(2 pi nk) sum_q int_0^inf dw
+                  tr[ ln(1 - Pi_q(iw)) + Pi_q(iw) ]
+
+    1/nk normalization matches KMP2's per-unit-cell convention.
+    Oracle: nk * Ec_cell == the Gamma-supercell rpa_ecorr_gamma
+    (tested); reference capability: pyscf/gw/rpa.py is molecular-only —
+    this EXCEEDS."""
+    from pyscf_isdf_tpu.gw.rgw import scaled_legendre
+
+    mo_energy = np.asarray(res["mo_energy"], dtype=np.float64)
+    nk, nmo = mo_energy.shape
+    if system.nelec_tot % (2 * nk):
+        raise ValueError("k-RPA needs a uniform integer band filling")
+    nocc = system.nelec_tot // (2 * nk)
+    if Lmo is None:
+        Lmo = build_lmo_kpts(system, res["mo_coeff"])
+
+    freqs, wts = scaled_legendre(nw)
+    fj = jnp.asarray(freqs)
+    ktab = _k_index_table(system.kpts, system.cell.a)
+    total = 0.0
+    for kL in range(nk):
+        kidx = ktab[:, kL]
+        L_stack = jnp.stack([Lmo[i][kidx[i]][:, :nocc, nocc:]
+                             for i in range(nk)])
+        e_i = jnp.asarray(mo_energy[:, :nocc])
+        e_a = jnp.asarray(mo_energy[kidx, nocc:])
+        Pi = _pi_kl(L_stack, e_i, e_a, fj, nk)
+        ev = np.asarray(jnp.linalg.eigvalsh(Pi)).real   # (nw, naux)
+        integ = np.sum(np.log(1.0 - ev) + ev, axis=1)
+        total += float(np.sum(wts * integ))
+    return total / (2.0 * np.pi * nk)

@@ -195,3 +195,34 @@ def test_kgw_supercell_parity():
     # the agreement floor
     assert abs(homo_k - homo_s) < 2e-3
     assert abs(lumo_k - lumo_s) < 2e-3
+
+
+def test_krpa_gamma_limit(lda12):
+    """k-point RPA Ec at 1x1x1 == the Gamma-path quadrature (different
+    code paths: complex per-q whitening vs real Gamma GDF)."""
+    from pyscf_isdf_tpu.gw.krgw import rpa_ecorr_kpts
+
+    cell, sys_g, res_g, Lmo = lda12
+    ec_g = rgw.rpa_ecorr_gamma(sys_g, res_g, Lmo=Lmo)
+    sys_1 = build_kscf_system(cell, np.zeros((1, 3)))
+    res_1 = kscf_kernel(sys_1, xc="lda,vwn")
+    ec_1 = rpa_ecorr_kpts(sys_1, res_1)
+    assert abs(ec_g - ec_1) < 1e-8
+
+
+@pytest.mark.slow
+def test_krpa_supercell_parity():
+    """2x1x1 per-cell RPA Ec == Gamma-supercell Ec / 2 (the q-block
+    trace decomposition; independent DF builds set the ~5e-6 floor)."""
+    from pyscf_isdf_tpu.gw.krgw import rpa_ecorr_kpts
+
+    cell = diamond_primitive(mesh=(12, 12, 12))
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1])
+    sys_k = build_kscf_system(cell, kpts)
+    res_k = kscf_kernel(sys_k, xc="lda,vwn")
+    ec_k = rpa_ecorr_kpts(sys_k, res_k)
+    sc = diamond_supercell(nrep=(2, 1, 1), mesh=(24, 12, 12))
+    sys_s = build_scf_system(sc)
+    res_s = scf_kernel(sys_s, xc="lda,vwn")
+    ec_s = rgw.rpa_ecorr_gamma(sys_s, res_s)
+    assert abs(ec_k - ec_s / 2.0) < 5e-5
