@@ -133,11 +133,12 @@ def adc2_from_scf(system, res, nroots: int = 3):
         system.weight)).reshape(nmo, nmo, nmo, nmo)
     _, V = gccsd.spinorb_from_spatial(h1mo, eri_mo)
     e = np.asarray(res["mo_energy"])
-    e_so = np.repeat(e, 2)
+    if not np.all(np.diff(e) >= -1e-12):
+        # reordering e_so alone would silently decouple energies from V
+        # (the integrals stay in the interleaved orbital order)
+        raise ValueError("adc2_from_scf needs ascending mo_energy "
+                         "(reorder mo_coeff/mo_energy together first)")
+    e_so = np.repeat(e, 2)      # interleaved — matches V's orbital order
     nocc_so = system.nelec
-    order = np.argsort(e_so, kind="stable")
-    e_so = e_so[order]          # spinorb_from_spatial interleaves spins
     eo, ev = e_so[:nocc_so], e_so[nocc_so:]
-    # V from spinorb_from_spatial is in (2*spatial) interleaved order
-    # consistent with np.repeat's doubling of each spatial orbital
     return (ip_adc2(eo, ev, V, nroots), ea_adc2(eo, ev, V, nroots))

@@ -57,6 +57,11 @@ class KAlgebra:
         self.ksub = kcons[:, :, g0]              # a - b + 0 = s
         self.kadd = kcons[:, g0, :]              # a - 0 + b = s
         self.kcons = kcons
+        # content fingerprint for the plan cache: id(ka) keys are
+        # unsound (a freed object's id is reused — stale plans from a
+        # DIFFERENT k-mesh would silently gather wrong blocks)
+        self.fingerprint = hash(
+            (self.nk, self.ksub.tobytes(), self.kadd.tobytes()))
 
     @staticmethod
     def _gamma_index(cell_a, kpts):
@@ -243,11 +248,38 @@ def _make_plan(spec, shapes2t, ka: KAlgebra):
     return plan
 
 
+def symmetrized_phys_tensor(eri7, ka, nk, nmo):
+    """Blocked physicist tensor from the 7d chemist ERIs with
+    <pq|rs> = <qp|sr> enforced EXACTLY.
+
+    The grid transform breaks the bra/ket-swap symmetry at the aliasing
+    level (~1e-5 measured); projecting onto the exact symmetry keeps
+    this kernel, the spin-adapted krccsd and the composite oracle at
+    one common, physical fixed point. Shared by cc/kccsd_blocked and
+    cc/krccsd (the projection convention is physics-load-bearing — one
+    copy only)."""
+    Vf = np.empty((nk, nk, nk, nmo, nmo, nmo, nmo), dtype=complex)
+    for k1 in range(nk):
+        for k2 in range(nk):
+            for k3 in range(nk):
+                Vf[k1, k2, k3] = \
+                    (eri7[k1, k3, k2] / nk).transpose(0, 2, 1, 3)
+    Vs = np.empty_like(Vf)
+    for k1 in range(nk):
+        for k2 in range(nk):
+            for k3 in range(nk):
+                k4 = int(ka.k4(k1, k2, k3))
+                Vs[k1, k2, k3] = 0.5 * (
+                    Vf[k1, k2, k3]
+                    + Vf[k2, k1, k4].transpose(1, 0, 3, 2))
+    return Vs
+
+
 _PLAN_CACHE = {}
 
 
 def _plan(spec, shapes2t, ka):
-    key = (spec, shapes2t, id(ka))
+    key = (spec, shapes2t, ka.fingerprint)
     if key not in _PLAN_CACHE:
         _PLAN_CACHE[key] = _make_plan(spec, shapes2t, ka)
     return _PLAN_CACHE[key]
@@ -444,25 +476,7 @@ def build_blocked_eris(system, scf_res):
     eri7 = fft_ao2mo.ao2mo_7d(system, mo_cs)         # (nk,nk,nk,nmo^4)
     kcons = ka.kcons
 
-    # full blocked physicist tensor with <pq|rs> = <qp|sr> enforced
-    # (grid aliasing breaks the bra/ket swap at ~1e-5; projecting onto
-    # the exact symmetry keeps this kernel, the spin-adapted krccsd and
-    # the composite oracle at one common, physical fixed point)
-    Vf = np.empty((nk, nk, nk, nmo, nmo, nmo, nmo), dtype=complex)
-    for k1 in range(nk):
-        for k2 in range(nk):
-            for k3 in range(nk):
-                Vf[k1, k2, k3] = \
-                    (eri7[k1, k3, k2] / nk).transpose(0, 2, 1, 3)
-    Vs = np.empty_like(Vf)
-    for k1 in range(nk):
-        for k2 in range(nk):
-            for k3 in range(nk):
-                k4 = int(ka.k4(k1, k2, k3))
-                Vs[k1, k2, k3] = 0.5 * (
-                    Vf[k1, k2, k3]
-                    + Vf[k2, k1, k4].transpose(1, 0, 3, 2))
-    del Vf
+    Vs = symmetrized_phys_tensor(eri7, ka, nk, nmo)
 
     # spin expansion machinery (interleaved, gccsd.spinorb_from_spatial)
     nso = 2 * nmo

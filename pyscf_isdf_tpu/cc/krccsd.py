@@ -296,27 +296,9 @@ def build_spatial_eris(system, scf_res):
     osl, vsl = slice(0, no), slice(no, nmo)
     ix = {"o": osl, "v": vsl}
 
-    # full blocked physicist tensor, then enforce <pq|rs> = <qp|sr>
-    # EXACTLY: the grid transform breaks this bra/ket-swap symmetry at
-    # the aliasing level (~1e-5 measured), and spin adaptation assumes
-    # it — without the projection the spin-adapted fixed point drifts
-    # ~1e-9 from the spin-orbital one (symmetrizing is the physical
-    # choice: the exact integrals have the symmetry).
-    Vf = np.empty((nk, nk, nk, nmo, nmo, nmo, nmo), dtype=complex)
-    for k1 in range(nk):
-        for k2 in range(nk):
-            for k3 in range(nk):
-                Vf[k1, k2, k3] = \
-                    (eri7[k1, k3, k2] / nk).transpose(0, 2, 1, 3)
-    Vs = np.empty_like(Vf)
-    for k1 in range(nk):
-        for k2 in range(nk):
-            for k3 in range(nk):
-                k4 = int(ka.k4(k1, k2, k3))
-                Vs[k1, k2, k3] = 0.5 * (
-                    Vf[k1, k2, k3]
-                    + Vf[k2, k1, k4].transpose(1, 0, 3, 2))
-    del Vf
+    from pyscf_isdf_tpu.cc.kccsd_blocked import symmetrized_phys_tensor
+
+    Vs = symmetrized_phys_tensor(eri7, ka, nk, nmo)
 
     def cls_shape(name):
         return tuple(no if c == "o" else nv for c in name)

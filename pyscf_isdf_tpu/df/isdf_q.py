@@ -278,44 +278,47 @@ def build_isdf_q(cell, aoR_k, kpts, n_ip=None, c: float = 16.0,
                  phase_q=(phase_q if keep_x else None))
 
 
+@jax.jit
+def _j_kpts_run(isdfq, dm):
+    # ISDFQ is a pytree with qmap in its STATIC aux data, so these
+    # module-level jits cache across SCF cycles (per-call closures
+    # recompiled the whole program every iteration — code review)
+    nk = isdfq.Ag.shape[0]
+    q0 = int(isdfq.qmap[0, 0])
+    rho = jnp.einsum("kpa,kab,kpb->p", isdfq.Ag, dm, isdfq.Ag.conj()) / nk
+    u = isdfq.Wq[q0] @ rho
+    return jnp.einsum("kpa,p,kpb->kab", isdfq.Ag.conj(), u, isdfq.Ag)
+
+
 def get_j_kpts(isdfq: ISDFQ, dm_k):
     """Fitted Coulomb: the q=0 sector is a REAL Gamma-type ISDF.
 
     vj_k = A_k^H diag(W_0 rho_ip) A_k,
     rho_ip[P] = (1/nk) sum_k2 (A2 D2 A2^H)[P,P].
     """
-    nk = isdfq.Ag.shape[0]
-    q0 = int(isdfq.qmap[0, 0])
+    return _j_kpts_run(isdfq, jnp.asarray(dm_k, isdfq.Ag.dtype))
 
-    @jax.jit
-    def _run(Ag, W0, dm):
-        rho = jnp.einsum("kpa,kab,kpb->p", Ag, dm, Ag.conj()) / nk
-        u = W0 @ rho
-        return jnp.einsum("kpa,p,kpb->kab", Ag.conj(), u, Ag)
 
-    return _run(isdfq.Ag, isdfq.Wq[q0],
-                jnp.asarray(dm_k, isdfq.Ag.dtype))
+@partial(jax.jit, static_argnames=("k1_list",))
+def _k_kpts_run(isdfq, dm, k1_list):
+    Ag, Wq, qmap = isdfq.Ag, isdfq.Wq, isdfq.qmap
+    nk = Ag.shape[0]
+    M_all = [Ag[k2] @ dm[k2] @ Ag[k2].conj().T for k2 in range(nk)]
+    out = []
+    for k1 in k1_list:
+        acc = jnp.zeros((Ag.shape[2], Ag.shape[2]), Ag.dtype)
+        for k2 in range(nk):
+            W = Wq[qmap[k2, k1]]
+            acc = acc + Ag[k1].conj().T @ (M_all[k2] * W.conj()) @ Ag[k1]
+        out.append(acc / nk)
+    return jnp.stack(out)
 
 
 def get_k_kpts(isdfq: ISDFQ, dm_k, k1_idx=None):
     """Fitted exchange: K_k1 = (1/nk) sum_k2 A1^H (M2 o conj(W_q)) A1."""
     nk = isdfq.Ag.shape[0]
-    qmap = isdfq.qmap
     k1_list = tuple(range(nk)) if k1_idx is None else tuple(k1_idx)
-
-    @jax.jit
-    def _run(Ag, Wq, dm):
-        M_all = [Ag[k2] @ dm[k2] @ Ag[k2].conj().T for k2 in range(nk)]
-        out = []
-        for k1 in k1_list:
-            acc = jnp.zeros((Ag.shape[2], Ag.shape[2]), Ag.dtype)
-            for k2 in range(nk):
-                W = Wq[qmap[k2, k1]]
-                acc = acc + Ag[k1].conj().T @ (M_all[k2] * W.conj()) @ Ag[k1]
-            out.append(acc / nk)
-        return jnp.stack(out)
-
-    return _run(isdfq.Ag, isdfq.Wq, jnp.asarray(dm_k, isdfq.Ag.dtype))
+    return _k_kpts_run(isdfq, jnp.asarray(dm_k, isdfq.Ag.dtype), k1_list)
 
 
 def get_k_kpts_robust(isdfq: ISDFQ, dm_k, aoR_k, weight, k1_idx=None):
@@ -331,30 +334,31 @@ def get_k_kpts_robust(isdfq: ISDFQ, dm_k, aoR_k, weight, k1_idx=None):
     if isdfq.VXq is None:
         raise ValueError("robust K needs build_isdf_q(..., keep_x=True)")
     nk = isdfq.Ag.shape[0]
-    qmap = isdfq.qmap
     k1_list = tuple(range(nk)) if k1_idx is None else tuple(k1_idx)
+    return _k_kpts_robust_run(isdfq, jnp.asarray(dm_k, isdfq.Ag.dtype),
+                              aoR_k, weight, k1_list)
 
-    @jax.jit
-    def _run(Ag, Wq, VXq, dm, aoR):
-        nao = Ag.shape[2]
-        M_all = [Ag[k2] @ dm[k2] @ Ag[k2].conj().T for k2 in range(nk)]
-        t_all = [aoR[k2] @ dm[k2] @ Ag[k2].conj().T for k2 in range(nk)]
-        out = []
-        for k1 in k1_list:
-            T = jnp.zeros((nao, nao), Ag.dtype)
-            Kf = jnp.zeros((nao, nao), Ag.dtype)
-            for k2 in range(nk):
-                iq = qmap[k2, k1]
-                Y = t_all[k2] * VXq[iq].conj().T           # (ng, nip)
-                T = T + aoR[k1].conj().T @ (Y @ Ag[k1])
-                Kf = Kf + Ag[k1].conj().T @ (
-                    M_all[k2] * Wq[iq].conj()) @ Ag[k1]
-            T = weight * T / nk
-            out.append(T + T.conj().T - Kf / nk)
-        return jnp.stack(out)
 
-    return _run(isdfq.Ag, isdfq.Wq, isdfq.VXq,
-                jnp.asarray(dm_k, isdfq.Ag.dtype), aoR_k)
+@partial(jax.jit, static_argnames=("k1_list",))
+def _k_kpts_robust_run(isdfq, dm, aoR, weight, k1_list):
+    Ag, Wq, VXq, qmap = isdfq.Ag, isdfq.Wq, isdfq.VXq, isdfq.qmap
+    nk = Ag.shape[0]
+    nao = Ag.shape[2]
+    M_all = [Ag[k2] @ dm[k2] @ Ag[k2].conj().T for k2 in range(nk)]
+    t_all = [aoR[k2] @ dm[k2] @ Ag[k2].conj().T for k2 in range(nk)]
+    out = []
+    for k1 in k1_list:
+        T = jnp.zeros((nao, nao), Ag.dtype)
+        Kf = jnp.zeros((nao, nao), Ag.dtype)
+        for k2 in range(nk):
+            iq = qmap[k2, k1]
+            Y = t_all[k2] * VXq[iq].conj().T           # (ng, nip)
+            T = T + aoR[k1].conj().T @ (Y @ Ag[k1])
+            Kf = Kf + Ag[k1].conj().T @ (
+                M_all[k2] * Wq[iq].conj()) @ Ag[k1]
+        T = weight * T / nk
+        out.append(T + T.conj().T - Kf / nk)
+    return jnp.stack(out)
 
 
 def deficit_robust(isdfq: ISDFQ, psi_k, kpts, coulG_q_full, mesh, weight):

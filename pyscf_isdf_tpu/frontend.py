@@ -306,8 +306,13 @@ def GW(mf, nw: int = 100, orbs=None, linearized: bool = False,
     Returns a GWResult (Gamma), KGWResult (k-point, optional ``fc``
     head/wing finite-size correction) or UGWResult (spin-polarized)
     with .qp_energy."""
-    from pyscf_isdf_tpu.gw import gw_ac_gamma, kgw_ac, ugw_ac_gamma
+    from pyscf_isdf_tpu.gw import (gw_ac_gamma, kgw_ac, kugw_ac,
+                                   ugw_ac_gamma)
 
+    # spin dispatch BEFORE the k-point catch-all: KUHF/KUKS are
+    # _KMeanField subclasses and must reach the spin engines
+    if isinstance(mf, (KUHF, KUKS)):
+        return kugw_ac(mf.system, mf._res, xc=mf.xc, nw=nw, orbs=orbs)
     if isinstance(mf, _KMeanField):
         return kgw_ac(mf.system, mf._res, xc=mf.xc, nw=nw, orbs=orbs,
                       linearized=linearized, fc=fc)
@@ -324,6 +329,10 @@ def RPA(mf, nw: int = 100):
     Returns (e_corr, e_tot) — per unit cell for k-point objects."""
     from pyscf_isdf_tpu.gw import rpa_ecorr_gamma, rpa_ecorr_kpts
 
+    if isinstance(mf, (UHF, UKS, KUHF, KUKS)):
+        raise NotImplementedError("RPA: spin-polarized Ec todo "
+                                  "(the restricted engines assume a "
+                                  "doubly-occupied response)")
     if isinstance(mf, _KMeanField):
         ec = rpa_ecorr_kpts(mf.system, mf._res, nw=nw)
     else:

@@ -383,11 +383,23 @@ def int2c(auxcell, omega, ktol: float = 1e-14) -> np.ndarray:
     return out
 
 
-def _aux_rcut(auxcell, omega):
-    """Real-space image radius for the SR aux lattice sum."""
-    rho_min = min(float(sh.exps.min()) for sh in auxcell.shells)
-    return float(np.sqrt(_sr_rcut(omega, rho_min))) \
-        + float(np.max(np.linalg.norm(auxcell.a, axis=1)))
+def _aux_rcut(auxcell, omega, bra_cell=None):
+    """Real-space image radius for the SR aux lattice sum.
+
+    The erfc range is set by the PAIR-reduced Hermite exponent
+    rho = a b/(a+b) (int2c) or p c/(p+c) (int3c), which is as small as
+    half the smallest participating exponent — bounding with the raw
+    aux minimum truncated contributing images for diffuse even-tempered
+    tails (code-review finding). xy/(x+y) >= min(x,y)/2 gives the safe
+    bound; the positional offset term covers the full home-cell
+    diagonal, not one lattice vector."""
+    amin_aux = min(float(sh.exps.min()) for sh in auxcell.shells)
+    rho_min = amin_aux
+    if bra_cell is not None:
+        p_min = 2.0 * min(float(sh.exps.min()) for sh in bra_cell.shells)
+        rho_min = min(amin_aux, p_min)
+    return float(np.sqrt(_sr_rcut(omega, 0.5 * rho_min))) \
+        + float(np.sum(np.linalg.norm(auxcell.a, axis=1)))
 
 
 def int3c(cell, auxcell, omega, ktol: float = 1e-12) -> np.ndarray:
@@ -401,7 +413,8 @@ def int3c(cell, auxcell, omega, ktol: float = 1e-12) -> np.ndarray:
     blocks = _shell_norm_blocks(cell)
     aux_blocks = _shell_norm_blocks(auxcell)
     aux_images = auxcell.lattice_images(
-        rcut=_aux_rcut(auxcell, omega)) if omega is not None \
+        rcut=_aux_rcut(auxcell, omega, bra_cell=cell)) \
+        if omega is not None \
         else np.zeros((1, 3))                    # molecular mode
 
     for ii, (shi, mi, Ci) in enumerate(blocks):

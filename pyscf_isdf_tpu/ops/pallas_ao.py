@@ -133,14 +133,18 @@ def plan_ao_blocks(cell, coords=None, block: int = 512, imax: int | None = None)
         # reads slots 0..cnt); a full-width stable argsort here cost
         # ~0.1 s x 31M elements on the 3x3x3 bench setup
         nimg = keep.shape[2]
-        kth = min(IMAX - 1, nimg - 1)
-        order = np.argpartition(~keep, kth, axis=2)[:, :, :IMAX]
+        width = min(IMAX, nimg)        # cells with few images (< the
+        kth = width - 1                # 128-padded IMAX) keep them all
+        order = np.argpartition(~keep, kth, axis=2)[:, :, :width]
         sub = np.take_along_axis(~keep, order, axis=2)
         order = np.take_along_axis(
             order, np.argsort(sub, axis=2, kind="stable"), axis=2)
-        imgs = np.moveaxis(images.T[:, order], 0, 3)   # (ns, nb, IMAX, 3)
-        slot = np.arange(IMAX)[None, None, :]
+        imgs = np.moveaxis(images.T[:, order], 0, 3)   # (ns, nb, width, 3)
+        slot = np.arange(width)[None, None, :]
         imgs[slot >= counts[:, :, None]] = 1e6     # dummy far image
+        if width < IMAX:               # pad dummy slots up to the tile
+            imgs = np.concatenate(
+                [imgs, np.full((ns, nb, IMAX - width, 3), 1e6)], axis=2)
         imgs = np.ascontiguousarray(imgs.transpose(0, 1, 3, 2))
         # output rows (s-major, then k, then m) -> AO columns
         cols = []

@@ -239,8 +239,13 @@ def make_kscf_step(dev_mesh, mesh3, weight, nk, nocc_tot,
         Fp = jnp.einsum("kji,kjl,klm->kim", X_k.conj(), F, X_k)
         e, u = eigh_k(Fp)
         C = jnp.einsum("kij,kjm->kim", X_k, u)
-        fermi = jnp.sort(e.ravel())[nocc_tot - 1]
-        occ = jnp.where(e <= fermi + 1e-12, 2.0, 0.0)
+        # exact-count fill (occupations.exact_count_occ semantics): a
+        # <=fermi threshold overfills on a degenerate Fermi level and
+        # the SCF silently converges a wrong-charge state
+        flat = e.ravel()
+        order = jnp.argsort(flat)
+        occ = jnp.zeros_like(flat).at[order[:nocc_tot]].set(
+            2.0).reshape(e.shape)
         dm_new = jnp.einsum("kim,km,kjm->kij", C, occ.astype(cdtype),
                             C.conj())
         e_elec = (jnp.einsum("kij,kji->", dm_k, hcore_k).real / nk

@@ -353,8 +353,12 @@ def make_kscf_jit_diis(system, xc=None, exxdiv="ewald", df="isdf",
         Fp = jnp.einsum("kji,kjl,klm->kim", X.conj(), F_k, X)
         e, u = eigh_k(Fp)
         C = jnp.einsum("kij,kjm->kim", X, u)          # (nk, nao, nmo)
-        fermi = jnp.sort(e.ravel())[nocc_tot - 1]
-        occ = jnp.where(e <= fermi + 1e-12, 2.0, 0.0).astype(rdtype)
+        # exact-count fill — a <=fermi threshold overfills on degenerate
+        # Fermi levels (occupations.exact_count_occ semantics)
+        flat = e.ravel()
+        order = jnp.argsort(flat)
+        occ = jnp.zeros_like(flat).at[order[:nocc_tot]].set(
+            2.0).astype(rdtype).reshape(e.shape)
         dm = jnp.einsum("kim,km,kjm->kij", C, occ.astype(cdtype), C.conj())
         return dm
 

@@ -34,13 +34,24 @@ from pyscf_isdf_tpu.scf.khf import KSCFSystem, build_kscf_system  # noqa: F401
 
 
 def _weighted_occ(mo_e_k, weights, nelec_tot):
-    """Fermi filling across weighted IBZ k-points (2 electrons/orbital)."""
+    """Fermi filling across weighted IBZ k-points (2 electrons/orbital).
+
+    Exact-count fill in sorted order (a <=fermi threshold overfills on
+    a degenerate Fermi level — same guard as occupations.
+    exact_count_occ; argsort tie-breaking is deterministic)."""
     e_all = np.hstack(mo_e_k)
     w_all = np.hstack([np.full(len(e), w) for e, w in zip(mo_e_k, weights)])
-    order = np.argsort(e_all)
+    order = np.argsort(e_all, kind="stable")
     cum = np.cumsum(2 * w_all[order])
-    fermi = e_all[order][np.searchsorted(cum, nelec_tot - 1e-9)]
-    return [(e <= fermi + 1e-12).astype(np.float64) * 2 for e in mo_e_k]
+    nfill = int(np.searchsorted(cum, nelec_tot - 1e-9)) + 1
+    mask = np.zeros(e_all.size)
+    mask[order[:nfill]] = 2.0
+    out = []
+    off = 0
+    for e in mo_e_k:
+        out.append(mask[off:off + len(e)])
+        off += len(e)
+    return out
 
 
 def kscf_ibz_kernel(

@@ -43,3 +43,19 @@ def test_image_culling_reduces_work():
         # culling must keep every needed image but drop a large fraction
         assert plan.counts.max() <= n_images_total
         assert plan.counts.mean() < 0.7 * n_images_total
+
+
+def test_few_images_small_cell():
+    """Cells with fewer lattice images than the 128-padded IMAX must
+    plan and evaluate (regression: the argpartition packing sliced
+    [:IMAX] columns out of an nimg-wide array — IndexError on any
+    large/molecular box; caught by code review with a live repro)."""
+    import numpy as np
+    from pyscf_isdf_tpu import build_cell
+
+    cell = build_cell(np.eye(3) * 40.0, [["H", (20.0, 20.0, 20.0)]],
+                      "gth-szv", mesh=(16, 16, 16))
+    assert len(cell.lattice_images()) < 128
+    out = np.asarray(eval_ao_pallas(cell, interpret=True,
+                                    dtype=jnp.float64))
+    assert np.abs(out - eval_ao_numpy(cell)).max() < 1e-12

@@ -74,3 +74,23 @@ def test_kugw_closed_shell_limit():
     for s in range(2):
         assert np.abs(out_u.qp_energy[s] - out_r.qp_energy).max() < 1e-4
     assert out_u.converged
+
+
+@pytest.mark.heavy
+def test_frontend_gw_kuks_dispatch():
+    """pit.GW on a KUKS object must reach kugw_ac (the _KMeanField
+    catch-all used to shadow the spin dispatch — code review); RPA on
+    spin objects raises loudly."""
+    import pyscf_isdf_tpu as pit
+    from pyscf_isdf_tpu import lattice
+    from pyscf_isdf_tpu.gw.ugw import UGWResult
+
+    cell = diamond_primitive(mesh=(12, 12, 12))
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1])
+    mf = pit.KUKS(cell, kpts, xc="lda,vwn")
+    mf.run()
+    out = pit.GW(mf)
+    assert isinstance(out, UGWResult)
+    assert np.isfinite(out.qp_energy[0]).all()
+    with pytest.raises(NotImplementedError):
+        pit.RPA(mf)
