@@ -328,11 +328,13 @@ def RPA(mf, nw: int = 100):
     (reference pyscf/gw/rpa.py capability; the k-point form EXCEEDS it).
     Returns (e_corr, e_tot) — per unit cell for k-point objects."""
     from pyscf_isdf_tpu.gw import rpa_ecorr_gamma, rpa_ecorr_kpts
+    from pyscf_isdf_tpu.gw.ugw import urpa_ecorr_gamma
 
-    if isinstance(mf, (UHF, UKS, KUHF, KUKS)):
-        raise NotImplementedError("RPA: spin-polarized Ec todo "
-                                  "(the restricted engines assume a "
-                                  "doubly-occupied response)")
+    if isinstance(mf, (KUHF, KUKS)):
+        raise NotImplementedError("RPA: k-point spin-polarized Ec todo")
+    if isinstance(mf, (UHF, UKS)):
+        ec = urpa_ecorr_gamma(mf.system, mf._res, xc=mf.xc, nw=nw)
+        return ec, mf._res["e_tot"] + ec
     if isinstance(mf, _KMeanField):
         ec = rpa_ecorr_kpts(mf.system, mf._res, nw=nw)
     else:

@@ -331,3 +331,68 @@ def kugw_ac(system, res, xc=None, nw: int = 100, orbs=None,
     return UGWResult(qp_energy=qp, mo_energy=tuple(e_s),
                      sigma_x=tuple(vx_mo), v_mf=tuple(v_mf_mo),
                      converged=conv, nocc=tuple(nocc_s))
+
+
+# ------------------------------------------------------------------
+# spin-polarized direct-RPA correlation energy
+
+def urpa_ecorr_gamma(system, res, xc=None, nw: int = 100,
+                     nelec=None) -> float:
+    """Unrestricted direct-RPA correlation energy (Gamma).
+
+    Pi(iw) = 2 sum_s L_s f_s L_s^T (unit occupancies — the ugw response
+    factor), Ec = 1/(2 pi) int dw tr[ln(1 - Pi) + Pi].  Closed-shell
+    limit == the restricted rpa_ecorr_gamma exactly (tested); the
+    spin-orbital plasmon formula Ec = 1/2 (sum Omega - tr A) with
+    A = d + K over the stacked (ia, spin) space is the dense oracle."""
+    e_a = np.asarray(res["mo_energy"][0], np.float64)
+    e_b = np.asarray(res["mo_energy"][1], np.float64)
+    if nelec is None:
+        spin = system.cell.spin
+        na = (system.nelec + spin) // 2
+        nelec = (na, system.nelec - na)
+    nocc_a, nocc_b = nelec
+    La = build_lmo(system, res["mo_coeff"][0])
+    Lb = build_lmo(system, res["mo_coeff"][1])
+    naux = La.shape[0]
+
+    from pyscf_isdf_tpu.gw.rgw import scaled_legendre
+
+    freqs, wts = scaled_legendre(nw)
+
+    def lov_f(L, e, no):
+        eia = (e[:no, None] - e[None, no:]).reshape(-1)
+        Lov = np.asarray(L[:, :no, no:]).reshape(naux, -1)
+        f = eia[None, :] / (freqs[:, None] ** 2 + eia[None, :] ** 2)
+        return Lov, f
+
+    Lov_a, fa = lov_f(La, e_a, nocc_a)
+    Lov_b, fb = lov_f(Lb, e_b, nocc_b)
+    Pi = 2.0 * (jnp.einsum("wx,Px,Qx->wPQ", jnp.asarray(fa),
+                           jnp.asarray(Lov_a), jnp.asarray(Lov_a))
+                + jnp.einsum("wx,Px,Qx->wPQ", jnp.asarray(fb),
+                             jnp.asarray(Lov_b), jnp.asarray(Lov_b)))
+    ev = np.asarray(jnp.linalg.eigvalsh(Pi))
+    integ = np.sum(np.log(1.0 - ev) + ev, axis=1)
+    return float(np.sum(wts * integ) / (2.0 * np.pi))
+
+
+def urpa_ecorr_plasmon(res, nelec, La, Lb) -> float:
+    """Dense spin-orbital dRPA plasmon-formula oracle:
+    A = diag(d) + K, B = K over the stacked (ia, spin) space;
+    Ec = 1/2 (sum_v Omega_v - tr A)."""
+    e_a = np.asarray(res["mo_energy"][0], np.float64)
+    e_b = np.asarray(res["mo_energy"][1], np.float64)
+    nocc_a, nocc_b = nelec
+    naux = La.shape[0]
+    d = np.concatenate([
+        (e_a[None, nocc_a:] - e_a[:nocc_a, None]).ravel(),
+        (e_b[None, nocc_b:] - e_b[:nocc_b, None]).ravel()])
+    Lov = np.concatenate([
+        np.asarray(La[:, :nocc_a, nocc_a:]).reshape(naux, -1),
+        np.asarray(Lb[:, :nocc_b, nocc_b:]).reshape(naux, -1)], axis=1)
+    K = Lov.T @ Lov
+    sd = np.sqrt(d)
+    C = sd[:, None] * (np.diag(d) + 2.0 * K) * sd[None, :]
+    omega = np.sqrt(np.maximum(np.linalg.eigvalsh(C), 0.0))
+    return float(0.5 * (omega.sum() - d.sum() - np.trace(K)))

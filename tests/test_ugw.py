@@ -94,3 +94,34 @@ def test_frontend_gw_kuks_dispatch():
     assert np.isfinite(out.qp_energy[0]).all()
     with pytest.raises(NotImplementedError):
         pit.RPA(mf)
+
+
+def test_urpa_closed_shell_and_plasmon():
+    """Unrestricted RPA Ec: closed-shell == restricted exactly; the
+    open-shell quadrature == the dense spin-orbital plasmon formula."""
+    from pyscf_isdf_tpu.gw.ugw import urpa_ecorr_gamma, urpa_ecorr_plasmon
+    from pyscf_isdf_tpu.gw.rgw import build_lmo, rpa_ecorr_gamma
+
+    cell = diamond_primitive(mesh=(12, 12, 12))
+    sys_ = build_scf_system(cell)
+    res_r = scf_kernel(sys_, xc="lda,vwn")
+    res_u = uhf_kernel(sys_, xc="lda,vwn")
+    ec_r = rpa_ecorr_gamma(sys_, res_r)
+    ec_u = urpa_ecorr_gamma(sys_, res_u, xc="lda,vwn")
+    assert abs(ec_r - ec_u) < 1e-10
+
+    L = 8.0
+    h3 = build_cell(np.eye(3) * L,
+                    [["H", (L / 2 - 1.5, L / 2, L / 2)],
+                     ["H", (L / 2, L / 2, L / 2)],
+                     ["H", (L / 2 + 1.5, L / 2, L / 2)]],
+                    basis="gth-szv", pseudo="gth-pade", mesh=[12] * 3,
+                    spin=1)
+    s3 = build_scf_system(h3)
+    r3 = uhf_kernel(s3, xc=None)
+    ec3 = urpa_ecorr_gamma(s3, r3)
+    La = build_lmo(s3, r3["mo_coeff"][0])
+    Lb = build_lmo(s3, r3["mo_coeff"][1])
+    ecp = urpa_ecorr_plasmon(r3, (2, 1), La, Lb)
+    assert ec3 < -1e-3
+    assert abs(ec3 - ecp) < 1e-10
