@@ -19,11 +19,12 @@ from pyscf_isdf_tpu.gw.rgw import (
 )
 from pyscf_isdf_tpu.gw.rgw import evgw_gamma
 from pyscf_isdf_tpu.gw.gw_exact import gw_exact_gamma, drpa_diagonalize
-from pyscf_isdf_tpu.gw.krgw import KGWResult, kgw_ac, rpa_ecorr_kpts
+from pyscf_isdf_tpu.gw.krgw import (KGWResult, kgw_ac, rpa_ecorr_kpts,
+                                    dielectric_constant)
 from pyscf_isdf_tpu.gw.ugw import UGWResult, ugw_ac_gamma, kugw_ac
 
 __all__ = [
     "GWResult", "gw_ac_gamma", "rpa_ecorr_gamma", "evgw_gamma",
-    "gw_exact_gamma", "drpa_diagonalize", "KGWResult", "kgw_ac", "rpa_ecorr_kpts",
+    "gw_exact_gamma", "drpa_diagonalize", "KGWResult", "kgw_ac", "rpa_ecorr_kpts", "dielectric_constant",
     "UGWResult", "ugw_ac_gamma", "kugw_ac",
 ]

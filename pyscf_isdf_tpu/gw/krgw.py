@@ -391,3 +391,49 @@ def rpa_ecorr_kpts(system, res, nw: int = 100, Lmo=None) -> float:
         integ = np.sum(np.log(1.0 - ev) + ev, axis=1)
         total += float(np.sum(wts * integ))
     return total / (2.0 * np.pi * nk)
+
+
+def dielectric_constant(system, res, q_dir=(1.0, 0.0, 0.0),
+                        Lmo=None) -> float:
+    """Macroscopic (electronic, high-frequency) dielectric constant
+    eps_infinity along ``q_dir``.
+
+    eps_M = 1 / eps^-1_00(q->0, w=0) with the full head + wing + body
+    inverse-dielectric folding the GW finite-size machinery already
+    builds (the kgw_ac fc branch at a single static frequency):
+
+        eps_00 = 1 - 4 pi/q^2 Pi_00,  eps_P0 = -sqrt(4 pi)/q Pi_P0,
+        eps^-1_00 = 1/(eps_00 - eps_P0^H (1-Pi)^-1 eps_P0).
+
+    Local-field effects enter through the body inversion. Not a
+    reference capability (pyscf has no dielectric-constant API).
+    """
+    mo_energy = np.asarray(res["mo_energy"], dtype=np.float64)
+    nk, nmo = mo_energy.shape
+    nocc = system.nelec_tot // (2 * nk)
+    if Lmo is None:
+        Lmo = build_lmo_kpts(system, res["mo_coeff"])
+
+    b = 2.0 * np.pi * np.linalg.inv(system.cell.a).T
+    q_abs = 1e-3 * (np.asarray(q_dir, float) / np.linalg.norm(q_dir)) @ b
+    qij = _get_qij(system, res, q_abs, nocc)
+    qnorm = np.linalg.norm(q_abs)
+
+    # static (w=0) response at the Gamma momentum transfer
+    L_stack = jnp.stack([Lmo[i][i][:, :nocc, nocc:] for i in range(nk)])
+    e_i = jnp.asarray(mo_energy[:, :nocc])
+    e_a = jnp.asarray(mo_energy[:, nocc:])
+    Pi = np.asarray(_pi_kl(L_stack, e_i, e_a,
+                           jnp.zeros(1), nk))[0]       # w=0
+    naux = Pi.shape[0]
+    eps_body_inv = np.linalg.inv(np.eye(naux) - Pi)
+
+    eia = mo_energy[:, :nocc, None] - mo_energy[:, None, nocc:]
+    f0 = 1.0 / eia                                     # w=0 factor
+    pi00 = 4.0 / nk * np.einsum("kia,kia->", f0, np.abs(qij) ** 2)
+    piP0 = 4.0 / nk * np.einsum(
+        "kPia,kia->P", np.asarray(L_stack), f0 * qij.conj())
+    eps00 = 1.0 - 4.0 * np.pi / qnorm ** 2 * pi00
+    epsP0 = -np.sqrt(4.0 * np.pi) / qnorm * piP0
+    ei00 = 1.0 / (eps00 - np.real(epsP0.conj() @ eps_body_inv @ epsP0))
+    return float(1.0 / np.real(ei00))

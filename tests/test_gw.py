@@ -226,3 +226,23 @@ def test_krpa_supercell_parity():
     res_s = scf_kernel(sys_s, xc="lda,vwn")
     ec_s = rgw.rpa_ecorr_gamma(sys_s, res_s)
     assert abs(ec_k - ec_s / 2.0) < 5e-5
+
+
+@pytest.mark.heavy
+def test_dielectric_constant_diamond():
+    """Macroscopic eps_infinity from the q->0 inverse-dielectric head:
+    physical magnitude for diamond (exp. 5.7; szv/2x2x2 gives ~6.4) and
+    exact cubic directional symmetry."""
+    from pyscf_isdf_tpu.gw.krgw import dielectric_constant
+
+    cell = diamond_primitive(mesh=(12, 12, 12))
+    kpts = lattice.make_kpts(cell.a, [2, 2, 2])
+    sys_k = build_kscf_system(cell, kpts)
+    res_k = kscf_kernel(sys_k, xc="lda,vwn")
+    from pyscf_isdf_tpu.gw.krgw import build_lmo_kpts
+
+    Lmo = build_lmo_kpts(sys_k, res_k["mo_coeff"])
+    ex = dielectric_constant(sys_k, res_k, (1, 0, 0), Lmo=Lmo)
+    ez = dielectric_constant(sys_k, res_k, (0, 0, 1), Lmo=Lmo)
+    assert 3.0 < ex < 12.0
+    assert abs(ex - ez) < 1e-8          # cubic symmetry
