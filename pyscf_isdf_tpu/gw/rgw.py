@@ -157,6 +157,8 @@ class GWResult:
     converged: bool
     orbs: np.ndarray
     nocc: int
+    qp_weight: np.ndarray | None = None  # Z_p = 1/(1 - dSigma/dw) at
+    #                                      the QP pole (NaN outside orbs)
 
 
 def _mf_potentials(system, res, xc: Optional[str]):
@@ -263,6 +265,7 @@ def gw_ac_gamma(system, res, xc: Optional[str] = None, nw: int = 100,
     # Pade continuation per orbital (host, float64)
     fit = _pade_fit_points(nw_sigma)
     qp = mo_energy.copy()
+    zfac = np.full(nmo, np.nan)
     conv = True
     from scipy.optimize import newton
 
@@ -283,13 +286,18 @@ def gw_ac_gamma(system, res, xc: Optional[str] = None, nw: int = 100,
             s0 = sigma_real(mo_energy[p])
             z = 1.0 / (1.0 - (sigma_real(mo_energy[p] + de) - s0) / de)
             qp[p] = mo_energy[p] + z * (s0 + vx_mo[p] - v_mf_mo[p])
+            zfac[p] = z
         else:
             try:
                 qp[p] = newton(qp_eq, mo_energy[p], tol=1e-6, maxiter=100)
             except RuntimeError:
                 conv = False
+            de = 1e-6
+            zfac[p] = 1.0 / (1.0 - (sigma_real(qp[p] + de)
+                                    - sigma_real(qp[p] - de)) / (2 * de))
     return GWResult(qp_energy=qp, mo_energy=mo_energy, sigma_x=vx_mo,
-                    v_mf=v_mf_mo, converged=conv, orbs=orbs, nocc=nocc)
+                    v_mf=v_mf_mo, converged=conv, orbs=orbs, nocc=nocc,
+                    qp_weight=zfac)
 
 
 def evgw_gamma(system, res, xc: Optional[str] = None, nw: int = 100,
@@ -321,7 +329,8 @@ def evgw_gamma(system, res, xc: Optional[str] = None, nw: int = 100,
                     mo_energy=np.asarray(res["mo_energy"], np.float64),
                     sigma_x=out.sigma_x, v_mf=out.v_mf,
                     converged=out.converged and delta < conv_tol,
-                    orbs=out.orbs, nocc=out.nocc)
+                    orbs=out.orbs, nocc=out.nocc,
+                    qp_weight=out.qp_weight)
 
 
 # ------------------------------------------------------------------

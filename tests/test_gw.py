@@ -41,6 +41,9 @@ def test_gw_ac_vs_exact(lda12):
     gap_ks = res["mo_energy"][nocc] - res["mo_energy"][nocc - 1]
     gap_gw = out.qp_energy[nocc] - out.qp_energy[nocc - 1]
     assert gap_gw > gap_ks
+    # QP renormalization: 0 < Z < 1, near 1 for this weakly
+    # correlated solid (measured 0.97-0.99)
+    assert np.all(out.qp_weight > 0.8) and np.all(out.qp_weight < 1.0)
 
 
 def test_rpa_plasmon_identity(lda12):
