@@ -59,9 +59,10 @@ class KAlgebra:
         self.kcons = kcons
         # content fingerprint for the plan cache: id(ka) keys are
         # unsound (a freed object's id is reused — stale plans from a
-        # DIFFERENT k-mesh would silently gather wrong blocks)
-        self.fingerprint = hash(
-            (self.nk, self.ksub.tobytes(), self.kadd.tobytes()))
+        # DIFFERENT k-mesh would silently gather wrong blocks); the raw
+        # tuple is collision-free (the tables are tiny)
+        self.fingerprint = (self.nk, self.ksub.tobytes(),
+                            self.kadd.tobytes())
 
     @staticmethod
     def _gamma_index(cell_a, kpts):

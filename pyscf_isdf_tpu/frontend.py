@@ -312,6 +312,9 @@ def GW(mf, nw: int = 100, orbs=None, linearized: bool = False,
     # spin dispatch BEFORE the k-point catch-all: KUHF/KUKS are
     # _KMeanField subclasses and must reach the spin engines
     if isinstance(mf, (KUHF, KUKS)):
+        if fc or linearized:
+            raise NotImplementedError(
+                "kugw_ac supports neither fc nor linearized yet")
         return kugw_ac(mf.system, mf._res, xc=mf.xc, nw=nw, orbs=orbs)
     if isinstance(mf, _KMeanField):
         return kgw_ac(mf.system, mf._res, xc=mf.xc, nw=nw, orbs=orbs,
@@ -333,7 +336,7 @@ def RPA(mf, nw: int = 100):
     if isinstance(mf, (KUHF, KUKS)):
         raise NotImplementedError("RPA: k-point spin-polarized Ec todo")
     if isinstance(mf, (UHF, UKS)):
-        ec = urpa_ecorr_gamma(mf.system, mf._res, xc=mf.xc, nw=nw)
+        ec = urpa_ecorr_gamma(mf.system, mf._res, nw=nw)
         return ec, mf._res["e_tot"] + ec
     if isinstance(mf, _KMeanField):
         ec = rpa_ecorr_kpts(mf.system, mf._res, nw=nw)

@@ -108,6 +108,26 @@ def _kl_contribution(eps_m1, Lw_stack, e_m, freqs, wts,
     return jnp.where(sel, sig_occ, sig_vir)
 
 
+def _q0_fold(f_w, qij, Lov_np, eps_body_inv_w, qnorm, nk):
+    """q->0 head/wing inverse-dielectric folding (one frequency):
+
+        pi00  = 4/nk sum f |qij|^2          (head polarizability)
+        piP0  = 4/nk sum L f conj(qij)      (wing vector)
+        eps00 = 1 - 4 pi/q^2 pi00,  epsP0 = -sqrt(4 pi)/q piP0
+        ei00  = 1/(eps00 - epsP0^H eps_body_inv epsP0)
+        eiP0  = -ei00 eps_body_inv epsP0
+
+    ONE copy of the physics-load-bearing algebra (krgw_ac.py:289-318),
+    shared by the kgw_ac fc branch and dielectric_constant."""
+    pi00 = 4.0 / nk * np.einsum("kia,kia->", f_w, np.abs(qij) ** 2)
+    piP0 = 4.0 / nk * np.einsum("kPia,kia->P", Lov_np, f_w * qij.conj())
+    eps00 = 1.0 - 4.0 * np.pi / qnorm ** 2 * pi00
+    epsP0 = -np.sqrt(4.0 * np.pi) / qnorm * piP0
+    ei00 = 1.0 / (eps00 - epsP0.conj() @ eps_body_inv_w @ epsP0)
+    eiP0 = -ei00 * (eps_body_inv_w @ epsP0)
+    return ei00, eiP0
+
+
 def _get_qij(system, res, q, nocc):
     """k.p transition dipoles qij = <psi_ik|e^{iqr}|psi_ak>/sqrt(vol)
     for the q->0 head/wing corrections (krgw_ac.py:389-425): on the
@@ -295,15 +315,8 @@ def kgw_ac(system, res, xc: Optional[str] = None, nw: int = 100,
                 * (6.0 * np.pi ** 2 / vol / nk) ** (2. / 3.)
             for w in range(len(freqs)):
                 f_w = eia_all / (freqs[w] ** 2 + eia_all ** 2)
-                pi00 = 4.0 / nk * np.einsum(
-                    "kia,kia->", f_w, np.abs(qij) ** 2)
-                piP0 = 4.0 / nk * np.einsum(
-                    "kPia,kia->P", Lov_np, f_w * qij.conj())
-                eps00 = 1.0 - 4.0 * np.pi / qnorm ** 2 * pi00
-                epsP0 = -np.sqrt(4.0 * np.pi) / qnorm * piP0
-                ei00 = 1.0 / (eps00 - epsP0.conj()
-                              @ eps_body_inv[w] @ epsP0)
-                eiP0 = -ei00 * (eps_body_inv[w] @ epsP0)
+                ei00, eiP0 = _q0_fold(f_w, qij, Lov_np,
+                                      eps_body_inv[w], qnorm, nk)
                 del00 = pref00 * (ei00 - 1.0)
                 for j, kn in enumerate(kptlist):
                     WnP0 = 2.0 * np.real(np.einsum(
@@ -410,7 +423,13 @@ def dielectric_constant(system, res, q_dir=(1.0, 0.0, 0.0),
     """
     mo_energy = np.asarray(res["mo_energy"], dtype=np.float64)
     nk, nmo = mo_energy.shape
+    if system.nelec_tot % (2 * nk):
+        raise ValueError("dielectric_constant needs a uniform integer "
+                         "band filling")
     nocc = system.nelec_tot // (2 * nk)
+    if mo_energy[:, nocc].min() - mo_energy[:, nocc - 1].max() < 1e-3:
+        raise ValueError("dielectric_constant: metallic reference "
+                         "(the static interband response diverges)")
     if Lmo is None:
         Lmo = build_lmo_kpts(system, res["mo_coeff"])
 
@@ -430,10 +449,6 @@ def dielectric_constant(system, res, q_dir=(1.0, 0.0, 0.0),
 
     eia = mo_energy[:, :nocc, None] - mo_energy[:, None, nocc:]
     f0 = 1.0 / eia                                     # w=0 factor
-    pi00 = 4.0 / nk * np.einsum("kia,kia->", f0, np.abs(qij) ** 2)
-    piP0 = 4.0 / nk * np.einsum(
-        "kPia,kia->P", np.asarray(L_stack), f0 * qij.conj())
-    eps00 = 1.0 - 4.0 * np.pi / qnorm ** 2 * pi00
-    epsP0 = -np.sqrt(4.0 * np.pi) / qnorm * piP0
-    ei00 = 1.0 / (eps00 - np.real(epsP0.conj() @ eps_body_inv @ epsP0))
+    ei00, _ = _q0_fold(f0, qij, np.asarray(L_stack), eps_body_inv,
+                       qnorm, nk)
     return float(1.0 / np.real(ei00))

@@ -202,14 +202,20 @@ def _mf_potentials(system, res, xc: Optional[str]):
     return vx_mo, v_mf_mo
 
 
-def build_lmo(system, mo_coeff, beta: float = 2.0, l_extra: int = 2):
+def build_lmo(system, mo_coeff, beta: float = 2.0, l_extra: int = 2,
+              g=None):
     """Whitened Gamma-point DF tensor in the MO basis:
-    (ia|jb) = sum_P Lmo[P,i,a] Lmo[P,j,b]  (df/gdf.py G-space build)."""
+    (ia|jb) = sum_P Lmo[P,i,a] Lmo[P,j,b]  (df/gdf.py G-space build).
+
+    Pass a prebuilt ``g`` (GDF) to share the cell-only AO-basis fit
+    across several MO transforms (the spin channels of ugw/urpa)."""
     from pyscf_isdf_tpu.df import gdf as gdf_mod
 
-    g = gdf_mod.build_gdf(system.cell, system.aoR, jnp.asarray(system.coulG),
-                          system.mesh, system.weight, beta=beta,
-                          l_extra=l_extra)
+    if g is None:
+        g = gdf_mod.build_gdf(system.cell, system.aoR,
+                              jnp.asarray(system.coulG),
+                              system.mesh, system.weight, beta=beta,
+                              l_extra=l_extra)
     C = jnp.asarray(mo_coeff, g.cderi.dtype)
     return jnp.einsum("pij,ia,jb->pab", g.cderi, C, C)
 

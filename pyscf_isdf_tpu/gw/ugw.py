@@ -144,8 +144,13 @@ def ugw_ac_gamma(system, res, xc: Optional[str] = None, nw: int = 100,
         raise ValueError("GW-AC does not support metallic references")
     ef = 0.5 * (homo + lumo)
 
-    La = build_lmo(system, res["mo_coeff"][0])
-    Lb = build_lmo(system, res["mo_coeff"][1])
+    from pyscf_isdf_tpu.df import gdf as gdf_mod
+
+    g = gdf_mod.build_gdf(system.cell, system.aoR,
+                          jnp.asarray(system.coulG), system.mesh,
+                          system.weight)
+    La = build_lmo(system, res["mo_coeff"][0], g=g)
+    Lb = build_lmo(system, res["mo_coeff"][1], g=g)
 
     freqs, wts = scaled_legendre(nw)
     nw_sigma = int(np.sum(freqs < 5.0)) + 1
@@ -336,9 +341,10 @@ def kugw_ac(system, res, xc=None, nw: int = 100, orbs=None,
 # ------------------------------------------------------------------
 # spin-polarized direct-RPA correlation energy
 
-def urpa_ecorr_gamma(system, res, xc=None, nw: int = 100,
+def urpa_ecorr_gamma(system, res, nw: int = 100,
                      nelec=None) -> float:
     """Unrestricted direct-RPA correlation energy (Gamma).
+    (Ec depends only on the orbitals/eigenvalues, not the functional.)
 
     Pi(iw) = 2 sum_s L_s f_s L_s^T (unit occupancies — the ugw response
     factor), Ec = 1/(2 pi) int dw tr[ln(1 - Pi) + Pi].  Closed-shell
@@ -352,8 +358,13 @@ def urpa_ecorr_gamma(system, res, xc=None, nw: int = 100,
         na = (system.nelec + spin) // 2
         nelec = (na, system.nelec - na)
     nocc_a, nocc_b = nelec
-    La = build_lmo(system, res["mo_coeff"][0])
-    Lb = build_lmo(system, res["mo_coeff"][1])
+    from pyscf_isdf_tpu.df import gdf as gdf_mod
+
+    g = gdf_mod.build_gdf(system.cell, system.aoR,
+                          jnp.asarray(system.coulG), system.mesh,
+                          system.weight)
+    La = build_lmo(system, res["mo_coeff"][0], g=g)
+    Lb = build_lmo(system, res["mo_coeff"][1], g=g)
     naux = La.shape[0]
 
     from pyscf_isdf_tpu.gw.rgw import scaled_legendre

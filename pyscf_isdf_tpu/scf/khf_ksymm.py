@@ -44,6 +44,16 @@ def _weighted_occ(mo_e_k, weights, nelec_tot):
     order = np.argsort(e_all, kind="stable")
     cum = np.cumsum(2 * w_all[order])
     nfill = int(np.searchsorted(cum, nelec_tot - 1e-9)) + 1
+    if abs(cum[nfill - 1] - nelec_tot) > 1e-9:
+        # the last orbital's IBZ weight overshoots the remaining
+        # electron count — a metal/fractional filling this integer-fill
+        # driver cannot represent; fail loudly instead of converging a
+        # wrong-charge state
+        raise ValueError(
+            f"IBZ integer filling impossible: cumulative weighted "
+            f"occupancy jumps {cum[nfill - 2] if nfill > 1 else 0.0} -> "
+            f"{cum[nfill - 1]} across nelec_tot={nelec_tot}; use the "
+            f"full-BZ driver or smearing")
     mask = np.zeros(e_all.size)
     mask[order[:nfill]] = 2.0
     out = []

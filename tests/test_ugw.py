@@ -107,7 +107,7 @@ def test_urpa_closed_shell_and_plasmon():
     res_r = scf_kernel(sys_, xc="lda,vwn")
     res_u = uhf_kernel(sys_, xc="lda,vwn")
     ec_r = rpa_ecorr_gamma(sys_, res_r)
-    ec_u = urpa_ecorr_gamma(sys_, res_u, xc="lda,vwn")
+    ec_u = urpa_ecorr_gamma(sys_, res_u)
     assert abs(ec_r - ec_u) < 1e-10
 
     L = 8.0
