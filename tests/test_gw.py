@@ -249,3 +249,20 @@ def test_dielectric_constant_diamond():
     ez = dielectric_constant(sys_k, res_k, (0, 0, 1), Lmo=Lmo)
     assert 3.0 < ex < 12.0
     assert abs(ex - ez) < 1e-8          # cubic symmetry
+
+
+def test_kgw_gga_gamma_limit():
+    """k-GW on a GGA (PBE) reference: the complex k machinery's v_mf
+    (vxc_kpts GGA quadrature) must reproduce the Gamma path."""
+    cell = diamond_primitive(mesh=(12, 12, 12))
+    sys_g = build_scf_system(cell)
+    res_g = scf_kernel(sys_g, xc="pbe")
+    out_g = rgw.gw_ac_gamma(sys_g, res_g, xc="pbe")
+    sys_k = build_kscf_system(cell, np.zeros((1, 3)))
+    res_k = kscf_kernel(sys_k, xc="pbe")
+    out_k = krgw.kgw_ac(sys_k, res_k, xc="pbe")
+    # inputs agree to 4e-8 (KS/vx/vmf measured) but the QP Newton +
+    # Pade amplify the two drivers' GGA-quadrature difference ~100x
+    assert np.abs(out_g.sigma_x - out_k.sigma_x[0]).max() < 1e-7
+    assert np.abs(out_g.v_mf - out_k.v_mf[0]).max() < 1e-6
+    assert np.abs(out_g.qp_energy - out_k.qp_energy[0]).max() < 1e-5
