@@ -36,8 +36,10 @@ value = ISDF J+K per-iteration wall time (ms).
 """
 import json
 import os
+import signal
 import sys
 import time
+import traceback
 
 import numpy as np
 import jax
@@ -46,8 +48,71 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/pyscf_isdf_tpu_jax"))
 
+# BENCH_FAST=1: recapture mode — reuse the staged certification npz and
+# the cached CPU-reference timing so the run is TPU-timing-only (~2 min
+# after tunnel warmup). The full run (default) measures everything and
+# refreshes the CPU cache.
+FAST = os.environ.get("BENCH_FAST", "0") == "1"
 N_ITER = int(os.environ.get("BENCH_N_ITER", 100))      # ISDF marginal spread
-N_ITER_ORACLE = int(os.environ.get("BENCH_N_ORACLE", 4))  # FFTDF marginal spread
+N_ITER_ORACLE = int(os.environ.get("BENCH_N_ORACLE", 2 if FAST else 4))
+ORACLE_REPS = 2 if FAST else 5
+
+
+class RelayDown(RuntimeError):
+    """The axon TPU relay is unreachable/wedged — an ENVIRONMENT failure,
+    not a framework failure (exit code 2, error='tpu_relay_down')."""
+
+
+_RELAY_PATTERNS = ("unable to initialize backend", "axon", "unavailable",
+                   "deadline", "failed to connect", "socket closed",
+                   "connection re")
+
+
+def _looks_like_relay_failure(exc: BaseException) -> bool:
+    msg = f"{type(exc).__name__}: {exc}".lower()
+    return any(p in msg for p in _RELAY_PATTERNS)
+
+
+def _alarm_handler(signum, frame):
+    raise RelayDown("tunnel warmup watchdog expired")
+
+
+def warmup_tunnel(log, tries=3, watchdog_s=int(os.environ.get(
+        "BENCH_WARMUP_TIMEOUT", 840))):
+    """First contact on the axon relay costs 40-500 s (tunnel cold-start,
+    PROGRESS notes r3) and a wedged relay either raises UNAVAILABLE or
+    hangs forever. Bounded retries with backoff + a SIGALRM watchdog turn
+    both pathologies into a classified RelayDown instead of a silent
+    hang/opaque traceback (VERDICT r3 next #1)."""
+    last = None
+    for attempt in range(1, tries + 1):
+        t0 = time.perf_counter()
+        old = signal.signal(signal.SIGALRM, _alarm_handler)
+        signal.alarm(watchdog_s)
+        try:
+            _sync(jnp.ones((8, 128)))
+            signal.alarm(0)
+            log(f"tunnel warmup: {time.perf_counter()-t0:.1f} s "
+                f"(attempt {attempt})")
+            return
+        except RelayDown as e:
+            last = e
+            log(f"warmup attempt {attempt}/{tries}: watchdog expired "
+                f"after {watchdog_s} s")
+        except Exception as e:  # backend init raised instead of hanging
+            last = e
+            log(f"warmup attempt {attempt}/{tries} failed: "
+                f"{type(e).__name__}: {str(e)[:300]}")
+            if not _looks_like_relay_failure(e):
+                raise
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+        if attempt < tries:
+            backoff = 30 * attempt
+            log(f"backing off {backoff} s before retry ...")
+            time.sleep(backoff)
+    raise RelayDown(f"tunnel unreachable after {tries} attempts: {last}")
 
 
 def _sync(x):
@@ -257,12 +322,9 @@ def main():
     log(f"system: {name}, natm={cell.natm} nao={cell.nao} "
         f"ngrids={cell.ngrids} mesh={cell.mesh}")
 
-    # First contact on the axon relay costs 40-500 s (tunnel cold-start,
-    # measured in PROGRESS notes r3) — warm it up so the build segment
-    # times the build, not the environment.
-    t0 = time.perf_counter()
-    _sync(jnp.ones((8, 128)))
-    log(f"tunnel warmup: {time.perf_counter()-t0:.1f} s")
+    # Warm up the relay first so the build segment times the build, not
+    # the environment; a wedged relay becomes a classified RelayDown.
+    warmup_tunnel(log)
 
     t0 = time.perf_counter()
     from pyscf_isdf_tpu.ops.pallas_ao import make_ao_evaluator
@@ -330,11 +392,11 @@ def main():
     log(f"isdf chain compile+time: {time.perf_counter()-t0:.1f} s")
     t0 = time.perf_counter()
     t_fftdf = marginal_time(f_fftdf, dm, 1, 1 + N_ITER_ORACLE,
-                            ops=(aoR, coulG))
+                            ops=(aoR, coulG), reps=ORACLE_REPS)
     log(f"fftdf chain compile+time: {time.perf_counter()-t0:.1f} s")
     t0 = time.perf_counter()
     t_fftdf_occ = marginal_time(f_fftdf_occ, dm, 1, 1 + N_ITER_ORACLE,
-                                ops=(aoR, coulG))
+                                ops=(aoR, coulG), reps=ORACLE_REPS)
     log(f"fftdf-occ chain compile+time: {time.perf_counter()-t0:.1f} s")
 
     # numerics check on the exchange energy. NOTE: both engines run f32
@@ -371,19 +433,40 @@ def main():
                 f"f32-build robust-fit error): {de_res:.3e} Ha "
                 f"[{time.perf_counter()-t0:.0f} s]")
 
-    # CPU reference estimate (numpy fft_jk, float64), generic + occ paths
-    t0 = time.perf_counter()
-    t_cpu, t_cpu_occ = cpu_reference_periter(
-        np.asarray(aoR, np.float64), np.asarray(coulomb.get_coulG(cell)),
-        mesh3, w, nocc=nocc)
-    log(f"CPU reference (numpy fft_jk) J+K per iter: {t_cpu:.1f} s "
-        f"(occ-MO path: {t_cpu_occ:.1f} s; measured in "
-        f"{time.perf_counter()-t0:.0f} s); "
-        f"ISDF-TPU vs CPU-reference-occ: {t_cpu_occ/t_isdf:.0f}x")
+    # CPU reference estimate (numpy fft_jk, float64), generic + occ
+    # paths. The measurement is tunnel-independent and slow on this
+    # 1-core host, so BENCH_FAST=1 reuses the cached value from the last
+    # full run (refreshed by every full run) — a recapture then spends
+    # its wall-clock on TPU timing only.
+    cpu_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", f"cpu_baseline_{name}.json")
+    t_cpu = t_cpu_occ = None
+    if FAST and os.path.exists(cpu_cache):
+        with open(cpu_cache) as f:
+            c_dat = json.load(f)
+        t_cpu, t_cpu_occ = c_dat["t_cpu_s"], c_dat["t_cpu_occ_s"]
+        log(f"CPU reference (cached {c_dat.get('date','?')}): "
+            f"{t_cpu:.1f} s (occ {t_cpu_occ:.1f} s)")
+    else:
+        t0 = time.perf_counter()
+        t_cpu, t_cpu_occ = cpu_reference_periter(
+            np.asarray(aoR, np.float64),
+            np.asarray(coulomb.get_coulG(cell)), mesh3, w, nocc=nocc)
+        log(f"CPU reference (numpy fft_jk) J+K per iter: {t_cpu:.1f} s "
+            f"(occ-MO path: {t_cpu_occ:.1f} s; measured in "
+            f"{time.perf_counter()-t0:.0f} s)")
+        try:
+            with open(cpu_cache, "w") as f:
+                json.dump({"t_cpu_s": t_cpu, "t_cpu_occ_s": t_cpu_occ,
+                           "date": time.strftime("%Y-%m-%d")}, f)
+        except OSError:
+            pass
+    log(f"ISDF-TPU vs CPU-reference-occ: {t_cpu_occ/t_isdf:.0f}x")
 
     out = {
         "metric": f"{name}_jk_per_scf_iter_ms",
         "value": round(t_isdf * 1e3, 3),
+        "unit": "ms",
         # vs_baseline: against the STRONGEST CPU-reference path (occ-MO)
         "vs_baseline": round(t_cpu_occ / t_isdf, 1),
         "vs_cpu_generic": round(t_cpu / t_isdf, 1),
@@ -402,5 +485,26 @@ def main():
     print(json.dumps(out))
 
 
+def _emit_failure(kind: str, exc: BaseException, rc: int):
+    """One JSON line distinguishing an environment outage from a
+    framework bug (VERDICT r3 next #1): error='tpu_relay_down' (rc=2)
+    means the axon relay was unreachable — the framework was never
+    exercised; error='framework_failure' (rc=1) means bench code raised."""
+    traceback.print_exc(file=sys.stderr)
+    name = "diamond222" if "--small" in sys.argv else "diamond333"
+    print(json.dumps({
+        "metric": f"{name}_jk_per_scf_iter_ms", "value": None,
+        "unit": "ms", "vs_baseline": None, "error": kind,
+        "detail": f"{type(exc).__name__}: {str(exc)[:400]}"}))
+    sys.exit(rc)
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RelayDown as e:
+        _emit_failure("tpu_relay_down", e, 2)
+    except Exception as e:
+        if _looks_like_relay_failure(e):
+            _emit_failure("tpu_relay_down", e, 2)
+        _emit_failure("framework_failure", e, 1)

@@ -79,8 +79,8 @@ class _MeanField:
                   else _jd.run_scf_jit_diis)
         e_tot, dm, niter, conv = runner(
             self.system, xc=self.xc, exxdiv=self.exxdiv,
-            df=df or (self.df if self.df != "fftdf" else "isdf"),
-            isdf_c=isdf_c or self.isdf_c,
+            df=df if df is not None else self.df,
+            isdf_c=isdf_c if isdf_c is not None else self.isdf_c,
             max_cycle=self.max_cycle, conv_tol=self.conv_tol)
         self._res = {"e_tot": e_tot, "dm": dm, "converged": conv,
                      "niter": niter}

@@ -319,9 +319,10 @@ def kgw_ac(system, res, xc: Optional[str] = None, nw: int = 100,
                                       eps_body_inv[w], qnorm, nk)
                 del00 = pref00 * (ei00 - 1.0)
                 for j, kn in enumerate(kptlist):
+                    # diagonal contracted directly: O(nmo*naux), not the
+                    # full (nmo, nmo) matrix followed by .diagonal()
                     WnP0 = 2.0 * np.real(np.einsum(
-                        "Pnm,P->nm", np.asarray(Lmo[kn][kn]),
-                        eiP0).diagonal())
+                        "Pnn,P->n", np.asarray(Lmo[kn][kn]), eiP0))
                     delP0 = prefP0 * WnP0
                     go = g0_occ[w, j] * wts[w]
                     gv = g0_vir[w, j] * wts[w]

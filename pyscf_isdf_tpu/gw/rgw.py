@@ -138,6 +138,10 @@ def pade_eval(z, zn: np.ndarray, a: np.ndarray):
 def _pade_fit_points(nw_sigma: int):
     """Reference point selection (krgw_ac.py:521-527): every 6th point
     through the low-frequency region, then every 4th in the tail."""
+    if nw_sigma < 2:
+        raise ValueError(
+            f"nw_sigma={nw_sigma}: Pade fit needs at least 2 self-energy "
+            "frequencies; increase the quadrature size nw")
     idx1 = list(range(1, min(40, nw_sigma), 6))
     idx2 = list(range(idx1[-1] + 4, nw_sigma, 4))
     idx = np.array(idx1 + idx2)

@@ -17,7 +17,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.4.35 exposes shard_map at top level; the experimental
+    # alias is deprecated (removed after jax 0.8)
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from pyscf_isdf_tpu.gw.rgw import _sigma_iw_batched
 
