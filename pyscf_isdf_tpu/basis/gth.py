@@ -105,14 +105,25 @@ def load_basis(basis_name: str, symbol: str) -> list[tuple[int, np.ndarray, np.n
     key = basis_name.lower()
     if key.startswith("sto-"):
         table = _load_json("sto_basis.json")   # all-electron STO-nG
-    else:
+        entries = table.get(key, {}).get(symbol)
+    elif key.startswith("gth"):
         table = _load_json("gth_basis.json")
-    if key not in table:
-        raise KeyError(f"unknown basis {basis_name!r}; have {sorted(table)}")
-    if symbol not in table[key]:
+        entries = table.get(key, {}).get(symbol)
+    else:
+        # general all-electron families (cc-pVnZ, def2, Pople, ...):
+        # NWChem-format data files via the general parser
+        from pyscf_isdf_tpu.basis import nwchem
+
+        table = nwchem.load(key)
+        if table is None:
+            raise KeyError(
+                f"unknown basis {basis_name!r}; have GTH families, "
+                f"STO-nG, and {nwchem.available()}")
+        entries = table.get(symbol)
+    if entries is None:
         raise KeyError(f"no {basis_name} entry for element {symbol}")
     shells = []
-    for entry in table[key][symbol]:
+    for entry in entries:
         l = entry[0]
         rows = np.array(entry[1:], dtype=np.float64)
         exps = rows[:, 0]
