@@ -92,20 +92,105 @@ def _solve_xi(aoR, aoRg):
     return Linv.T @ (Linv @ C2.T)                         # (nip, ng)
 
 
-@partial(jax.jit, static_argnames=("mesh", "fft_chunk", "keep_v"))
+@partial(jax.jit, static_argnames=("grid_chunk", "out_dd"))
+def _solve_xi_dd(aoR, aoRg, grid_chunk: int = 4096, out_dd: bool = False):
+    """Interpolation vectors via the on-device DOUBLE-FLOAT build.
+
+    The f32 solve is a 30x worse METHOD than the f64 one (BENCH_NOTES
+    r3: |dEk| 9.4e-4 vs 3.18e-5 at diamond 2x2x2 c=16) because the
+    near-singular squared Gram demands an f32-scale regularization
+    shift. This path reproduces the f64 build's conditioning ON DEVICE
+    using (hi, lo) double-float arithmetic (ops/dd.py, ~48 significand
+    bits), removing the host-staging + translation-symmetry limits of
+    tools/certify_sym.py:
+
+      * C1 = (aoRg aoRg^T)^2 in full dd (exact VPU Gram over the short
+        nao axis + dd elementwise square) — the conditioning-critical
+        matrix, accurate to ~nao * 2^-48;
+      * dd Cholesky + dd triangular inverse with an ~1e-11-scale shift
+        (vs the f32 path's 3e-7 * trace);
+      * the grid-sized RHS C2 = (aoR aoRg^T)^2 and the two solve GEMMs
+        on the MXU with chunk-compensated dd accumulation, streamed in
+        ``grid_chunk`` column blocks (peak extra memory O(nip *
+        grid_chunk) instead of O(nip * ng) dd temporaries).
+
+    Returns xi as f32 — the downstream W assembly and per-iteration K
+    GEMMs are f32; what required better-than-f32 precision is the SOLVE
+    (condition-amplified), not the storage (benign 2^-24 rounding).
+    ``out_dd=True`` instead returns the (hi, lo) pair, for certification
+    paths that assemble W at full solve width (tools/certify_dd.py).
+    """
+    from pyscf_isdf_tpu.ops import dd
+
+    f32 = jnp.float32
+    aoR32 = aoR.astype(f32)
+    aoRg32 = aoRg.astype(f32)
+    nip = aoRg32.shape[0]
+    nao = aoRg32.shape[1]
+    ng = aoR32.shape[0]
+
+    Gh, Gl = dd.matmul_exact_dd(aoRg32, aoRg32.T)         # (nip, nip)
+    C1h, C1l = dd.square_dd(Gh, Gl)
+    # Shift scale: must dominate the dd noise floor of C1 (~2^-48 * tr
+    # per entry) even when C1 is RANK-DEFICIENT (the oversampled
+    # n_ip > pair-rank regime: null-mode pivots land on eps and the
+    # solve amplifies C2 noise by 1/eps — measured: eps = 4e-11*tr/nip
+    # left 0.09 K error at diamond-primitive c=8 where the f32 build
+    # gives 5.8e-5). 1e-10 * tr is ~3000x below the f32 path's 3e-7*tr
+    # (whose shift is the 30x method-error culprit) and ~3e4 above the
+    # dd noise floor; both regimes measured in tests/test_isdf.py.
+    tr = jnp.sum(jnp.diagonal(C1h))
+    eps = jnp.asarray(1e-10, f32) * tr
+    C1h, C1l = dd.add_f(C1h, C1l, eps * jnp.eye(nip, dtype=f32))
+    Lh, Ll = dd.cholesky_dd(C1h, C1l)
+    Mh, Ml = dd.tril_inverse_dd(Lh, Ll)                   # L^{-1}
+    MhT, MlT = jnp.swapaxes(Mh, 0, 1), jnp.swapaxes(Ml, 0, 1)
+
+    npad = (-ng) % grid_chunk
+    aoR_p = jnp.pad(aoR32, ((0, npad), (0, 0)))
+
+    def per_chunk(ar):                                    # (gc, nao)
+        Hh, Hl = dd.matmul_f32_dd(ar, aoRg32.T)           # (gc, nip)
+        C2h, C2l = dd.square_dd(Hh, Hl)
+        Yh, Yl = dd.matmul_dd_dd(Mh, Ml,
+                                 jnp.swapaxes(C2h, 0, 1),
+                                 jnp.swapaxes(C2l, 0, 1))  # (nip, gc)
+        Xh, Xl = dd.matmul_dd_dd(MhT, MlT, Yh, Yl)        # (nip, gc)
+        if out_dd:
+            return Xh, Xl
+        return dd.to_f32(Xh, Xl)
+
+    res = jax.lax.map(per_chunk, aoR_p.reshape(-1, grid_chunk, nao))
+    if out_dd:
+        def _unchunk(x):
+            return jnp.moveaxis(x, 0, 1).reshape(nip, -1)[:, :ng]
+        return _unchunk(res[0]), _unchunk(res[1])
+    xi = jnp.moveaxis(res, 0, 1).reshape(nip, -1)[:, :ng]
+    return xi.astype(aoR.dtype)
+
+
+@partial(jax.jit, static_argnames=("mesh", "fft_chunk", "keep_v",
+                                   "precision"))
 def _build_from_idx(aoR, ip_idx, coulG, mesh, weight, fft_chunk: int = 128,
-                    keep_v: bool = False):
+                    keep_v: bool = False, precision: str | None = None):
     """Steps 2+3 of the ISDF build for a given IP set.
 
     ``coulG`` may be one kernel (ng,) or a stack (nw, ng): the expensive
     IP fit (xi) is shared and one W is built per kernel (the RSH path
     builds the full-range and short-range W from one factorization).
     ``keep_v`` also returns V xi = ifft(coulG fft(xi)) per kernel
-    (needed by the robust-fit K).
+    (needed by the robust-fit K). ``precision='dd'`` solves the
+    interpolation vectors in on-device double-float (f64-grade
+    conditioning on an f32-only TPU; see :func:`_solve_xi_dd`).
     """
     aoRg = aoR[ip_idx]                                    # (nip, nao)
     nip = aoRg.shape[0]
-    xi = _solve_xi(aoR, aoRg)                             # (nip, ng)
+    if precision == "dd":
+        xi = _solve_xi_dd(aoR, aoRg)                      # (nip, ng)
+    elif precision is None:
+        xi = _solve_xi(aoR, aoRg)                         # (nip, ng)
+    else:
+        raise ValueError(f"unknown build precision {precision!r}")
 
     # W = w * xi V xi^T with V the Coulomb kernel on the mesh, streamed:
     # each fft_chunk of xi is FFT'd once (shared across kernels) and
@@ -145,7 +230,8 @@ def _build_from_idx(aoR, ip_idx, coulG, mesh, weight, fft_chunk: int = 128,
 
 def build_isdf(aoR, coulG, mesh, weight, n_ip=None, c: float = 8.0,
                method: str = "cholesky", coords=None, rho=None,
-               atom_coords=None, keep_v: bool = False) -> ISDF:
+               atom_coords=None, keep_v: bool = False,
+               precision: str | None = None) -> ISDF:
     """Build the ISDF factorization from gridded AOs.
 
     Args:
@@ -156,6 +242,9 @@ def build_isdf(aoR, coulG, mesh, weight, n_ip=None, c: float = 8.0,
         method: 'cholesky' (QRCP-equivalent greedy selection), 'cvt'
             (density-weighted K-means; needs coords+rho), or 'atomic'
             (Voronoi-partitioned robust fit; needs coords+atom_coords).
+        precision: None (native dtype) or 'dd' (on-device double-float
+            interpolation-vector solve — f64-grade build conditioning
+            from f32 data; see _solve_xi_dd).
     """
     import numpy as np
 
@@ -179,12 +268,14 @@ def build_isdf(aoR, coulG, mesh, weight, n_ip=None, c: float = 8.0,
     else:
         raise ValueError(f"unknown IP selection method {method!r}")
     aoRg, W, Vxi = _build_from_idx(aoR, ip_idx, jnp.asarray(coulG),
-                                   tuple(mesh), weight, keep_v=keep_v)
+                                   tuple(mesh), weight, keep_v=keep_v,
+                                   precision=precision)
     return ISDF(aoRg=aoRg, W=W, ip_idx=ip_idx, Vxi=Vxi)
 
 
 def build_isdf_multi(aoR, coulGs, mesh, weight, n_ip=None, c: float = 8.0,
-                     method: str = "cholesky", keep_v: bool = False) -> tuple:
+                     method: str = "cholesky", keep_v: bool = False,
+                     precision: str | None = None) -> tuple:
     """One factorization, several Coulomb kernels (e.g. full + SR for RSH).
 
     Returns a tuple of :class:`ISDF` sharing aoRg/ip_idx, one per kernel
@@ -203,7 +294,8 @@ def build_isdf_multi(aoR, coulGs, mesh, weight, n_ip=None, c: float = 8.0,
         raise ValueError(f"unknown IP selection method {method!r}")
     stack = jnp.stack([jnp.asarray(g) for g in coulGs])
     aoRg, W_all, Vxi = _build_from_idx(aoR, ip_idx, stack, tuple(mesh),
-                                       weight, keep_v=keep_v)
+                                       weight, keep_v=keep_v,
+                                       precision=precision)
     return tuple(ISDF(aoRg=aoRg, W=W_all[i], ip_idx=ip_idx,
                       Vxi=(Vxi[i] if keep_v else None))
                  for i in range(len(coulGs)))

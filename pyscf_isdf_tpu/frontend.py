@@ -30,6 +30,7 @@ class _MeanField:
         self.max_cycle = 60
         self.df = "fftdf"
         self.isdf_c = 8.0
+        self.isdf_precision = None
         self.sigma = 0.0
         self.smearing_method = "fermi"
         self.verbose = False
@@ -49,10 +50,17 @@ class _MeanField:
             self._system = _hf.build_scf_system(self.cell)
         return self._system
 
-    def density_fit(self, kind: str = "isdf", c: float = 8.0):
-        """Switch the exchange engine (the reference's with_df swap)."""
+    def density_fit(self, kind: str = "isdf", c: float = 8.0,
+                    precision: str | None = None):
+        """Switch the exchange engine (the reference's with_df swap).
+
+        ``precision='dd'`` (Gamma ISDF only) solves the interpolation
+        vectors in on-device double-float — f64-grade build conditioning
+        on an f32-only TPU, for certified-accuracy factorizations with
+        no host staging (df/isdf.py _solve_xi_dd)."""
         self.df = kind
         self.isdf_c = c
+        self.isdf_precision = precision
         return self
 
     def _kernel(self):
@@ -104,6 +112,7 @@ class RHF(_MeanField):
         return _hf.scf_kernel(self.system, xc=None, exxdiv=self.exxdiv,
                               conv_tol=self.conv_tol, max_cycle=self.max_cycle,
                               df=self.df, isdf_c=self.isdf_c,
+                              isdf_precision=self.isdf_precision,
                               sigma=self.sigma,
                               smearing_method=self.smearing_method,
                               verbose=self.verbose)
@@ -117,6 +126,7 @@ class RKS(_MeanField):
         return _hf.scf_kernel(self.system, xc=self.xc, exxdiv=self.exxdiv,
                               conv_tol=self.conv_tol, max_cycle=self.max_cycle,
                               df=self.df, isdf_c=self.isdf_c,
+                              isdf_precision=self.isdf_precision,
                               sigma=self.sigma,
                               smearing_method=self.smearing_method,
                               verbose=self.verbose)
@@ -131,6 +141,7 @@ class UHF(_MeanField):
                                conv_tol=self.conv_tol,
                                max_cycle=self.max_cycle,
                                df=self.df, isdf_c=self.isdf_c,
+                               isdf_precision=self.isdf_precision,
                                verbose=self.verbose)
 
 
@@ -143,6 +154,7 @@ class UKS(_MeanField):
                                conv_tol=self.conv_tol,
                                max_cycle=self.max_cycle,
                                df=self.df, isdf_c=self.isdf_c,
+                               isdf_precision=self.isdf_precision,
                                verbose=self.verbose)
 
 
@@ -173,6 +185,7 @@ class _KMeanField(_MeanField):
                                conv_tol=self.conv_tol,
                                max_cycle=self.max_cycle,
                                df=self.df, isdf_c=self.isdf_c,
+                               isdf_precision=self.isdf_precision,
                                verbose=self.verbose)
 
     @property
@@ -198,6 +211,7 @@ class KRHF(_KMeanField):
                                 max_cycle=self.max_cycle, sigma=self.sigma,
                                 smearing_method=self.smearing_method,
                                 df=self.df, isdf_c=self.isdf_c,
+                                isdf_precision=self.isdf_precision,
                                 verbose=self.verbose)
 
 
@@ -214,6 +228,7 @@ class KRKS(_KMeanField):
                                 max_cycle=self.max_cycle, sigma=self.sigma,
                                 smearing_method=self.smearing_method,
                                 df=self.df, isdf_c=self.isdf_c,
+                                isdf_precision=self.isdf_precision,
                                 verbose=self.verbose)
 
 
@@ -227,6 +242,7 @@ class KUHF(_KMeanField):
         return kuhf_kernel(self.system, xc=None, exxdiv=self.exxdiv,
                            conv_tol=self.conv_tol, max_cycle=self.max_cycle,
                            df=self.df, isdf_c=self.isdf_c,
+                           isdf_precision=self.isdf_precision,
                            verbose=self.verbose)
 
 
@@ -240,6 +256,7 @@ class KUKS(_KMeanField):
         return kuhf_kernel(self.system, xc=self.xc, exxdiv=self.exxdiv,
                            conv_tol=self.conv_tol, max_cycle=self.max_cycle,
                            df=self.df, isdf_c=self.isdf_c,
+                           isdf_precision=self.isdf_precision,
                            verbose=self.verbose)
 
 
@@ -259,6 +276,7 @@ class KRKSpU(_KMeanField):
                                 max_cycle=self.max_cycle, sigma=self.sigma,
                                 smearing_method=self.smearing_method,
                                 df=self.df, isdf_c=self.isdf_c,
+                                isdf_precision=self.isdf_precision,
                                 hubbard=self.hubbard, verbose=self.verbose)
 
 
@@ -273,6 +291,7 @@ class KROHF(_KMeanField):
                             conv_tol=self.conv_tol,
                             max_cycle=self.max_cycle,
                             df=self.df, isdf_c=self.isdf_c,
+                            isdf_precision=self.isdf_precision,
                             verbose=self.verbose)
 
 

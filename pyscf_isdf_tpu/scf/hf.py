@@ -157,6 +157,7 @@ def scf_kernel(
     get_jk=None,
     df: str = "fftdf",
     isdf_c: float = 8.0,
+    isdf_precision: Optional[str] = None,
     level_shift: float = 0.0,
     damping: float = 0.0,
     sigma: float = 0.0,
@@ -174,6 +175,10 @@ def scf_kernel(
         df: 'fftdf' (exact pair-density FFT exchange) or 'isdf' (build the
             ISDF factorization here and use GEMM-cost exchange + exact
             FFT J) — the reference's ``mf.with_df`` swap as a flag.
+        isdf_precision: None (native dtype) or 'dd' — solve the ISDF
+            interpolation vectors in on-device double-float so the
+            build keeps f64-grade conditioning on an f32-only TPU
+            (df/isdf.py _solve_xi_dd; 30x method-error reduction).
         sigma: smearing width — the reference applies smearing() to every
             SCF class (pyscf/pbc/scf/addons.py:216), Gamma point included.
             The result then carries entropy/mu/e_free.
@@ -261,7 +266,7 @@ def scf_kernel(
             if rsh:
                 isdfs = isdf_mod.build_isdf_multi(
                     aoR, [coulG_k, coulG_lr], mesh, weight, c=isdf_c,
-                    keep_v=robust)
+                    keep_v=robust, precision=isdf_precision)
 
                 def _one_k(f, dmj):
                     if robust:
@@ -273,7 +278,8 @@ def scf_kernel(
                         + (alpha - hyb) * _one_k(isdfs[1], dmj)
             else:
                 isdf = isdf_mod.build_isdf(aoR, coulG_k, mesh, weight,
-                                           c=isdf_c, keep_v=robust)
+                                           c=isdf_c, keep_v=robust,
+                                           precision=isdf_precision)
 
                 def get_k_fn(dmj):
                     if robust:

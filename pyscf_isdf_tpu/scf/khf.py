@@ -154,6 +154,7 @@ def kscf_kernel(
     get_jk=None,
     df: str = "fftdf",
     isdf_c: float = 8.0,
+    isdf_precision: Optional[str] = None,
     verbose: bool = False,
     sigma: float = 0.0,
     smearing_method: str = "fermi",
@@ -175,6 +176,12 @@ def kscf_kernel(
     ``hubbard`` enables DFT+U (reference pyscf/pbc/dft/krkspu.py): a list
     of (atom_index_or_symbol, l, U_hartree) subspace specs.
     """
+    if isdf_precision is not None:
+        raise NotImplementedError(
+            "isdf_precision='dd' is Gamma-only for now: the k-point ISDF "
+            "builders (df/isdf_q.py, df/isdf_k.py) solve per-q "
+            "interpolation problems that have not been ported to the "
+            "double-float path yet (df/isdf.py _solve_xi_dd)")
     cell = system.cell
     nk = len(system.kpts)
     xcspec = XCSpec(xc) if xc is not None else None

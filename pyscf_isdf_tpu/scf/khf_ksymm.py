@@ -74,6 +74,7 @@ def kscf_ibz_kernel(
     diis_space: int = 8,
     df: str = "fftdf",
     isdf_c: float = 8.0,
+    isdf_precision: Optional[str] = None,
     verbose: bool = False,
 ):
     """Run the IBZ k-point SCF. xc=None -> KRHF, else KRKS.
@@ -82,6 +83,12 @@ def kscf_ibz_kernel(
     keeps full-BZ AO values for the exchange sum); the iteration state
     lives on the IBZ.
     """
+    if isdf_precision is not None:
+        raise NotImplementedError(
+            "isdf_precision='dd' is Gamma-only for now: the k-point ISDF "
+            "builders (df/isdf_q.py, df/isdf_k.py) solve per-q "
+            "interpolation problems that have not been ported to the "
+            "double-float path yet (df/isdf.py _solve_xi_dd)")
     cell = system.cell
     nk = len(system.kpts)
     if info is None:

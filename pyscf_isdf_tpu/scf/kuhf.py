@@ -35,6 +35,7 @@ def kuhf_kernel(
     diis_space: int = 8,
     df: str = "fftdf",
     isdf_c: float = 8.0,
+    isdf_precision: Optional[str] = None,
     verbose: bool = False,
 ):
     """Run k-point spin-polarized SCF. xc=None -> KUHF, else KUKS (LDA).
@@ -42,6 +43,12 @@ def kuhf_kernel(
     ``df='isdf'`` swaps the per-spin exchange onto the k-point ISDF GEMM
     path (one shared factorization, linear in the density matrix).
     """
+    if isdf_precision is not None:
+        raise NotImplementedError(
+            "isdf_precision='dd' is Gamma-only for now: the k-point ISDF "
+            "builders (df/isdf_q.py, df/isdf_k.py) solve per-q "
+            "interpolation problems that have not been ported to the "
+            "double-float path yet (df/isdf.py _solve_xi_dd)")
     cell = system.cell
     nk = len(system.kpts)
     xcspec = XCSpec(xc) if xc is not None else None

@@ -88,6 +88,7 @@ def uhf_kernel(
     get_jk=None,
     df: str = "fftdf",
     isdf_c: float = 8.0,
+    isdf_precision: Optional[str] = None,
     verbose: bool = False,
 ):
     """Run spin-polarized SCF. xc=None -> UHF; else UKS.
@@ -136,14 +137,16 @@ def uhf_kernel(
 
             if rsh:
                 isdfs = isdf_mod.build_isdf_multi(
-                    aoR, [coulG_k, coulG_lr], mesh, weight, c=isdf_c)
+                    aoR, [coulG_k, coulG_lr], mesh, weight, c=isdf_c,
+                    precision=isdf_precision)
 
                 def get_k_one(dmj):
                     return hyb * isdf_mod.get_k(isdfs[0], dmj) \
                         + (alpha - hyb) * isdf_mod.get_k(isdfs[1], dmj)
             else:
                 isdf = isdf_mod.build_isdf(aoR, coulG_k, mesh, weight,
-                                           c=isdf_c)
+                                           c=isdf_c,
+                                           precision=isdf_precision)
 
                 def get_k_one(dmj):
                     return isdf_mod.get_k(isdf, dmj)

