@@ -209,6 +209,227 @@ def aehf_kernel(cell, omega: float = 0.4, beta: float = 2.0,
             "mo_coeff": cmo, "niter": it + 1, "gdf": gdf}
 
 
+# --------------------------------------------------------------- k-point
+def _unique_q_canonical(cell, kpts):
+    """Distinct momentum transfers q = k2 - k1 canonicalized to the
+    first BZ (fractional parts in [-1/2, 1/2)): exactly nk classes on a
+    uniform MP mesh. Returns (q_list (nq, 3), qmap (nk1, nk2) -> q idx
+    for the pair (k1, k2)). The analytic lattice sums are exactly
+    G-periodic in q, so the canonical representative is just a cache/
+    whitening-frame key (cf. df/gdf.py q_data's frame-consistency note).
+    """
+    kpts = np.reshape(kpts, (-1, 3))
+    nk = len(kpts)
+    b_mat = 2.0 * np.pi * np.linalg.inv(cell.a.T)
+    diffs = (kpts[None, :, :] - kpts[:, None, :]).reshape(-1, 3)  # q[k1,k2]
+    scaled = (diffs @ cell.a.T) / (2.0 * np.pi)
+    frac = scaled - np.floor(scaled + 0.5 - 1e-9)
+    frac = np.round(frac, 10)
+    uniq, inv = np.unique(frac, axis=0, return_inverse=True)
+    qmap = inv.reshape(nk, nk)
+    return uniq @ b_mat, qmap
+
+
+def lr_gvectors_q(cell, q, omega: float, tol: float = 1e-14) -> np.ndarray:
+    """Reciprocal vectors G with 0 < |q+G| <= Gmax for the q-shifted LR
+    kernel support (the |q+G| ~ 0 exclusion only triggers for q in the
+    reciprocal lattice — the dropped-G0 convention)."""
+    gmax = 2.0 * omega * np.sqrt(np.log(1.0 / tol))
+    b = cell.reciprocal_vectors()
+    binv = np.linalg.inv(b)
+    q = np.asarray(q, float)
+    nmax = np.ceil((gmax + np.linalg.norm(q))
+                   * np.linalg.norm(binv, axis=0)).astype(int)
+    grids = [np.arange(-n, n + 1) for n in nmax]
+    m = np.stack(np.meshgrid(*grids, indexing="ij"), -1).reshape(-1, 3)
+    Gv = m @ b
+    qG2 = np.einsum("gi,gi->g", Gv + q, Gv + q)
+    keep = (qG2 > 1e-12) & (qG2 <= gmax * gmax)
+    return Gv[keep]
+
+
+def build_ae_gdf_kpts(cell, kpts, omega: float = 0.4, beta: float = 2.0,
+                      l_extra: int = 2, lindep: float = 1e-10,
+                      gtol: float = 1e-14, auxcell=None):
+    """k-point all-electron fit tensors (analytic SR + G-sphere LR).
+
+    Extends :func:`build_ae_gdf` to arbitrary k meshes — the steep/
+    all-electron k-point regime the reference serves with GDF/RSDF
+    (pyscf/pbc/df/df.py:127, rsdf.py:74, rsdf_builder.py:59). Per
+    canonical momentum transfer q the whitened aux frame is shared by
+    every (k1, k2) pair of that class (frame consistency, cf.
+    df/gdf.py q_data). Returns a :class:`~pyscf_isdf_tpu.df.gdf.KGDF`
+    consumed by the standard ``get_jk_kpts``.
+    """
+    from pyscf_isdf_tpu.df.gdf import KGDF
+    from pyscf_isdf_tpu.ops import md_int_k
+    from pyscf_isdf_tpu.ops.ft_ao import overlap_and_kinetic_analytic
+
+    if auxcell is None:
+        auxcell = make_auxcell(cell, beta=beta, l_extra=l_extra)
+    kpts = np.reshape(np.asarray(kpts, float), (-1, 3))
+    nk = len(kpts)
+    naux, nao = auxcell.nao, cell.nao
+    vol = cell.vol
+    q_list, qmap = _unique_q_canonical(cell, kpts)
+    nq = len(q_list)
+
+    # ---- SR analytic lattice sums (Bloch-phased MD engine)
+    j2c_q = md_int_k.int2c_q(auxcell, q_list, omega)        # (nq,naux,naux)
+    X = md_int_k.int3c_kq(cell, auxcell, kpts, q_list, omega)
+
+    # ---- LR G-sphere + G = 0 conventions
+    qP = np.real(ft_ao.ft_ao(auxcell, np.zeros((1, 3)))[0])
+    g0 = np.pi / (omega * omega * vol)
+    S_k = [overlap_and_kinetic_analytic(cell, kpt=k)[0] for k in kpts]
+    ft_aux = {}
+    for iq, q in enumerate(q_list):
+        Gv = lr_gvectors_q(cell, q, omega, gtol)
+        vlr = _vlr(Gv + q, omega)
+        ftP = ft_ao.ft_ao(auxcell, Gv, kpt=q)               # at q+G
+        ft_aux[iq] = (Gv, vlr, ftP)
+        j2c_q[iq] += np.einsum("gP,g,gQ->PQ", ftP.conj(), vlr, ftP,
+                               optimize=True) / vol
+        if np.linalg.norm(q) < 1e-9:
+            # SR real-space sums contain v_sr(G=0) = pi/w^2; the
+            # assembled metric must be the dropped-G0 object
+            j2c_q[iq] -= g0 * np.outer(qP, qP)
+
+    wh_q = []
+    for iq in range(nq):
+        w, U = np.linalg.eigh(0.5 * (j2c_q[iq] + j2c_q[iq].conj().T))
+        keep = w > w.max() * lindep
+        wh_q.append((U[:, keep] / np.sqrt(w[keep])).conj().T)
+
+    cd = []
+    for k1 in range(nk):
+        row = []
+        for k2 in range(nk):
+            iq = qmap[k1, k2]
+            q = q_list[iq]
+            Gv, vlr, ftP = ft_aux[iq]
+            j3c = np.array(X[k2, iq])                       # (naux,nao,nao)
+            ftmn = ft_ao.ft_aopair(cell, Gv, q=q, kj=kpts[k2])
+            j3c += np.einsum("gP,g,gmn->Pmn", ftP.conj(), vlr, ftmn,
+                             optimize=True) / vol
+            if iq == qmap[0, 0]:                            # q = 0 class
+                j3c -= g0 * np.einsum("P,mn->Pmn", qP, S_k[k2])
+            row.append(jnp.asarray(
+                (wh_q[iq] @ j3c.reshape(naux, -1)).reshape(-1, nao, nao)))
+        cd.append(tuple(row))
+    return KGDF(cd=tuple(cd), nk=nk)
+
+
+def _vlr_q(Gv, q, omega):
+    return _vlr(Gv + np.asarray(q, float), omega)
+
+
+def ae_hcore_kpts(cell, kpts, omega: float = 0.4, gtol: float = 1e-14):
+    """Analytic all-electron S_k and h_k = T_k + V_ne,k (mesh-free).
+
+    Same dropped-G0 composition as the Gamma :func:`ae_hcore`, per k.
+    Returns (S_k (nk,nao,nao), h_k (nk,nao,nao)) complex128.
+    """
+    from pyscf_isdf_tpu.ops import md_int_k
+    from pyscf_isdf_tpu.ops.ft_ao import overlap_and_kinetic_analytic
+
+    kpts = np.reshape(np.asarray(kpts, float), (-1, 3))
+    nk = len(kpts)
+    Z = np.asarray(cell.charges, float)
+    vol = cell.vol
+    Gv = lr_gvectors(cell, omega, gtol)
+    vlr = _vlr(Gv, omega)
+    SI = np.exp(-1j * cell.coords @ Gv.T)                   # (natm, ng)
+    vhatA = -(Z @ SI) * vlr                                 # (ng,)
+    V_sr = md_int_k.vne_k(cell, kpts, omega)
+    S_all, h_all = [], []
+    for ik, k in enumerate(kpts):
+        S, T = overlap_and_kinetic_analytic(cell, kpt=k)
+        h = np.asarray(T) + V_sr[ik]
+        ftmn = ft_ao.ft_aopair(cell, Gv, q=np.zeros(3), kj=k)
+        # conj(ft[g,n,m]) = int conj(phi_m) phi_n e^{+iG.r} (the k-
+        # hermitian orientation; at Gamma ftmn is (m,n)-symmetric and
+        # this reduces to ae_hcore's form)
+        h = h + np.einsum("g,gnm->mn", vhatA, ftmn.conj(),
+                          optimize=True) / vol
+        h = h + np.pi * Z.sum() / (omega * omega * vol) * np.asarray(S)
+        S_all.append(np.asarray(S))
+        h_all.append(0.5 * (h + h.conj().T))
+    return np.stack(S_all), np.stack(h_all)
+
+
+def aekhf_kernel(cell, kpts, omega: float = 0.4, beta: float = 2.0,
+                 l_extra: int = 2, exxdiv: str = "ewald",
+                 max_cycle: int = 80, conv_tol: float = 1e-10,
+                 kgdf=None, verbose: bool = False):
+    """All-electron k-point restricted HF, fully mesh-free.
+
+    k-sampled companion of :func:`aehf_kernel`: per-cycle J/K from the
+    whitened k fit tensors (df/gdf.py get_jk_kpts), analytic hcore/S,
+    ewald-madelung exchange shift per k (reference convention,
+    pyscf/pbc/scf/khf.py energy_elec + exxdiv handling).
+    """
+    import scipy.linalg as sla
+    from pyscf_isdf_tpu.df.gdf import get_jk_kpts
+
+    kpts = np.reshape(np.asarray(kpts, float), (-1, 3))
+    nk = len(kpts)
+    if kgdf is None:
+        kgdf = build_ae_gdf_kpts(cell, kpts, omega=omega, beta=beta,
+                                 l_extra=l_extra)
+    S, h = ae_hcore_kpts(cell, kpts, omega)
+    mad = coulomb.madelung(cell, kpts=kpts) if exxdiv == "ewald" else 0.0
+    e_nn = coulomb.ewald(cell)
+    nocc = cell.nelectron // 2
+    f = h.copy()
+    e_old = 0.0
+    errs, focks = [], []
+    conv = False
+    for it in range(max_cycle):
+        dm = []
+        for ik in range(nk):
+            _, cmo = sla.eigh(f[ik], S[ik])
+            dm.append(2.0 * cmo[:, :nocc] @ cmo[:, :nocc].conj().T)
+        vj, vk = get_jk_kpts(kgdf, [jnp.asarray(d) for d in dm])
+        vj, vk = np.array(vj), np.array(vk)
+        if mad:
+            for ik in range(nk):
+                vk[ik] = vk[ik] + mad * (S[ik] @ dm[ik] @ S[ik])
+        f_new = h + vj - 0.5 * vk
+        e = sum(0.5 * np.einsum("ij,ji->", dm[ik], h[ik] + f_new[ik]).real
+                for ik in range(nk)) / nk + e_nn
+        err = np.concatenate([
+            (f_new[ik] @ dm[ik] @ S[ik]
+             - S[ik] @ dm[ik] @ f_new[ik]).ravel() for ik in range(nk)])
+        errs.append(err)
+        focks.append(f_new)
+        if len(errs) > 8:
+            errs.pop(0)
+            focks.pop(0)
+        n = len(errs)
+        B = np.empty((n + 1, n + 1), dtype=np.complex128)
+        B[:n, :n] = np.array([[np.vdot(ei, ej) for ej in errs]
+                              for ei in errs])
+        B[n, :n] = B[:n, n] = -1.0
+        B[n, n] = 0.0
+        rhs = np.zeros(n + 1, dtype=np.complex128)
+        rhs[n] = -1.0
+        try:
+            cdiis = np.linalg.solve(B, rhs)[:n]
+            f = sum(ci * fi for ci, fi in zip(cdiis, focks))
+        except np.linalg.LinAlgError:
+            f = f_new
+        if verbose:
+            print(f"  aekhf cycle {it}: E = {e:.10f}  "
+                  f"dE = {e - e_old:.2e}", flush=True)
+        if abs(e - e_old) < conv_tol and it > 1:
+            conv = True
+            break
+        e_old = e
+    return {"e_tot": float(e), "converged": conv, "dm": dm,
+            "niter": it + 1, "kgdf": kgdf}
+
+
 def _e_nuc_molecular(cell):
     Z = np.asarray(cell.charges, float)
     R = cell.coords
