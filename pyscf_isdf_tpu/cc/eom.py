@@ -342,3 +342,156 @@ def eom_from_scf(system, scf_res, cc_out, sector="ee", nroots=6):
     # ip: E_n(N-1) - E_0(N), positive when ionization costs energy;
     # ea: E_n(N+1) - E_0(N), negative for a bound extra electron
     return w - e_gs
+
+
+# ------------------------------------------------- production IP/EA (Gamma)
+def _augment_continuum(f, eri, t1, t2, nocc, sector, eps_x):
+    """Pad the spin-orbital problem with ONE non-interacting 'continuum'
+    orbital at energy ``eps_x`` (zero eri, zero off-diagonal f, zero t).
+
+    IP-/EA-EOM-CCSD are EXACT subblocks of the augmented EE Jacobian:
+    H carries no continuum terms and T no continuum amplitudes, so the
+    continuum occupation number commutes with Hbar and the one-continuum
+    sector is invariant. An EE 'excitation' into the continuum virtual
+    is ionization (r1[i,x] = 1h, r2[ij,ax] = 2h1p, eigenvalue
+    IP + eps_x); an excitation out of a continuum occupied is
+    attachment (r1[x,a] = 1p, r2[xj,ab] = 2p1h, eigenvalue
+    EA_attach - eps_x). The standard continuum-orbital construction
+    (reference counterpart: dedicated EOMIP/EOMEA classes,
+    pyscf/cc/eom_rccsd.py:83; at k pyscf/pbc/cc/eom_kccsd_rhf.py) —
+    here it REUSES the tested jvp sigma instead of transcribing the
+    Wovoo/Wvvvo intermediate walls, so IP/EA inherit EE's correctness
+    for free at the same polynomial cost.
+
+    Returns (f2, eri2, t12, t22, no2).
+    """
+    nso = f.shape[0]
+    no = int(nocc)
+    pos = no if sector == "ea" else nso   # insert occ before virtuals
+    dt = np.result_type(f, eri)
+    f2 = np.zeros((nso + 1, nso + 1), dtype=dt)
+    ix = np.r_[0:pos, pos + 1:nso + 1]
+    f2[np.ix_(ix, ix)] = np.asarray(f)
+    f2[pos, pos] = eps_x
+    eri2 = np.zeros((nso + 1,) * 4, dtype=np.result_type(eri))
+    eri2[np.ix_(ix, ix, ix, ix)] = np.asarray(eri)
+    no2 = no + 1 if sector == "ea" else no
+    nv = nso - no
+    nv2 = nso + 1 - no2
+    t12 = np.zeros((no2, nv2), dtype=np.result_type(t1))
+    t22 = np.zeros((no2, no2, nv2, nv2), dtype=np.result_type(t2))
+    if sector == "ea":                     # dummy occ is the LAST occ
+        t12[:no, :] = t1
+        t22[:no, :no, :, :] = t2
+    else:                                  # dummy vir is the LAST vir
+        t12[:, :nv] = t1
+        t22[:, :, :nv, :nv] = t2
+    return f2, eri2, t12, t22, no2
+
+
+def _sector_indices(no2, nv2, sector):
+    """Packed-vector indices of the one-continuum amplitudes.
+
+    The continuum orbital is the LAST occupied (ea) / LAST virtual (ip),
+    so every sector pair (a, x) / (i, x) exists in the i<j / a<b packed
+    ordering of :func:`_packers` with the continuum index second.
+    """
+    ij, ab = _antisym_basis(no2, nv2)
+    ns = no2 * nv2
+    ij_pos = {p: n for n, p in enumerate(ij)}
+    ab_pos = {p: n for n, p in enumerate(ab)}
+    sel = []
+    if sector == "ip":
+        x = nv2 - 1
+        sel += [i * nv2 + x for i in range(no2)]            # r1[i, x]
+        sel += [ns + ij_pos[(i, j)] * len(ab) + ab_pos[(a, x)]
+                for (i, j) in ij for a in range(nv2 - 1)]   # r2[ij, ax]
+    else:
+        x = no2 - 1
+        sel += [x * nv2 + a for a in range(nv2)]            # r1[x, a]
+        sel += [ns + ij_pos[(i, x)] * len(ab) + ab_pos[p]
+                for i in range(no2 - 1) for p in ab]        # r2[ix, ab]
+    return np.asarray(sel, dtype=np.int64)
+
+
+def eom_ip_ea_energies(f, eri, t1, t2, nocc, sector="ip", nroots=4,
+                       target=None, eps_x=0.5, solve_tol=1e-8):
+    """Production-cost EOM-IP/EA-CCSD: the one-continuum-orbital
+    subblock of the EE residual Jacobian (see _augment_continuum).
+
+    Returns sorted E_n(N-1) - E_0(N) (ip: positive when ionization
+    costs energy) or E_n(N+1) - E_0(N) (ea: negative for a bound
+    attached electron) — the same conventions as the determinant-space
+    oracle path through :func:`eom_from_scf`.
+
+    ``target`` (in the SAME energy convention) enables shift-invert
+    Arnoldi for interior roots, as in :func:`eom_ee_iterative`.
+    """
+    import jax.numpy as jnp
+    from scipy.sparse.linalg import LinearOperator, eigs, gmres
+
+    f = np.asarray(f)
+    no = int(nocc)
+    # keep the quasi-Newton denominators used for residual
+    # reconstruction away from zero (they cancel exactly in the
+    # jvp, but a near-zero entry loses digits): nudge eps_x off any
+    # accidental degeneracy of the continuum level with e_i (ip) /
+    # e_i + e_j - e_a (ip doubles) etc.
+    e = np.real(np.diag(f))
+    for _ in range(8):
+        gaps = np.concatenate([
+            np.abs(e - eps_x),
+            np.abs(e[:no, None] + e[None, :no] - eps_x).ravel(),
+            np.abs(e[:, None] - e[None, no:] - eps_x).ravel(),
+        ])
+        if gaps.min() > 1e-4:
+            break
+        eps_x += 0.237
+    shift = eps_x if sector == "ip" else -eps_x
+
+    f2, eri2, t12, t22, no2 = _augment_continuum(
+        f, eri, t1, t2, no, sector, eps_x)
+    sigma, no2_, nv2 = _make_sigma(f2, eri2, t12, t22, no2)
+    dtype = np.result_type(np.asarray(t2), np.asarray(eri))
+    pack, unpack, dim_full = _packers(no2, nv2, dtype)
+    sel = _sector_indices(no2, nv2, sector)
+    dim = len(sel)
+
+    def mv(v):
+        vp = np.zeros(dim_full, dtype=dtype)
+        vp[sel] = v.astype(dtype)
+        r1, r2 = unpack(vp)
+        s1, s2 = sigma(jnp.asarray(r1), jnp.asarray(r2))
+        return pack(s1, s2)[sel]
+
+    if dim < max(3 * nroots, 40):
+        A = np.empty((dim, dim), dtype=dtype)
+        eye = np.eye(dim, dtype=dtype)
+        for col in range(dim):
+            A[:, col] = mv(eye[col])
+        w = np.linalg.eigvals(A)
+    else:
+        op = LinearOperator((dim, dim), matvec=mv, dtype=dtype)
+        if target is None:
+            w = eigs(op, k=min(nroots, dim - 2), which="SR",
+                     return_eigenvectors=False)
+        else:
+            tgt = target + shift
+            shifted = LinearOperator(
+                (dim, dim), matvec=lambda v: mv(v) - tgt * v, dtype=dtype)
+            restart = min(dim, 300)
+
+            def inv_mv(b):
+                x, info = gmres(shifted, b, rtol=solve_tol, atol=0.0,
+                                restart=restart, maxiter=20)
+                if info != 0:
+                    raise RuntimeError(
+                        "shift-invert inner solve stalled "
+                        f"(info={info}); move `target` off an eigenvalue")
+                return x
+
+            opinv = LinearOperator((dim, dim), matvec=inv_mv, dtype=dtype)
+            w = eigs(op, k=min(nroots, dim - 2), sigma=tgt, OPinv=opinv,
+                     which="LM", return_eigenvectors=False)
+    w = np.sort(w.real[np.abs(w.imag) < 1e-6])
+    return (w - shift)[:nroots]

@@ -225,3 +225,22 @@ def test_iterative_eom_shift_invert_interior():
                            nroots=2, target=tgt)
     near = np.abs(dense[None, :] - got[:, None]).min(axis=1)
     assert near.max() < 1e-8
+
+
+def test_ip_ea_production_matches_oracle(be_case):
+    """The continuum-orbital IP/EA (polynomial-cost jvp subblock,
+    cc/eom.py eom_ip_ea_energies) equals the determinant-space oracle
+    in both sectors — for 2 electrons the IP projection space is
+    complete, so this also pins them to FCI."""
+    from pyscf_isdf_tpu.cc.eom import eom_ip_ea_energies
+
+    system, res, out = be_case
+    h1so, eri_so = _so_integrals(system, res)
+    no = system.nelec
+    f = h1so + np.einsum("piqi->pq", eri_so[:, :no, :, :no])
+    t1, t2 = np.asarray(out["t1"]), np.asarray(out["t2"])
+    for sector in ("ip", "ea"):
+        w_oracle = eom_from_scf(system, res, out, sector=sector, nroots=4)
+        w_prod = eom_ip_ea_energies(f, eri_so, t1, t2, no,
+                                    sector=sector, nroots=4)
+        assert np.abs(w_prod - w_oracle).max() < 1e-9, sector
