@@ -204,8 +204,6 @@ def _mf_potentials_kpts(system, res, xc: Optional[str]):
     v_mf_ao = np.zeros_like(vx_ao)
     if xc is not None:
         spec = XCSpec(xc)
-        if spec.omega != 0.0:
-            raise NotImplementedError("k-GW on range-separated hybrids: todo")
         ao_grad_k = None
         if spec.family in ("gga", "mgga"):
             from pyscf_isdf_tpu.ops.ao_eval import ao_gradient_fft_k
@@ -218,7 +216,26 @@ def _mf_potentials_kpts(system, res, xc: Optional[str]):
                 for k in range(nk)])
         _, vxc = vxc_kpts(aoR_k, ao_grad_k, dm, system.weight, spec)
         v_mf_ao += vxc
-        if spec.hyb > 0:
+        if spec.omega != 0.0:
+            # RSH at k (scf/khf.py kernel semantics): the mean field's
+            # exchange is hyb*K_full + (alpha-hyb)*K_LR(omega), the LR
+            # part under erf-kernel pair Coulomb kernels with its own
+            # probe-charge madelung (ops/coulomb.madelung_omega).
+            from pyscf_isdf_tpu.ops import coulomb
+
+            cpl, _ = fftdf_k.make_k_kernels(system.cell, system.kpts,
+                                            omega=spec.omega)
+            vk_lr = np.array(fftdf_k.get_k_kpts(
+                aoR_k, jnp.asarray(dm, aoR_k.dtype), jnp.asarray(cpl),
+                system.expmikr, system.mesh, system.weight / nk),
+                dtype=np.complex128)
+            mad_lr = coulomb.madelung_omega(system.cell, system.kpts,
+                                            spec.omega)
+            for k in range(nk):
+                vk_lr[k] += mad_lr * (S[k] @ dm[k] @ S[k])
+            vx_lr = -0.5 * vk_lr
+            v_mf_ao += spec.hyb * vx_ao + (spec.alpha - spec.hyb) * vx_lr
+        elif spec.hyb > 0:
             v_mf_ao += spec.hyb * vx_ao
     else:
         v_mf_ao += vx_ao

@@ -183,8 +183,6 @@ def _mf_potentials(system, res, xc: Optional[str]):
     v_mf_ao = np.zeros_like(vx_ao)
     if xc is not None:
         spec = XCSpec(xc)
-        if spec.omega != 0.0:
-            raise NotImplementedError("GW on range-separated hybrids: todo")
         if spec.family == "mgga":
             ao_grad = ao_gradient_fft(aoR, mesh,
                                       jnp.asarray(system.Gv, aoR.dtype))
@@ -196,7 +194,25 @@ def _mf_potentials(system, res, xc: Optional[str]):
         else:
             _, vxc, _ = _vxc_lda(aoR, dm, weight, spec, mesh)
         v_mf_ao += np.asarray(vxc, dtype=np.float64)
-        if spec.hyb > 0:
+        if spec.omega != 0.0:
+            # RSH (scf/hf.py kernel semantics, reference
+            # pbc/dft/rks.py:108-121): the mean field's exchange is
+            #   K_eff = hyb*K_full + (alpha-hyb)*K_LR(omega),
+            # each part with its own probe-charge madelung.  GW's
+            # Sigma_x stays the FULL-range vx_ao above — (Sigma_x -
+            # v_mf) is then exactly the missing LR exchange plus the
+            # semilocal correction, so GW@HSE06 reduces to GW@PBE0 in
+            # the omega->0 limit.
+            from pyscf_isdf_tpu.ops import coulomb
+
+            coulG_lr = jnp.asarray(coulomb.get_coulG(
+                system.cell, exxdiv=None, omega=spec.omega), aoR.dtype)
+            vk_lr = np.asarray(fftdf.get_k(aoR, dm, coulG_lr, mesh,
+                                           weight), dtype=np.float64)
+            mad_lr = coulomb.madelung_omega(system.cell, None, spec.omega)
+            vx_lr = -0.5 * (vk_lr + mad_lr * (S @ np.asarray(res["dm"]) @ S))
+            v_mf_ao += spec.hyb * vx_ao + (spec.alpha - spec.hyb) * vx_lr
+        elif spec.hyb > 0:
             v_mf_ao += spec.hyb * vx_ao
     else:
         v_mf_ao += vx_ao        # HF: v_mf IS the exchange

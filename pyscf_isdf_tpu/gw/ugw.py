@@ -96,8 +96,6 @@ def _umf_potentials(system, res, xc: Optional[str]):
     vxc_ab = None
     if xc is not None:
         spec = XCSpec(xc)
-        if spec.omega != 0.0:
-            raise NotImplementedError("UGW on RSH: todo")
         ao_grad = None
         if spec.family in ("gga", "mgga"):
             ao_grad = ao_gradient_fft(aoR, mesh,
@@ -108,6 +106,14 @@ def _umf_potentials(system, res, xc: Optional[str]):
                                     weight, spec)
         vxc_ab = (np.asarray(vxc_a, np.float64),
                   np.asarray(vxc_b, np.float64))
+    coulG_lr = None
+    if xc is not None and XCSpec(xc).omega != 0.0:
+        from pyscf_isdf_tpu.ops import coulomb
+
+        spec = XCSpec(xc)
+        coulG_lr = jnp.asarray(coulomb.get_coulG(
+            system.cell, exxdiv=None, omega=spec.omega), aoR.dtype)
+        mad_lr = coulomb.madelung_omega(system.cell, None, spec.omega)
     for s in range(2):
         vk = np.asarray(fftdf.get_k(aoR, jnp.asarray(dm[s], aoR.dtype),
                                     coulG, mesh, weight), np.float64)
@@ -117,6 +123,14 @@ def _umf_potentials(system, res, xc: Optional[str]):
         else:
             spec = XCSpec(xc)
             v_ao = vxc_ab[s] + spec.hyb * vx_ao
+            if coulG_lr is not None:
+                # RSH (scf/uhf.py semantics): hyb*K_full +
+                # (alpha-hyb)*K_LR(omega), each with its own madelung
+                vk_lr = np.asarray(fftdf.get_k(
+                    aoR, jnp.asarray(dm[s], aoR.dtype), coulG_lr, mesh,
+                    weight), np.float64)
+                vx_lr = -(vk_lr + mad_lr * (S @ dm[s] @ S))
+                v_ao = v_ao + (spec.alpha - spec.hyb) * vx_lr
         vx.append(np.einsum("ip,ij,jp->p", C[s], vx_ao, C[s]))
         v_mf.append(np.einsum("ip,ij,jp->p", C[s], v_ao, C[s]))
     return vx, v_mf
@@ -281,18 +295,32 @@ def kugw_ac(system, res, xc=None, nw: int = 100, orbs=None,
     v_mf_mo = [None, None]
     vxc_s = None
     if xc is not None:
+        from pyscf_isdf_tpu.scf.kuhf import vxc_spin_kpts
+
         spec = XCSpec(xc)
-        if spec.family != "lda":
-            raise NotImplementedError("kugw: spin k-GGA v_mf todo")
-        dmj = [jnp.asarray(dm[s], aoR_k.dtype) for s in range(2)]
-        rho = [jnp.maximum(jnp.einsum(
-            "kgi,kij,kgj->g", aoR_k, dmj[s], aoR_k.conj()).real / nk,
-            1e-30) for s in range(2)]
-        _, (va, vb), _ = spec.exc_vxc_spin(rho[0], rho[1])
-        w = system.weight
-        vxc_s = [np.asarray(w * jnp.einsum(
-            "kgi,g,kgj->kij", aoR_k.conj(), v, aoR_k))
-            for v in (va, vb)]
+        ao_grad_k = None
+        if spec.family in ("gga", "mgga"):
+            from pyscf_isdf_tpu.ops.ao_eval import ao_gradient_fft_k
+
+            coords = jnp.asarray(system.cell.uniform_grid())
+            Gv = jnp.asarray(system.cell.get_Gv())
+            ao_grad_k = jnp.stack([
+                ao_gradient_fft_k(aoR_k[k], system.mesh, Gv,
+                                  jnp.asarray(system.kpts[k]), coords)
+                for k in range(nk)])
+        _, vxc_a, vxc_b = vxc_spin_kpts(aoR_k, ao_grad_k, dm[0], dm[1],
+                                        system.weight, spec)
+        vxc_s = [vxc_a, vxc_b]
+    cpl = mad_lr = None
+    if xc is not None and XCSpec(xc).omega != 0.0:
+        from pyscf_isdf_tpu.ops import coulomb
+
+        spec = XCSpec(xc)
+        cpl, _ = fftdf_k.make_k_kernels(system.cell, system.kpts,
+                                        omega=spec.omega)
+        cpl = jnp.asarray(cpl)
+        mad_lr = coulomb.madelung_omega(system.cell, system.kpts,
+                                        spec.omega)
     for s in range(2):
         # weight = (1/nk) * vol/ngrids (df/fftdf_k.py get_k_kpts contract)
         vk = np.array(fftdf_k.get_k_kpts(
@@ -305,7 +333,18 @@ def kugw_ac(system, res, xc=None, nw: int = 100, orbs=None,
         if xc is None:
             v_ao = vx_ao
         else:
-            v_ao = vxc_s[s] + XCSpec(xc).hyb * vx_ao
+            spec = XCSpec(xc)
+            v_ao = vxc_s[s] + spec.hyb * vx_ao
+            if cpl is not None:
+                # RSH at k (scf/kuhf.py semantics): hyb*K_full +
+                # (alpha-hyb)*K_LR(omega), LR madelung for the LR part
+                vk_lr = np.array(fftdf_k.get_k_kpts(
+                    aoR_k, jnp.asarray(dm[s], aoR_k.dtype), cpl,
+                    system.expmikr, system.mesh, system.weight / nk),
+                    np.complex128)
+                for k in range(nk):
+                    vk_lr[k] += mad_lr * (S[k] @ dm[s][k] @ S[k])
+                v_ao = v_ao + (spec.alpha - spec.hyb) * (-vk_lr)
         vx_mo[s] = np.einsum("kip,kij,kjp->kp", np.conj(C[s]), vx_ao,
                              C[s]).real
         v_mf_mo[s] = np.einsum("kip,kij,kjp->kp", np.conj(C[s]), v_ao,

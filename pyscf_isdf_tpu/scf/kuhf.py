@@ -25,6 +25,57 @@ def _occ_spin(mo_e_k, nocc_tot):
     return occupations_mod.exact_count_occ(mo_e_k, nocc_tot, scale=1.0)
 
 
+def vxc_spin_kpts(aoR_k, ao_grad_k, dm_a, dm_b, weight, xcspec):
+    """Spin-resolved k-point XC energy and potential matrices.
+
+    The spin-polarized counterpart of :func:`scf.khf.vxc_kpts`
+    (reference semantics: pyscf/pbc/dft/numint.py nr_uks): densities are
+    BZ averages sum_k tr(dm_s[k] ao ao*)/nk, the GGA potential matrix is
+    the symmetrized 0.5*vrho*ao + (2 vs_ss grad_s + vs_ab grad_t).grad_ao
+    form.  Returns ``(e_xc, vxc_a, vxc_b)`` with vxc_s (nk, nao, nao)
+    numpy arrays; shared by the KUKS SCF loop and the kugw v_mf build.
+    """
+    nk = aoR_k.shape[0]
+    dmaj = jnp.asarray(dm_a, aoR_k.dtype)
+    dmbj = jnp.asarray(dm_b, aoR_k.dtype)
+    ta = jnp.einsum("kgi,kij->kgj", aoR_k, dmaj)
+    tb = jnp.einsum("kgi,kij->kgj", aoR_k, dmbj)
+    rho_a = jnp.maximum(jnp.einsum(
+        "kgj,kgj->g", ta, aoR_k.conj()).real / nk, 0.0)
+    rho_b = jnp.maximum(jnp.einsum(
+        "kgj,kgj->g", tb, aoR_k.conj()).real / nk, 0.0)
+    if xcspec.family == "gga":
+        if ao_grad_k is None:
+            raise ValueError("vxc_spin_kpts: GGA needs ao_grad_k")
+        ga = 2.0 / nk * jnp.einsum("kgj,kxgj->xg", ta.conj(),
+                                   ao_grad_k).real
+        gb = 2.0 / nk * jnp.einsum("kgj,kxgj->xg", tb.conj(),
+                                   ao_grad_k).real
+        s_aa = jnp.sum(ga * ga, axis=0)
+        s_ab = jnp.sum(ga * gb, axis=0)
+        s_bb = jnp.sum(gb * gb, axis=0)
+        exc, (va, vb), (vsaa, vsab, vsbb) = xcspec.exc_vxc_spin(
+            rho_a, rho_b, s_aa, s_ab, s_bb)
+        e_xc = float(weight * jnp.sum((rho_a + rho_b) * exc))
+
+        def vmat_k(vrho, vs_ss, g_s, g_t):
+            aow = 0.5 * vrho[:, None] * aoR_k + jnp.einsum(
+                "xg,kxgi->kgi",
+                2.0 * vs_ss[None, :] * g_s + vsab[None, :] * g_t,
+                ao_grad_k)
+            half = weight * jnp.einsum("kgi,kgj->kij", aoR_k.conj(), aow)
+            return np.asarray(half + half.conj().transpose(0, 2, 1))
+
+        return e_xc, vmat_k(va, vsaa, ga, gb), vmat_k(vb, vsbb, gb, ga)
+    exc, (va, vb), _ = xcspec.exc_vxc_spin(rho_a, rho_b)
+    e_xc = float(weight * jnp.sum((rho_a + rho_b) * exc))
+    vxc_a = np.asarray(weight * jnp.einsum(
+        "kgi,g,kgj->kij", aoR_k.conj(), va, aoR_k))
+    vxc_b = np.asarray(weight * jnp.einsum(
+        "kgi,g,kgj->kij", aoR_k.conj(), vb, aoR_k))
+    return e_xc, vxc_a, vxc_b
+
+
 def kuhf_kernel(
     system: KSCFSystem,
     xc: Optional[str] = None,
@@ -151,44 +202,10 @@ def kuhf_kernel(
         veff_b = vj.copy()
         e_xc = 0.0
         if xcspec is not None:
-            dmaj = jnp.asarray(dm_a, aoR_k.dtype)
-            dmbj = jnp.asarray(dm_b, aoR_k.dtype)
-            ta = jnp.einsum("kgi,kij->kgj", aoR_k, dmaj)
-            tb = jnp.einsum("kgi,kij->kgj", aoR_k, dmbj)
-            rho_a = jnp.maximum(jnp.einsum(
-                "kgj,kgj->g", ta, aoR_k.conj()).real / nk, 0.0)
-            rho_b = jnp.maximum(jnp.einsum(
-                "kgj,kgj->g", tb, aoR_k.conj()).real / nk, 0.0)
-            if is_gga:
-                ga = 2.0 / nk * jnp.einsum("kgj,kxgj->xg", ta.conj(),
-                                           ao_grad_k).real
-                gb = 2.0 / nk * jnp.einsum("kgj,kxgj->xg", tb.conj(),
-                                           ao_grad_k).real
-                s_aa = jnp.sum(ga * ga, axis=0)
-                s_ab = jnp.sum(ga * gb, axis=0)
-                s_bb = jnp.sum(gb * gb, axis=0)
-                exc, (va, vb), (vsaa, vsab, vsbb) = xcspec.exc_vxc_spin(
-                    rho_a, rho_b, s_aa, s_ab, s_bb)
-                e_xc = float(weight * jnp.sum((rho_a + rho_b) * exc))
-
-                def vmat_k(vrho, vs_ss, g_s, g_t):
-                    aow = 0.5 * vrho[:, None] * aoR_k + jnp.einsum(
-                        "xg,kxgi->kgi",
-                        2.0 * vs_ss[None, :] * g_s + vsab[None, :] * g_t,
-                        ao_grad_k)
-                    half = weight * jnp.einsum("kgi,kgj->kij",
-                                               aoR_k.conj(), aow)
-                    return np.asarray(half + half.conj().transpose(0, 2, 1))
-
-                veff_a += vmat_k(va, vsaa, ga, gb)
-                veff_b += vmat_k(vb, vsbb, gb, ga)
-            else:
-                exc, (va, vb), _ = xcspec.exc_vxc_spin(rho_a, rho_b)
-                e_xc = float(weight * jnp.sum((rho_a + rho_b) * exc))
-                veff_a += np.asarray(weight * jnp.einsum(
-                    "kgi,g,kgj->kij", aoR_k.conj(), va, aoR_k))
-                veff_b += np.asarray(weight * jnp.einsum(
-                    "kgi,g,kgj->kij", aoR_k.conj(), vb, aoR_k))
+            e_xc, vxc_a, vxc_b = vxc_spin_kpts(
+                aoR_k, ao_grad_k, dm_a, dm_b, weight, xcspec)
+            veff_a += vxc_a
+            veff_b += vxc_b
         e_k = 0.0
         if need_k:
             if get_k_spin is not None:
