@@ -80,17 +80,28 @@ def build_hamiltonian(h1, eri_asym, dets):
     return H
 
 
-def fci_ground_state(h1, eri_asym, nelec, nroots=1):
+def fci_ground_state(h1, eri_asym, nelec, nroots=1, sz_labels=None,
+                     target_2sz=None):
     """Lowest eigenvalue(s) of the 2-body Hamiltonian.
 
     Args:
         h1: (nso, nso) one-body integrals (spin-orbital basis).
         eri_asym: (nso,)*4 antisymmetrized <pq||rs>.
         nelec: electron count.
+        sz_labels: optional (nso,) spin label per orbital (0=alpha,
+            1=beta). With ``target_2sz`` set, determinants are
+            restricted to the n_alpha - n_beta = target_2sz sector —
+            the open-shell (UHF-reference) oracle mode, where the
+            GLOBAL ground state may live in a different spin sector
+            than the state coupled cluster describes.
     Returns (energies, ndet): the nroots lowest electronic energies.
     """
     nso = h1.shape[0]
     dets = list(combinations(range(nso), nelec))
+    if target_2sz is not None:
+        sz = np.asarray(sz_labels)
+        dets = [d for d in dets
+                if sum(1 - 2 * int(sz[p]) for p in d) == target_2sz]
     H = build_hamiltonian(h1, eri_asym, dets)
     w = np.linalg.eigvalsh(H)
     return w[:nroots], len(dets)

@@ -383,3 +383,84 @@ def ccsd(system, scf_res, nocc=None, with_t=False, conv_tol=1e-9,
         out["e_t"] = ccsd_t(out["t1"], out["t2"], f_so, eri_so, 2 * nocc)
         out["e_tot"] += out["e_t"]
     return out
+
+
+def uhf_spinorb_basis(mo_coeff, mo_energy, nelec):
+    """Occupied-first spin-orbital basis from a UHF reference.
+
+    Columns are ordered [occ-alpha, occ-beta, vir-alpha, vir-beta] so the
+    spin-agnostic kernels (this module's, cc/kccsd_blocked's) see one
+    leading occupied block. Returns (C_cat, e_so, sz, nocc_so) where
+    C_cat stacks the per-spin SPATIAL coefficients column-wise (each
+    spin orbital has its own spatial part — the UHF generalization of
+    spinorb_from_spatial's interleaving) and sz labels each column's
+    spin (0=alpha, 1=beta).
+    """
+    ca, cb = (np.asarray(c) for c in mo_coeff)
+    ea, eb = (np.asarray(e) for e in mo_energy)
+    na, nb = (int(n) for n in nelec)
+    nma, nmb = ca.shape[1], cb.shape[1]
+    C_cat = np.concatenate(
+        [ca[:, :na], cb[:, :nb], ca[:, na:], cb[:, nb:]], axis=1)
+    e_so = np.concatenate([ea[:na], eb[:nb], ea[na:], eb[nb:]])
+    sz = np.concatenate([np.zeros(na, int), np.ones(nb, int),
+                         np.zeros(nma - na, int), np.ones(nmb - nb, int)])
+    return C_cat, e_so, sz, na + nb
+
+
+def antisymmetrize_spin_chem(chem, sz):
+    """<PQ||RS> from chemist (PQ|RS) over SPIN-LABELED columns.
+
+    Unlike spinorb_from_spatial (which expands a spatial tensor), the
+    input here is already a full ERI over spin-orbital columns with
+    per-spin spatial parts (UHF); only the spin delta masks and the
+    chemist->physicist reorder + antisymmetrization remain.
+    """
+    same = sz[:, None] == sz[None, :]
+    chem = chem * same[:, :, None, None] * same[None, None, :, :]
+    phys = chem.transpose(0, 2, 1, 3)
+    return phys - phys.transpose(0, 1, 3, 2)
+
+
+def uccsd(system, scf_res, with_t=False, conv_tol=1e-9, max_cycle=100,
+          verbose=False):
+    """Gamma-point spin-unrestricted CCSD (+ optional (T)) on a UHF/UKS
+    reference.
+
+    Reference contract: pyscf/cc/uccsd.py (spin-adapted UCCSD kernel).
+    Here the UHF spin orbitals feed the ONE spin-orbital engine
+    (:func:`kernel`), which is spin-agnostic by construction — the same
+    program that serves RHF (via spinorb_from_spatial) and the k-point
+    composite/blocked drivers. For a closed-shell reference this reduces
+    exactly to :func:`ccsd` (tested); for open shells it is the
+    spin-orbital UCCSD energy.
+    """
+    from pyscf_isdf_tpu.df import fft_ao2mo
+
+    C_cat, e_so, sz, nocc_so = uhf_spinorb_basis(
+        scf_res["mo_coeff"], scf_res["mo_energy"],
+        scf_res.get("nelec") or _uhf_nelec_fallback(system))
+    aoR = system.aoR
+    moR = aoR @ jnp.asarray(C_cat, aoR.dtype)
+    coulG = jnp.asarray(system.coulG)
+    nso = C_cat.shape[1]
+    chem = np.asarray(fft_ao2mo.general(
+        moR, moR, moR, moR, coulG, system.mesh, system.weight)
+    ).reshape(nso, nso, nso, nso)
+    eri_so = antisymmetrize_spin_chem(chem, sz)
+    f_so = np.diag(e_so)
+
+    out = kernel(f_so, eri_so, nocc_so, conv_tol=conv_tol,
+                 max_cycle=max_cycle, verbose=verbose)
+    out["e_hf"] = scf_res["e_tot"]
+    out["e_tot"] = scf_res["e_tot"] + out["e_corr"]
+    if with_t:
+        out["e_t"] = ccsd_t(out["t1"], out["t2"], f_so, eri_so, nocc_so)
+        out["e_tot"] += out["e_t"]
+    return out
+
+
+def _uhf_nelec_fallback(system):
+    cell = system.cell
+    na = (cell.nelectron + cell.spin) // 2
+    return na, cell.nelectron - na

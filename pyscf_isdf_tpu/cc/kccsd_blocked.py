@@ -475,53 +475,110 @@ def build_blocked_eris(system, scf_res):
     from pyscf_isdf_tpu.df import fft_ao2mo
 
     eri7 = fft_ao2mo.ao2mo_7d(system, mo_cs)         # (nk,nk,nk,nmo^4)
-    kcons = ka.kcons
-
     Vs = symmetrized_phys_tensor(eri7, ka, nk, nmo)
 
     # spin expansion machinery (interleaved, gccsd.spinorb_from_spatial)
     nso = 2 * nmo
     sp = np.arange(nso) // 2
     sz = np.arange(nso) % 2
-    same = sz[:, None] == sz[None, :]
     no, nv = 2 * nocc_sp, nso - 2 * nocc_sp
-    osl, vsl = slice(0, no), slice(no, nso)
-    ix = {"o": osl, "v": vsl}
 
+    blocks = _expand_spin_blocks(Vs, ka, nk, sp, sz, no, nv)
+
+    e_so = np.stack([np.repeat(e, 2) for e in mo_es])  # (nk, nso)
+    eo = e_so[:, :no]
+    ev = e_so[:, no:]
+    return ka, blocks, eo, ev, no, nv
+
+
+def _expand_spin_blocks(Vs, ka, nk, sp, sz, no, nv):
+    """Per-block spin expansion + antisymmetrization + o/v slicing.
+
+    ``Vs[k1,k2,k3]`` is the symmetrized physicist <pq|rs> over a column
+    set indexed by ``sp`` (spatial column per spin orbital) with spin
+    labels ``sz``. RHF feeds a SPATIAL tensor with sp = arange(nso)//2
+    (interleaved expansion); UHF feeds an already-spin-orbital tensor
+    with sp = arange(nso) (identity — each spin orbital has its own
+    spatial part). The exchange partner <pq|sr> is block (k1,k2,k4)
+    with its last two orbital axes swapped.
+    """
+    osl, vsl = slice(0, no), slice(no, no + nv)
+    ix = {"o": osl, "v": vsl}
+    # direct <pq|rs> needs (s1==s3)(s2==s4);
+    # exchange <pq|sr> needs (s1==s4)(s2==s3)
+    m_d = (sz[:, None, None, None] == sz[None, None, :, None]) \
+        & (sz[None, :, None, None] == sz[None, None, None, :])
+    m_x = (sz[:, None, None, None] == sz[None, None, None, :]) \
+        & (sz[None, :, None, None] == sz[None, None, :, None])
     blocks = {name: np.zeros(
         (nk, nk, nk,
          no if name[0] == "o" else nv, no if name[1] == "o" else nv,
          no if name[2] == "o" else nv, no if name[3] == "o" else nv),
         dtype=np.complex128) for name in _BLOCKS}
-
-    # physicist blocks from the symmetrized full tensor; the exchange
-    # partner <pq|sr> is block (k1,k2,k4) with its last two axes swapped
     for k1 in range(nk):
         for k2 in range(nk):
             for k3 in range(nk):
                 k4 = int(ka.k4(k1, k2, k3))
-                if int(kcons[k1, k3, k2]) != k4:
+                if int(ka.kcons[k1, k3, k2]) != k4:
                     raise RuntimeError("momentum bookkeeping mismatch")
                 phys = Vs[k1, k2, k3]
                 physx = Vs[k1, k2, k4].transpose(0, 1, 3, 2)
-                # spin expand + antisymmetrize this block:
-                # direct <pq|rs> needs (s1==s3)(s2==s4);
-                # exchange <pq|sr> needs (s1==s4)(s2==s3)
-                m_d = (sz[:, None, None, None] == sz[None, None, :, None]) \
-                    & (sz[None, :, None, None] == sz[None, None, None, :])
-                m_x = (sz[:, None, None, None] == sz[None, None, None, :]) \
-                    & (sz[None, :, None, None] == sz[None, None, :, None])
                 d = phys[np.ix_(sp, sp, sp, sp)] * m_d
                 x = physx[np.ix_(sp, sp, sp, sp)] * m_x
                 anti = d - x
                 for name in _BLOCKS:
                     blocks[name][k1, k2, k3] = anti[
                         ix[name[0]], ix[name[1]], ix[name[2]], ix[name[3]]]
+    return blocks
 
-    e_so = np.stack([np.repeat(e, 2) for e in mo_es])  # (nk, nso)
-    eo = e_so[:, :no]
-    ev = e_so[:, no:]
-    return ka, blocks, eo, ev, no, nv
+
+def build_blocked_eris_uhf(system, scf_res):
+    """Momentum-blocked spin-orbital eris for a KUHF/KUKS reference.
+
+    The UHF generalization of :func:`build_blocked_eris`: spin orbitals
+    carry per-spin SPATIAL parts, so the MO transform runs over the
+    concatenated [occ-a, occ-b, vir-a, vir-b] column set per k (via
+    gccsd.uhf_spinorb_basis) and the spin masks act on those columns
+    directly (sp = identity). Everything downstream — kein engine,
+    Stanton update, energy — is spin-agnostic and shared.
+
+    Reference contract: pyscf/pbc/cc/kccsd_uhf.py (production KUCCSD).
+    """
+    from pyscf_isdf_tpu.cc.gccsd import uhf_spinorb_basis
+    from pyscf_isdf_tpu.df import fft_ao2mo
+
+    ca_k, cb_k = scf_res["mo_coeff"]
+    ea_k, eb_k = scf_res["mo_energy"]
+    occ_a, occ_b = scf_res["mo_occ"]
+    kpts = system.kpts
+    nk = len(kpts)
+    ka = KAlgebra(system.cell.a, kpts)
+
+    na_k = (np.asarray(occ_a) > 0.5).sum(axis=1)
+    nb_k = (np.asarray(occ_b) > 0.5).sum(axis=1)
+    if not (np.all(na_k == na_k[0]) and np.all(nb_k == nb_k[0])):
+        raise NotImplementedError(
+            "blocked KUCCSD needs uniform per-k per-spin occupation "
+            f"(insulators); got alpha={na_k.tolist()} beta={nb_k.tolist()}")
+    na, nb = int(na_k[0]), int(nb_k[0])
+
+    mo_cs, e_so_k = [], []
+    sz = None
+    for k in range(nk):
+        C_cat, e_so, sz, _ = uhf_spinorb_basis(
+            (ca_k[k], cb_k[k]), (ea_k[k], eb_k[k]), (na, nb))
+        mo_cs.append(C_cat)
+        e_so_k.append(e_so)
+    nso = mo_cs[0].shape[1]
+    no = na + nb
+    nv = nso - no
+
+    eri7 = fft_ao2mo.ao2mo_7d(system, mo_cs)     # (nk,nk,nk,nso^4)
+    Vs = symmetrized_phys_tensor(eri7, ka, nk, nso)
+    blocks = _expand_spin_blocks(Vs, ka, nk, np.arange(nso), sz, no, nv)
+
+    e_so_k = np.stack(e_so_k)                    # (nk, nso)
+    return ka, blocks, e_so_k[:, :no], e_so_k[:, no:], no, nv
 
 
 def kccsd_blocked(system, scf_res, conv_tol=1e-9, max_cycle=100,
@@ -533,6 +590,30 @@ def kccsd_blocked(system, scf_res, conv_tol=1e-9, max_cycle=100,
     """
     nk = len(system.kpts)
     ka, Bnp, eo, ev, no, nv = build_blocked_eris(system, scf_res)
+    return _drive_blocked(ka, Bnp, eo, ev, no, nv, scf_res["e_tot"], nk,
+                          conv_tol, max_cycle, diis_space, verbose)
+
+
+def kuccsd_blocked(system, scf_res, conv_tol=1e-9, max_cycle=100,
+                   diis_space=8, verbose=False):
+    """k-point spin-unrestricted CCSD (KUCCSD), blocked spin-orbital.
+
+    Production-cost open-shell k-CCSD (reference:
+    pyscf/pbc/cc/kccsd_uhf.py): the UHF spin orbitals from kuhf_kernel
+    feed the SAME momentum-blocked spin-orbital program as the
+    restricted driver — the update and energy are spin-agnostic; only
+    the eris builder differs (per-spin spatial parts,
+    :func:`build_blocked_eris_uhf`). For a closed-shell reference this
+    reduces to :func:`kccsd_blocked` exactly (tests/test_kccsd_blocked).
+    """
+    nk = len(system.kpts)
+    ka, Bnp, eo, ev, no, nv = build_blocked_eris_uhf(system, scf_res)
+    return _drive_blocked(ka, Bnp, eo, ev, no, nv, scf_res["e_tot"], nk,
+                          conv_tol, max_cycle, diis_space, verbose)
+
+
+def _drive_blocked(ka, Bnp, eo, ev, no, nv, e_hf, nk,
+                   conv_tol, max_cycle, diis_space, verbose):
     B = {k: jnp.asarray(v) for k, v in Bnp.items()}
 
     # denominators
@@ -582,5 +663,5 @@ def kccsd_blocked(system, scf_res, conv_tol=1e-9, max_cycle=100,
             break
     return {"e_corr": e_last / nk, "t1": t1, "t2": t2, "converged": conv,
             "niter": it,
-            "e_hf": scf_res["e_tot"],
-            "e_tot": scf_res["e_tot"] + e_last / nk}
+            "e_hf": e_hf,
+            "e_tot": e_hf + e_last / nk}

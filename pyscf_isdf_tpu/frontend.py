@@ -382,8 +382,13 @@ def KMP2(mf: _KMeanField):
 
 def CCSD(mf: _MeanField, with_t: bool = False, conv_tol: float = 1e-9):
     """Gamma-point CCSD (optionally +(T)) on a converged mean-field;
-    returns (e_corr, e_tot) — reference cc.CCSD(mf) analog."""
-    from pyscf_isdf_tpu.cc import ccsd as _ccsd
+    returns (e_corr, e_tot) — reference cc.CCSD(mf) analog. A UHF/UKS
+    reference (tuple mo_coeff) dispatches to spin-unrestricted UCCSD
+    (reference cc.UCCSD, pyscf/cc/uccsd.py)."""
+    if isinstance(mf._res["mo_coeff"], tuple):
+        from pyscf_isdf_tpu.cc.gccsd import uccsd as _ccsd
+    else:
+        from pyscf_isdf_tpu.cc import ccsd as _ccsd
 
     out = _ccsd(mf.system, mf._res, with_t=with_t, conv_tol=conv_tol)
     if not out["converged"]:
@@ -401,7 +406,18 @@ def KCCSD(mf: _KMeanField, with_t: bool = False, conv_tol: float = 1e-9,
     'blocked' (spin-orbital momentum-blocked), 'composite' (dense
     oracle), or 'auto' — spatial when the reference is closed-shell with
     uniform per-k occupation (and (T) is not requested), else composite.
+    A KUHF/KUKS reference (tuple mo_coeff) dispatches to KUCCSD
+    (reference pbc.cc.kccsd_uhf) regardless of tier.
     """
+    if isinstance(mf._res["mo_coeff"], tuple):
+        from pyscf_isdf_tpu.cc.kccsd_blocked import kuccsd_blocked
+
+        if with_t:
+            raise NotImplementedError("KUCCSD(T): triples not wired at k")
+        out = kuccsd_blocked(mf.system, mf._res, conv_tol=conv_tol)
+        if not out["converged"]:
+            raise RuntimeError("KUCCSD did not converge")
+        return out["e_corr"], mf._res["e_tot"] + out["e_corr"]
     if tier == "auto":
         import numpy as _np
 

@@ -272,6 +272,8 @@ def kuhf_kernel(
         "e_tot": e_tot,
         "mo_energy": (ea, eb),
         "mo_coeff": (ca, cb),
+        "mo_occ": (np.asarray(occ_a), np.asarray(occ_b)),
+        "nelec": (na, nb),
         "dm": (dm_a, dm_b),
         "converged": conv,
         "niter": it + 1,

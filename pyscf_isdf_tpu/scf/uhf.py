@@ -264,6 +264,7 @@ def uhf_kernel(
         "mo_energy": (ea, eb),
         "mo_coeff": (ca, cb),
         "dm": (dm_a, dm_b),
+        "nelec": (na, nb),
         "converged": conv,
         "niter": it + 1,
         "s_squared": ssq,

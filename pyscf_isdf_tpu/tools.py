@@ -55,4 +55,5 @@ def super_cell(cell: Cell, nrep, mesh=None) -> Cell:
     return dataclasses.replace(
         sc, shells=tuple(new_shells), pseudos=dict(cell.pseudos),
         charges=charges, rcut=cell.rcut, ke_cutoff=cell.ke_cutoff,
+        spin=cell.spin * ncells,
     )
