@@ -179,13 +179,13 @@ class _KMeanField(_MeanField):
         """IBZ-reduced SCF (space-group + time-reversal symmetry)."""
         from pyscf_isdf_tpu.scf.khf_ksymm import kscf_ibz_kernel
 
-        if self.sigma:
-            raise NotImplementedError("smearing with symmetry=True")
         return kscf_ibz_kernel(self.system, xc=self.xc, exxdiv=self.exxdiv,
                                conv_tol=self.conv_tol,
                                max_cycle=self.max_cycle,
                                df=self.df, isdf_c=self.isdf_c,
                                isdf_precision=self.isdf_precision,
+                               sigma=self.sigma,
+                               smearing_method=self.smearing_method,
                                verbose=self.verbose)
 
     @property
@@ -297,15 +297,13 @@ class KROHF(_KMeanField):
 
 class KGHF(_KMeanField):
     """k-point generalized (2-component spinor) HF — reference
-    pyscf/pbc/scf/kghf.py. ``density_fit`` is not supported (the spinor
-    exchange runs on the exact pair-density FFT path)."""
+    pyscf/pbc/scf/kghf.py. ``density_fit('isdf')`` factorizes the
+    spinor-block exchange through the same per-q ISDF W as KRHF (the
+    contraction is complex-linear in the density, so non-Hermitian
+    spin-off-diagonal blocks are served exactly as Hermitian ones)."""
 
     def __init__(self, cell, kpts, exxdiv="ewald"):
         super().__init__(cell, kpts, xc=None, exxdiv=exxdiv)
-
-    def density_fit(self, kind: str = "isdf", c: float = 8.0):
-        raise NotImplementedError("KGHF: ISDF exchange for spinor blocks "
-                                  "is not wired up; use the FFT path")
 
     def _kernel(self):
         from pyscf_isdf_tpu.scf.kghf import kghf_kernel
@@ -313,6 +311,7 @@ class KGHF(_KMeanField):
         return kghf_kernel(self.system, exxdiv=self.exxdiv,
                            conv_tol=self.conv_tol,
                            max_cycle=self.max_cycle,
+                           df=self.df, isdf_c=self.isdf_c,
                            verbose=self.verbose)
 
 
@@ -350,10 +349,11 @@ def RPA(mf, nw: int = 100):
     (reference pyscf/gw/rpa.py capability; the k-point form EXCEEDS it).
     Returns (e_corr, e_tot) — per unit cell for k-point objects."""
     from pyscf_isdf_tpu.gw import rpa_ecorr_gamma, rpa_ecorr_kpts
-    from pyscf_isdf_tpu.gw.ugw import urpa_ecorr_gamma
+    from pyscf_isdf_tpu.gw.ugw import kurpa_ecorr, urpa_ecorr_gamma
 
     if isinstance(mf, (KUHF, KUKS)):
-        raise NotImplementedError("RPA: k-point spin-polarized Ec todo")
+        ec = kurpa_ecorr(mf.system, mf._res, nw=nw)
+        return ec, mf._res["e_tot"] + ec
     if isinstance(mf, (UHF, UKS)):
         ec = urpa_ecorr_gamma(mf.system, mf._res, nw=nw)
         return ec, mf._res["e_tot"] + ec

@@ -446,3 +446,60 @@ def urpa_ecorr_plasmon(res, nelec, La, Lb) -> float:
     C = sd[:, None] * (np.diag(d) + 2.0 * K) * sd[None, :]
     omega = np.sqrt(np.maximum(np.linalg.eigvalsh(C), 0.0))
     return float(0.5 * (omega.sum() - d.sum() - np.trace(K)))
+
+
+def kurpa_ecorr(system, res, nw: int = 100, nelec=None) -> float:
+    """k-point spin-unrestricted direct-RPA correlation energy PER
+    UNIT CELL.
+
+    Same per-q ln-det trace as krgw.rpa_ecorr_kpts, with the
+    spin-summed polarizability of kugw_ac (each spin channel enters
+    with unit occupancy, Pi_q = 2/nk sum_s sum_ki L^s f L^s*):
+
+        Ec_cell = 1/(2 pi nk) sum_q int_0^inf dw
+                  tr[ ln(1 - Pi_q(iw)) + Pi_q(iw) ]
+
+    Oracles: closed-shell == restricted rpa_ecorr_kpts exactly;
+    nk=1 == urpa_ecorr_gamma (different DF whitening paths).  The
+    reference has no k-point spin RPA (pyscf/gw/rpa.py is molecular);
+    contract row: frontend.RPA on KUHF/KUKS."""
+    from pyscf_isdf_tpu.df import gdf as gdf_mod
+    from pyscf_isdf_tpu.gw.krgw import (
+        _k_index_table, _pi_kl, build_lmo_kpts)
+
+    e_s = [np.asarray(e, np.float64) for e in res["mo_energy"]]
+    nk, nmo = e_s[0].shape
+    if nelec is None:
+        spin = system.cell.spin
+        ne_tot = system.nelec_tot
+        na = (ne_tot + spin * nk) // 2
+        nelec = (na // nk, (ne_tot - na) // nk)
+    nocc_s = list(nelec)
+
+    kg = gdf_mod.build_gdf_kpts(system.cell, system.aoR_k, system.kpts,
+                                system.mesh, system.weight)
+    Lmo_s = [build_lmo_kpts(system, res["mo_coeff"][s], kg=kg)
+             for s in range(2)]
+
+    freqs, wts = scaled_legendre(nw)
+    fj = jnp.asarray(freqs)
+    ktab = _k_index_table(system.kpts, system.cell.a)
+    total = 0.0
+    for kL in range(nk):
+        kidx = ktab[:, kL]
+        Pi = 0.0
+        for s in range(2):
+            no = nocc_s[s]
+            if no == 0:
+                continue
+            L_stack = jnp.stack([Lmo_s[s][i][kidx[i]][:, :no, no:]
+                                 for i in range(nk)])
+            # _pi_kl carries the restricted (doubly-occupied) factor
+            # 4/nk; each spin channel contributes 2/nk -> halve
+            Pi = Pi + 0.5 * _pi_kl(
+                L_stack, jnp.asarray(e_s[s][:, :no]),
+                jnp.asarray(e_s[s][kidx, no:]), fj, nk)
+        ev = np.asarray(jnp.linalg.eigvalsh(Pi)).real   # (nw, naux)
+        integ = np.sum(np.log(1.0 - ev) + ev, axis=1)
+        total += float(np.sum(wts * integ))
+    return total / (2.0 * np.pi * nk)

@@ -50,6 +50,8 @@ def kghf_kernel(
     conv_tol: float = 1e-10,
     diis_space: int = 8,
     dm0: Optional[np.ndarray] = None,
+    df: str = "fftdf",
+    isdf_c: float = 8.0,
     verbose: bool = False,
 ):
     """Run k-point GHF to convergence.
@@ -61,6 +63,11 @@ def kghf_kernel(
             e.g. a collinear KUHF density embedded in the diagonal
             blocks, or a non-collinear guess to escape collinear saddle
             points.
+        df: 'fftdf' (exact pair-density FFT exchange) or 'isdf'. ISDF
+            exchange is complex-LINEAR in the density matrix with no
+            Hermiticity assumption, so the same per-q W factorization
+            serves all four (generally non-Hermitian) spinor blocks
+            (df/isdf_k.py get_k_kpts).
 
     Returns a dict with e_tot, mo_energy/mo_coeff (spinor), dm, spin
     expectation values (Sx, Sy, Sz) and convergence info.
@@ -90,6 +97,22 @@ def kghf_kernel(
     expmikr = jnp.asarray(system.expmikr, dtype=aoR_k.dtype)
     kweight = weight / nk
 
+    if df == "isdf":
+        from pyscf_isdf_tpu.df import isdf_k as isdf_k_mod
+
+        isdfk = isdf_k_mod.build_isdf_k(
+            cell, aoR_k, kpts, c=isdf_c,
+            exxdiv=(exxdiv if exxdiv not in (None, "ewald") else None))
+
+        def get_k_block(blk):
+            return isdf_k_mod.get_k_kpts(isdfk, blk)
+    elif df == "fftdf":
+        def get_k_block(blk):
+            return fftdf_k.get_k_kpts(aoR_k, blk, coulG_pairs, expmikr,
+                                      mesh, kweight)
+    else:
+        raise ValueError(f"unknown df engine {df!r}: use 'fftdf' or 'isdf'")
+
     def get_jk(dm_sp):
         dmj = jnp.asarray(dm_sp, dtype=aoR_k.dtype)
         d_aa = dmj[:, :nao, :nao]
@@ -97,11 +120,7 @@ def kghf_kernel(
         d_ba = dmj[:, nao:, :nao]
         d_bb = dmj[:, nao:, nao:]
         vj_sc = fftdf_k.get_j_kpts(aoR_k, d_aa + d_bb, coulG, mesh, weight)
-        vk_blocks = [
-            fftdf_k.get_k_kpts(aoR_k, blk, coulG_pairs, expmikr, mesh,
-                               kweight)
-            for blk in (d_aa, d_ab, d_ba, d_bb)
-        ]
+        vk_blocks = [get_k_block(blk) for blk in (d_aa, d_ab, d_ba, d_bb)]
         vj = np.zeros((nk, 2 * nao, 2 * nao), dtype=np.complex128)
         vj_np = np.asarray(vj_sc)
         vj[:, :nao, :nao] = vj_np

@@ -75,6 +75,8 @@ def kscf_ibz_kernel(
     df: str = "fftdf",
     isdf_c: float = 8.0,
     isdf_precision: Optional[str] = None,
+    sigma: float = 0.0,
+    smearing_method: str = "fermi",
     verbose: bool = False,
 ):
     """Run the IBZ k-point SCF. xc=None -> KRHF, else KRKS.
@@ -82,6 +84,12 @@ def kscf_ibz_kernel(
     ``system`` must be built on the FULL k-point set (the one-time setup
     keeps full-BZ AO values for the exchange sum); the iteration state
     lives on the IBZ.
+
+    ``sigma > 0`` enables finite-temperature occupations over the
+    WEIGHTED IBZ spectrum (occupations.smearing_occ_ibz — the
+    symmetry-reduced chemical-potential search); the result then also
+    carries ``entropy``, ``mu`` and ``e_free`` in the same conventions
+    as the full-BZ driver.
     """
     if isdf_precision is not None:
         raise NotImplementedError(
@@ -199,8 +207,20 @@ def kscf_ibz_kernel(
             cs.append(X_i[k] @ u)
         return es, cs
 
+    entropy = 0.0
+    mu = 0.0
+
+    def fill(mo_e):
+        nonlocal entropy, mu
+        if sigma and sigma > 0:
+            from pyscf_isdf_tpu.scf.occupations import smearing_occ_ibz
+            occs, entropy, mu = smearing_occ_ibz(
+                mo_e, w, nelec_tot, sigma, smearing_method)
+            return occs
+        return _weighted_occ(mo_e, w, nelec_tot)
+
     mo_e, mo_c = eig_all(h_i)
-    occs = _weighted_occ(mo_e, w, nelec_tot)
+    occs = fill(mo_e)
     dm_i = np.stack([(c * o) @ c.conj().T for c, o in zip(mo_c, occs)])
 
     diis = DIIS(space=diis_space)
@@ -258,7 +278,7 @@ def kscf_ibz_kernel(
         F = diis.update(F, err)
 
         mo_e, mo_c = eig_all(F)
-        occs = _weighted_occ(mo_e, w, nelec_tot)
+        occs = fill(mo_e)
         dm_new = np.stack([(c * o) @ c.conj().T for c, o in zip(mo_c, occs)])
 
         e1 = np.einsum("k,kij,kji->", w, dm_i, h_i).real / nk
@@ -286,4 +306,7 @@ def kscf_ibz_kernel(
         "converged": conv,
         "niter": it + 1,
         "ibz": info,
+        "entropy": entropy,
+        "mu": mu,
+        "e_free": e_tot - sigma * entropy if sigma else e_tot,
     }

@@ -126,3 +126,35 @@ def test_kmp2_ksymm_matches_full(diamond24):
     # reference at this mesh (orbit mo_e spread ~1e-5 at 14^3; the
     # measured ibz-vs-full gap is 8e-8), not by the ksymm reduction
     assert e_sym == pytest.approx(e_full, abs=1e-6)
+
+
+def test_ibz_smearing_matches_full_bz(sys222):
+    """Smeared (fermi, sigma=0.05) IBZ SCF == full-BZ smeared SCF: the
+    weighted chemical-potential search over the IBZ spectrum must
+    reproduce the k-stacked mu, entropy and free energy (reference
+    pyscf/pbc/scf/addons.py smearing_ with kpts.weights_ibz)."""
+    ref = kscf_kernel(sys222, xc=None, exxdiv="ewald", conv_tol=1e-10,
+                      sigma=0.05)
+    res = kscf_ibz_kernel(sys222, xc=None, exxdiv="ewald", conv_tol=1e-10,
+                          sigma=0.05)
+    assert res["converged"]
+    assert res["e_tot"] == pytest.approx(ref["e_tot"], abs=1e-8)
+    assert res["entropy"] == pytest.approx(ref["entropy"], abs=1e-7)
+    assert res["mu"] == pytest.approx(ref["mu"], abs=1e-6)
+    assert res["e_free"] == pytest.approx(ref["e_free"], abs=1e-8)
+    # smearing actually bites at this sigma (fractional occupations)
+    assert res["entropy"] > 1e-8
+
+
+def test_frontend_smearing_with_symmetry(diamond24):
+    import pyscf_isdf_tpu as pit
+
+    kpts = lattice.make_kpts(diamond24.a, [2, 2, 2])
+    mf = pit.KRHF(diamond24, kpts, symmetry=True)
+    mf.smearing(0.05)
+    e = mf.run()
+    assert mf.converged
+    ref = pit.KRHF(diamond24, kpts)
+    ref.smearing(0.05)
+    e_ref = ref.run()
+    assert e == pytest.approx(e_ref, abs=1e-8)

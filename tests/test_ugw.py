@@ -92,8 +92,8 @@ def test_frontend_gw_kuks_dispatch():
     out = pit.GW(mf)
     assert isinstance(out, UGWResult)
     assert np.isfinite(out.qp_energy[0]).all()
-    with pytest.raises(NotImplementedError):
-        pit.RPA(mf)
+    ec, e_tot = pit.RPA(mf)
+    assert -1.0 < ec < -1e-3
 
 
 def test_urpa_closed_shell_and_plasmon():
@@ -125,3 +125,25 @@ def test_urpa_closed_shell_and_plasmon():
     ecp = urpa_ecorr_plasmon(r3, (2, 1), La, Lb)
     assert ec3 < -1e-3
     assert abs(ec3 - ecp) < 1e-10
+
+
+def test_kurpa_closed_shell_limit():
+    """k-point spin RPA Ec == restricted k-RPA Ec on a closed shell
+    (2x1x1; the spin-summed Pi equals the restricted Pi exactly when
+    both spins carry the same orbitals)."""
+    from pyscf_isdf_tpu import lattice
+    from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+    from pyscf_isdf_tpu.scf.kuhf import kuhf_kernel
+    from pyscf_isdf_tpu.gw.krgw import rpa_ecorr_kpts
+    from pyscf_isdf_tpu.gw.ugw import kurpa_ecorr
+
+    cell = diamond_primitive(mesh=(12, 12, 12))
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1])
+    sys_k = build_kscf_system(cell, kpts)
+    res_r = kscf_kernel(sys_k, xc="lda,vwn")
+    res_u = kuhf_kernel(sys_k, xc="lda,vwn")
+    ec_r = rpa_ecorr_kpts(sys_k, res_r)
+    ec_u = kurpa_ecorr(sys_k, res_u)
+    assert ec_u < -1e-3
+    # different SCF solvers -> orbital-phase floor, not exact identity
+    assert abs(ec_r - ec_u) < 1e-7
