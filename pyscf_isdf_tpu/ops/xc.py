@@ -106,9 +106,10 @@ _VWN3 = dict(A=0.0310907, b=13.0720, c=42.7198, x0=-0.409286)
 
 
 # ----------------------------------------------------------------- PBE pieces
-def _ex_pbe(rho, sigma):
-    """PBE exchange energy per particle (PRL 77, 3865)."""
-    kappa, mu = 0.804, 0.2195149727645171
+def _ex_pbe(rho, sigma, mu=0.2195149727645171):
+    """PBE exchange energy per particle (PRL 77, 3865). ``mu=10/81``
+    (the GE2 value) gives the PBEsol exchange (PRL 100, 136406)."""
+    kappa = 0.804
     kf = (3 * jnp.pi**2 * rho) ** (1.0 / 3)
     s2 = sigma / (4 * kf**2 * rho**2 + _TINY)
     fx = 1 + kappa - kappa / (1 + mu * s2 / kappa)
@@ -125,9 +126,10 @@ def _ec_pw92(rho):
     return -2 * A * (1 + a1 * rs) * jnp.log(1 + 1.0 / (den + _TINY))
 
 
-def _ec_pbe(rho, sigma):
-    """PBE correlation energy per particle (closed shell)."""
-    beta, gamma = 0.06672455060314922, 0.031090690869654895
+def _ec_pbe(rho, sigma, beta=0.06672455060314922):
+    """PBE correlation energy per particle (closed shell).
+    ``beta=0.046`` (jellium-surface fit) gives PBEsol correlation."""
+    gamma = 0.031090690869654895
     ec0 = _ec_pw92(rho)
     kf = (3 * jnp.pi**2 * rho) ** (1.0 / 3)
     ks = jnp.sqrt(4 * kf / jnp.pi)
@@ -274,9 +276,9 @@ def _exc_lsda(rho_a, rho_b, corr="vwn5"):
     return ex + ec
 
 
-def _ec_pbe_spin(rho, zeta, sigma):
+def _ec_pbe_spin(rho, zeta, sigma, beta=0.06672455060314922):
     """Spin-resolved PBE correlation (PRL 77, 3865 Eqs. 7-8)."""
-    beta, gamma = 0.06672455060314922, 0.031090690869654895
+    gamma = 0.031090690869654895
     phi = 0.5 * ((1 + zeta) ** (2.0 / 3) + (1 - zeta) ** (2.0 / 3))
     ec0 = _ec_pw92_spin(rho, zeta)
     kf = (3 * jnp.pi**2 * rho) ** (1.0 / 3)
@@ -291,14 +293,16 @@ def _ec_pbe_spin(rho, zeta, sigma):
     return ec0 + H
 
 
-def _exc_pbe_spin(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb, ex_frac=1.0):
-    """Spin-resolved PBE exc per particle of the total density."""
+def _exc_pbe_spin(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb, ex_frac=1.0,
+                  mu=0.2195149727645171, beta=0.06672455060314922):
+    """Spin-resolved PBE(sol) exc per particle of the total density."""
     rho = rho_a + rho_b
     zeta = (rho_a - rho_b) / (rho + _TINY)
     sigma = sigma_aa + 2 * sigma_ab + sigma_bb
-    ex = 0.5 * (_ex_pbe(2 * rho_a, 4 * sigma_aa) * 2 * rho_a
-                + _ex_pbe(2 * rho_b, 4 * sigma_bb) * 2 * rho_b) / (rho + _TINY)
-    return ex_frac * ex + _ec_pbe_spin(rho, zeta, sigma)
+    ex = 0.5 * (_ex_pbe(2 * rho_a, 4 * sigma_aa, mu) * 2 * rho_a
+                + _ex_pbe(2 * rho_b, 4 * sigma_bb, mu) * 2 * rho_b) \
+        / (rho + _TINY)
+    return ex_frac * ex + _ec_pbe_spin(rho, zeta, sigma, beta)
 
 
 # --------------------------------------------------------------- public specs
@@ -344,6 +348,16 @@ class XCSpec:
             self.family = "gga"
             self.hyb = 0.0
             self._exc = lambda rho, sigma: _ex_pbe(rho, sigma) + _ec_pbe(rho, sigma)
+        elif name == "pbesol":
+            # PBE for solids (Perdew et al., PRL 100, 136406): exchange
+            # mu restored to the GE2 value 10/81, correlation beta from
+            # the jellium-surface fit
+            self.family = "gga"
+            self.hyb = 0.0
+            self._exc = lambda rho, sigma: (
+                _ex_pbe(rho, sigma, mu=10.0 / 81.0)
+                + _ec_pbe(rho, sigma, beta=0.046)
+            )
         elif name == "pbe0":
             self.family = "gga"
             self.hyb = 0.25
@@ -382,16 +396,18 @@ class XCSpec:
             self.family = "hf"
             self.hyb = 1.0
             self._exc = None
-        elif name in ("scan", "tpss"):
+        elif name in ("scan", "tpss", "r2scan"):
             # tau rung (VERDICT r2 missing #5); formulas in ops/xc_mgga.py
             from pyscf_isdf_tpu.ops import xc_mgga
 
             self.family = "mgga"
             self.hyb = 0.0
-            self._exc = (xc_mgga.exc_scan if name == "scan"
-                         else xc_mgga.exc_tpss)
-            self._exc_spin = (xc_mgga.exc_scan_spin if name == "scan"
-                              else xc_mgga.exc_tpss_spin)
+            self._exc = {"scan": xc_mgga.exc_scan,
+                         "tpss": xc_mgga.exc_tpss,
+                         "r2scan": xc_mgga.exc_r2scan}[name]
+            self._exc_spin = {"scan": xc_mgga.exc_scan_spin,
+                              "tpss": xc_mgga.exc_tpss_spin,
+                              "r2scan": xc_mgga.exc_r2scan_spin}[name]
         else:
             raise NotImplementedError(f"xc functional {name!r}")
         self.alpha = 0.0 if name == "hse06" else self.hyb
@@ -458,6 +474,9 @@ class XCSpec:
                     if ac_vwn:
                         e = e + ac_vwn * _ec_vwn_spin(rho, zeta, *vwn_pf)
                     return e
+            elif name == "pbesol":
+                exc_fn = lambda ra, rb, saa, sab, sbb: _exc_pbe_spin(
+                    ra, rb, saa, sab, sbb, 1.0, mu=10.0 / 81.0, beta=0.046)
             else:
                 exc_fn = lambda ra, rb, saa, sab, sbb: _exc_pbe_spin(
                     ra, rb, saa, sab, sbb, ex_frac)

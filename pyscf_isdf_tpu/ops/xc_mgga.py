@@ -237,3 +237,178 @@ def exc_tpss_spin(ra, rb, saa, sab, sbb, ta, tb):
     ex = 0.5 * (_ex_tpss(2 * ra, 4 * saa, 2 * ta) * 2 * ra
                 + _ex_tpss(2 * rb, 4 * sbb, 2 * tb) * 2 * rb) / rho
     return ex + _tpss_ec_spin(ra, rb, saa, sab, sbb, ta, tb)
+
+
+# ---------------------------------------------------------------- r2SCAN
+# Furness, Kaplan, Ning, Perdew, Sun, JPCL 11, 8208 (2020) (+ erratum
+# JPCL 11, 9248): SCAN with the numerically-regularized interpolation
+# and restored 2nd-order gradient expansion (GE2).
+#
+# Parameter provenance: instead of typing the published decimal tables,
+# every derived constant is RE-DERIVED here at import time from the
+# construction rules, and each reproduces the published value:
+#   * the 7th-order interpolation polynomials solve the 8-condition
+#     smoothness system {f(0)/f'(0)/f''(0) Taylor-match SCAN's
+#     exp(-c1 a/(1-a)); f(1)=0; value..3rd-derivative match of the
+#     -d exp(c2/(1-a)) branch at a=2.5} with SCAN's own (c1, c2, d) —
+#     reproducing the published c_x/c_c tables to 1e-12;
+#   * C2x = k0 * fx'(1) = -0.162742 and C2c = fc'(1) = -0.711402 are
+#     the exact GE2-cancellation conditions;
+#   * C_eta = 20/27 + 5 eta/3 is the slowly-varying slope of
+#     alpha-bar after integrating the Laplacian term of tau_GE2 by
+#     parts under the energy integral (q -> p/3 at n^{4/3} weight).
+_ETA = 0.001
+_CETA = 20.0 / 27.0 + 5.0 * _ETA / 3.0
+_DP2 = 0.361
+_K0 = 0.174            # == _H0X - 1
+
+
+def _r2_poly(c1, c2, d):
+    """Interpolation-polynomial coefficients from the smoothness
+    conditions (numpy f64, solved once at import)."""
+    A = np.zeros((8, 8))
+    b = np.zeros(8)
+
+    def rows(x):
+        out = []
+        for k in range(4):
+            r = np.zeros(8)
+            for i in range(k, 8):
+                fac = 1.0
+                for j in range(k):
+                    fac *= i - j
+                r[i] = fac * x ** (i - k)
+            out.append(r)
+        return out
+
+    r0, r1, r25 = rows(0.0), rows(1.0), rows(2.5)
+    # Taylor of exp(-c1 a/(1-a)) at a=0: 1 - c1 a + (c1^2/2 - c1) a^2
+    A[0], b[0] = r0[0], 1.0
+    A[1], b[1] = r0[1], -c1
+    A[2], b[2] = r0[2], c1 * c1 - 2.0 * c1
+    A[3], b[3] = r1[0], 0.0
+    # value..3rd derivative of g(a) = -d exp(c2/(1-a)) at a=2.5
+    u = 1.0 - 2.5                                   # = -1.5
+    e = -d * np.exp(c2 / u)
+    g1 = e * c2 / u**2
+    g2 = e * (c2**2 / u**4 + 2.0 * c2 / u**3)
+    g3 = e * (c2**3 / u**6 + 6.0 * c2**2 / u**5 + 6.0 * c2 / u**4)
+    for k, gk in enumerate((e, g1, g2, g3)):
+        A[4 + k], b[4 + k] = r25[k], gk
+    return np.linalg.solve(A, b)
+
+
+_CX_POLY = _r2_poly(_C1X, _C2X, _DX)     # [1, -0.667, -0.4445555, ...]
+_CC_POLY = _r2_poly(_C1C, _C2C, _DC)     # [1, -0.64, -0.4352, ...]
+_C2X_R2 = _K0 * float((np.arange(8) * _CX_POLY).sum())      # -0.162742
+_C2C_R2 = float((np.arange(8) * _CC_POLY).sum())            # -0.711402
+
+
+def _interp_r2(alpha, coeffs, c2, d):
+    """r2SCAN interpolation: 7th-order polynomial on [0, 2.5], the SCAN
+    negative-exponential branch beyond (everywhere C^3-smooth)."""
+    a_p = jnp.minimum(alpha, 2.5)
+    poly = coeffs[7]
+    for i in range(6, -1, -1):
+        poly = poly * a_p + coeffs[i]
+    a_e = jnp.maximum(alpha, 2.5)
+    f_hi = -d * jnp.exp(-c2 / (a_e - 1.0))
+    return jnp.where(alpha <= 2.5, poly, f_hi)
+
+
+def _r2scan_fx(p, alpha):
+    """r2SCAN exchange enhancement Fx(p = s^2, alpha-bar)."""
+    damp = jnp.exp(-p * p / _DP2**4)
+    x = (_CETA * _C2X_R2 * damp + _MUAK) * p
+    h1x = 1.0 + _K1 - _K1 / (1.0 + x / _K1)
+    gx = 1.0 - jnp.exp(-_A1 * jnp.maximum(p, _TINY) ** (-0.25))
+    fx = _interp_r2(alpha, _CX_POLY, _C2X, _DX)
+    return (h1x + fx * (_H0X - h1x)) * gx
+
+
+def _ex_r2scan(rho, sigma, tau):
+    """r2SCAN exchange per particle (spin-restricted input)."""
+    rho = jnp.maximum(rho, _TINY)
+    sigma = jnp.maximum(sigma, _TINY)
+    tau = jnp.maximum(tau, _TINY)
+    p = sigma / (4.0 * _C3 * rho ** (8.0 / 3.0))
+    tau_w = sigma / (8.0 * rho)
+    tau_u = 0.3 * _C3 * rho ** (5.0 / 3.0)
+    alpha = jnp.maximum((tau - tau_w) / (tau_u + _ETA * tau_w), 0.0)
+    ex_unif = -0.75 * (3.0 / np.pi) ** (1.0 / 3.0) * rho ** (1.0 / 3.0)
+    return ex_unif * _r2scan_fx(p, alpha)
+
+
+def _r2scan_w_fn(rho, zeta):
+    """W(rs, zeta) = ec0(p=0) - ec1(p=0): the alpha-interpolation gap of
+    the two correlation limits at zero gradient (enters Delta-y)."""
+    rs = (3.0 / (4.0 * np.pi * jnp.maximum(rho, _TINY))) ** (1.0 / 3.0)
+    ec_lda0 = -_B1C / (1.0 + _B2C * jnp.sqrt(rs) + _B3C * rs)
+    dx_z = 0.5 * ((1.0 + zeta) ** (4.0 / 3.0) + (1.0 - zeta) ** (4.0 / 3.0))
+    gc = (1.0 - 2.3631 * (dx_z - 1.0)) * (1.0 - zeta**12)
+    return ec_lda0 * gc - _ec_pw92_spin(rho, zeta)
+
+
+def _r2scan_ec_spin(rho, zeta, sigma, tau):
+    """r2SCAN correlation per particle of the total density."""
+    import jax
+
+    rho = jnp.maximum(rho, _TINY)
+    sigma = jnp.maximum(sigma, _TINY)
+    tau = jnp.maximum(tau, _TINY)
+    zeta = jnp.clip(zeta, -1.0 + 1e-12, 1.0 - 1e-12)
+    rs = (3.0 / (4.0 * np.pi * rho)) ** (1.0 / 3.0)
+    p = sigma / (4.0 * _C3 * rho ** (8.0 / 3.0))
+    phi = 0.5 * ((1.0 + zeta) ** (2.0 / 3.0) + (1.0 - zeta) ** (2.0 / 3.0))
+    d_z = 0.5 * ((1.0 + zeta) ** (5.0 / 3.0) + (1.0 - zeta) ** (5.0 / 3.0))
+    tau_w = sigma / (8.0 * rho)
+    tau_u = 0.3 * _C3 * rho ** (5.0 / 3.0) * d_z
+    alpha = jnp.maximum((tau - tau_w) / (tau_u + _ETA * tau_w), 0.0)
+
+    # ec1: PW92 + H1 with the GE2-restoring Delta-y shift
+    eps_lsda = _ec_pw92_spin(rho, zeta)
+    t2 = (3.0 * np.pi**2 / 16.0) ** (2.0 / 3.0) * p / (phi**2 * rs)
+    w1 = jnp.expm1(-eps_lsda / (_GAMMA * phi**3))
+    w1 = jnp.maximum(w1, _TINY)
+    beta = _beta_rs(rs)
+    y = beta / (_GAMMA * w1) * t2
+    # Delta-y: cancels the 2nd-order contribution of fc(alpha)(ec0-ec1)
+    # under the energy integral; rs d/drs == -3 rho d/drho
+    W, dW_drho = jax.jvp(lambda r: _r2scan_w_fn(r, zeta), (rho,),
+                         (jnp.ones_like(rho),))
+    rs_dW = -3.0 * rho * dW_drho
+    damp = jnp.exp(-p * p / _DP2**4)
+    dy = (_C2C_R2 / (27.0 * _GAMMA * d_z * phi**3 * w1)
+          * (20.0 * rs_dW - 45.0 * _ETA * W) * p * damp)
+    g_y = jnp.maximum(1.0 + 4.0 * (y - dy), _TINY) ** (-0.25)
+    h1 = _GAMMA * phi**3 * jnp.log1p(w1 * (1.0 - g_y))
+    ec1 = eps_lsda + h1
+
+    # ec0: single-orbital / low-density limit (same as SCAN)
+    ec_lda0 = -_B1C / (1.0 + _B2C * jnp.sqrt(rs) + _B3C * rs)
+    w0 = jnp.expm1(-ec_lda0 / _B1C)
+    ginf = (1.0 + 4.0 * _CHI_INF * p) ** (-0.25)
+    h0 = _B1C * jnp.log1p(w0 * (1.0 - ginf))
+    dx_z = 0.5 * ((1.0 + zeta) ** (4.0 / 3.0) + (1.0 - zeta) ** (4.0 / 3.0))
+    gc = (1.0 - 2.3631 * (dx_z - 1.0)) * (1.0 - zeta**12)
+    ec0 = (ec_lda0 + h0) * gc
+
+    fc = _interp_r2(alpha, _CC_POLY, _C2C, _DC)
+    return ec1 + fc * (ec0 - ec1)
+
+
+def exc_r2scan(rho, sigma, tau):
+    """Restricted r2SCAN exc per particle."""
+    return _ex_r2scan(rho, sigma, tau) \
+        + _r2scan_ec_spin(rho, 0.0, sigma, tau)
+
+
+def exc_r2scan_spin(ra, rb, saa, sab, sbb, ta, tb):
+    """Spin-polarized r2SCAN exc per particle of the total density."""
+    rho = ra + rb + _TINY
+    zeta = (ra - rb) / rho
+    sigma = saa + 2.0 * sab + sbb
+    tau = ta + tb
+    ex = 0.5 * (_ex_r2scan(2 * ra, 4 * saa, 2 * ta) * 2 * ra
+                + _ex_r2scan(2 * rb, 4 * sbb, 2 * tb) * 2 * rb) / rho
+    return ex + _r2scan_ec_spin(rho, zeta, sigma, tau)

@@ -31,7 +31,7 @@ def test_ueg_exactness():
     tau_u = 0.3 * _C3 * rho ** (5.0 / 3.0)
     sig0 = jnp.full_like(rho, 1e-14)
     e_ueg = _ex_slater(rho) + _ec_pw92(rho)
-    for fn in (mgga.exc_scan, mgga.exc_tpss):
+    for fn in (mgga.exc_scan, mgga.exc_tpss, mgga.exc_r2scan):
         assert np.abs(np.asarray(fn(rho, sig0, tau_u) - e_ueg)).max() < 1e-12
 
 
@@ -54,7 +54,7 @@ def test_scan_single_orbital_exchange():
     assert float(fx1[0]) == pytest.approx(1.0, abs=1e-6)
 
 
-@pytest.mark.parametrize("name", ["scan", "tpss"])
+@pytest.mark.parametrize("name", ["scan", "tpss", "r2scan"])
 def test_potentials_vs_fd(name):
     spec = XCSpec(name)
     assert spec.family == "mgga"
@@ -75,7 +75,7 @@ def test_potentials_vs_fd(name):
         (f(r0, s0, t0 + h) - f(r0, s0, t0 - h)) / (2 * h), rel=1e-5)
 
 
-@pytest.mark.parametrize("name", ["scan", "tpss"])
+@pytest.mark.parametrize("name", ["scan", "tpss", "r2scan"])
 def test_gamma_scf_converges(name):
     system = build_scf_system(diamond_primitive(mesh=(15, 15, 15)))
     res = scf_kernel(system, xc=name, conv_tol=1e-10)
@@ -171,3 +171,53 @@ def test_jit_diis_scan_matches_host():
                                         df="fftdf")
     assert kconv
     assert ek == pytest.approx(kref["e_tot"], abs=1e-11)
+
+
+def test_r2scan_derived_constants():
+    """The r2SCAN derived parameters reproduce the published tables
+    (JPCL 11, 8208 SI): the interpolation polynomials from the
+    smoothness system, C2x = k0 fx'(1), C2c = fc'(1). This pins the
+    import-time derivation against the paper's decimals."""
+    cx_pub = [1.0, -0.667, -0.4445555, -0.663086601049, 1.451297044490,
+              -0.887998041597, 0.234528941479, -0.023185843322]
+    cc_pub = [1.0, -0.64, -0.4352, -1.535685604549, 3.061560252175,
+              -1.915710236206, 0.516884468372, -0.051848879792]
+    assert np.abs(mgga._CX_POLY - np.asarray(cx_pub)).max() < 1e-10
+    assert np.abs(mgga._CC_POLY - np.asarray(cc_pub)).max() < 1e-10
+    assert mgga._C2X_R2 == pytest.approx(-0.162742, abs=1e-6)
+    assert mgga._C2C_R2 == pytest.approx(-0.711402, abs=1e-6)
+
+
+def test_r2scan_interp_smooth_at_alpha1():
+    """SCAN's interpolation has an essential singularity at alpha = 1;
+    r2SCAN's polynomial is C-infinity there (the regularization that
+    names the functional). Check continuity and derivative finiteness
+    through alpha = 1 and across the 2.5 branch switch."""
+    import jax
+
+    a = jnp.linspace(0.9, 2.7, 181)
+    f = mgga._interp_r2(a, jnp.asarray(mgga._CX_POLY), mgga._C2X, mgga._DX)
+    assert np.all(np.isfinite(np.asarray(f)))
+    df = jax.vmap(jax.grad(
+        lambda x: mgga._interp_r2(x, jnp.asarray(mgga._CX_POLY),
+                                  mgga._C2X, mgga._DX)))(a)
+    assert np.all(np.isfinite(np.asarray(df)))
+    # branch continuity at 2.5 (value and slope, by construction)
+    eps = 1e-6
+    lo = float(mgga._interp_r2(jnp.asarray(2.5 - eps),
+                               jnp.asarray(mgga._CX_POLY),
+                               mgga._C2X, mgga._DX))
+    hi = float(mgga._interp_r2(jnp.asarray(2.5 + eps),
+                               jnp.asarray(mgga._CX_POLY),
+                               mgga._C2X, mgga._DX))
+    assert lo == pytest.approx(hi, abs=1e-5)
+
+
+def test_r2scan_uks_closed_shell_matches_rks():
+    from pyscf_isdf_tpu.scf.uhf import uhf_kernel
+
+    system = build_scf_system(diamond_primitive(mesh=(15, 15, 15)))
+    res_r = scf_kernel(system, xc="r2scan", conv_tol=1e-9)
+    res_u = uhf_kernel(system, xc="r2scan", conv_tol=1e-9)
+    assert res_r["converged"] and res_u["converged"]
+    assert res_u["e_tot"] == pytest.approx(res_r["e_tot"], abs=1e-8)

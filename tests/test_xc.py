@@ -72,3 +72,37 @@ def test_gga_vxc_is_derivative_of_exc():
         num = (exc_of(dm + pert) - exc_of(dm - pert)) / (2 * h)
         ana = vxc[i, j] + vxc[j, i]
         assert num == pytest.approx(ana, abs=1e-6, rel=1e-5)
+
+
+def test_pbesol_limits():
+    """PBEsol (PRL 100, 136406): uniform limit == LSDA exactly; the
+    exchange small-s expansion slope is the restored GE2 value 10/81
+    (vs PBE's 0.21952); correlation beta = 0.046 changes H."""
+    from pyscf_isdf_tpu.ops.xc import _ec_pw92
+
+    spec = XCSpec("pbesol")
+    rho = jnp.asarray([0.1, 1.0, 5.0])
+    e, _, _ = spec.exc_vxc(rho, jnp.full_like(rho, 1e-30))
+    assert np.abs(np.asarray(
+        e - (_ex_slater(rho) + _ec_pw92(rho)))).max() < 1e-12
+    kf = (3 * np.pi**2 * 0.5) ** (1 / 3)
+    for s in [1e-3, 1e-2]:
+        sigma = jnp.array((s * 2 * kf * 0.5) ** 2)
+        fx = float(_ex_pbe(jnp.array(0.5), sigma, mu=10.0 / 81.0)
+                   / _ex_slater(jnp.array(0.5)))
+        assert fx == pytest.approx(1 + (10.0 / 81.0) * s**2, abs=1e-6)
+
+
+def test_pbesol_scf_and_spin_consistency():
+    """PBEsol SCF converges; the spin-resolved path at zeta = 0 equals
+    the restricted path (same invariant that pins the PBE family)."""
+    from pyscf_isdf_tpu.scf.uhf import uhf_kernel
+
+    system = build_scf_system(diamond_primitive(mesh=(14, 14, 14)))
+    res_r = scf_kernel(system, xc="pbesol", conv_tol=1e-9)
+    res_u = uhf_kernel(system, xc="pbesol", conv_tol=1e-9)
+    assert res_r["converged"] and res_u["converged"]
+    assert res_u["e_tot"] == pytest.approx(res_r["e_tot"], abs=1e-8)
+    # PBEsol != PBE on a real density (the constants actually differ)
+    res_pbe = scf_kernel(system, xc="pbe", conv_tol=1e-9)
+    assert abs(res_pbe["e_tot"] - res_r["e_tot"]) > 1e-4
