@@ -316,16 +316,33 @@ class KGHF(_KMeanField):
 
 
 def GW(mf, nw: int = 100, orbs=None, linearized: bool = False,
-       fc: bool = False):
-    """G0W0-AC quasiparticle energies on a converged (K)RHF/(K)RKS/
+       fc: bool = False, method: str = "ac"):
+    """G0W0 quasiparticle energies on a converged (K)RHF/(K)RKS/
     UHF/UKS object — reference gw.GW(mf) / krgw_ac.KRGWAC(mf) /
     ugw_ac analog.
+
+    ``method``: 'ac' (imaginary-axis + Pade, the frontier-state
+    production path) or 'cd' (contour deformation, reference
+    gw_cd.py/krgw_cd.py — reliable for DEEP CORE levels; Gamma
+    restricted references).
 
     Returns a GWResult (Gamma), KGWResult (k-point, optional ``fc``
     head/wing finite-size correction) or UGWResult (spin-polarized)
     with .qp_energy."""
     from pyscf_isdf_tpu.gw import (gw_ac_gamma, kgw_ac, kugw_ac,
                                    ugw_ac_gamma)
+
+    if method == "cd":
+        from pyscf_isdf_tpu.gw.gw_cd import gw_cd_gamma
+
+        if isinstance(mf, (_KMeanField, UHF, UKS)):
+            raise NotImplementedError(
+                "GW-CD is Gamma-restricted for now; use method='ac' "
+                "for k-point/spin references")
+        return gw_cd_gamma(mf.system, mf._res, xc=mf.xc, nw=nw,
+                           orbs=orbs)
+    if method != "ac":
+        raise ValueError(f"unknown GW method {method!r}: 'ac' or 'cd'")
 
     # spin dispatch BEFORE the k-point catch-all: KUHF/KUKS are
     # _KMeanField subclasses and must reach the spin engines
