@@ -252,7 +252,7 @@ def cpu_reference_periter(aoR, coulG, mesh, weight, chunk=2, n_chunks=3,
     return t_j + t_k, t_j + t_k_occ
 
 
-def _staged_sym_isdf(cell, nrep, mesh, aoR, log):
+def _staged_sym_isdf(cell, nrep, mesh, aoR, log, basis="gth-szv"):
     """Load (staging via a CPU-f64 subprocess if absent) the certified
     translation-symmetric factorization and assemble it on device.
     Returns (ISDF, certified f64 |dE|) or (None, None) on any failure."""
@@ -262,12 +262,17 @@ def _staged_sym_isdf(cell, nrep, mesh, aoR, log):
 
     here = os.path.dirname(os.path.abspath(__file__))
     tag = "".join(map(str, nrep))
+    if basis != "gth-szv":
+        tag += "_" + basis.replace("gth-", "")
     path = os.environ.get("BENCH_SYMFAC",
                           os.path.join(here, "tools", f"symfac_{tag}.npz"))
-    # c=32 is the measured 1e-6 Ha crossing at diamond 3x3x3 (f64
+    # szv: c=32 is the measured 1e-6 Ha crossing at diamond 3x3x3 (f64
     # ladder, tools/certify_sym.py: c=28 -> 3.3e-6, c=32 -> 6.8e-7,
-    # c=36 -> 1.5e-7)
-    c = os.environ.get("BENCH_SYM_C", "32")
+    # c=36 -> 1.5e-7). dzvp: c=20 (measured 2026-08-19: c=12 -> 1.6e-5,
+    # c=16 -> 2.2e-6, c=20 -> 3.3e-7 — richer shells saturate the pair
+    # space at smaller c than szv's 32).
+    c_default = "32" if basis == "gth-szv" else "20"
+    c = os.environ.get("BENCH_SYM_C", c_default)
     if not os.path.exists(path):
         pm = mesh[0] // nrep[0]
         log(f"staging certified f64 sym-ISDF (c={c}) in a CPU "
@@ -279,6 +284,7 @@ def _staged_sym_isdf(cell, nrep, mesh, aoR, log):
         r = subprocess.run(
             [sys.executable, os.path.join(here, "tools", "certify_sym.py"),
              "--nrep", ",".join(map(str, nrep)), "--pm", str(pm),
+             "--basis", basis,
              "--c", c, "--save", c, "--out", path],
             env=env, capture_output=True, text=True, timeout=7200)
         log(f"staging: rc={r.returncode} "
@@ -313,12 +319,19 @@ def main():
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
     dtype = jnp.float32
+    basis = "gth-szv"
     if "--small" in sys.argv:
         nrep, mesh, name = (2, 2, 2), (32, 32, 32), "diamond222"
+    elif "--dzvp" in sys.argv:
+        # scale-out row (VERDICT r3 #9): same 3x3x3 lattice, 3.25x the
+        # AO count (d shells) — shows the ISDF pipeline off the tuned
+        # szv shape
+        nrep, mesh, name = (3, 3, 3), (48, 48, 48), "diamond333_dzvp"
+        basis = "gth-dzvp"
     else:
         # the BASELINE north-star scale (diamond 3x3x3) is the default
         nrep, mesh, name = (3, 3, 3), (48, 48, 48), "diamond333"
-    cell = diamond_supercell(nrep=nrep, mesh=mesh)
+    cell = diamond_supercell(nrep=nrep, mesh=mesh, basis=basis)
     log(f"system: {name}, natm={cell.natm} nao={cell.nao} "
         f"ngrids={cell.ngrids} mesh={cell.mesh}")
 
@@ -352,7 +365,8 @@ def main():
     de_cert = None
     isdf = None
     if os.environ.get("BENCH_SYM", "1") == "1":
-        isdf, de_cert = _staged_sym_isdf(cell, nrep, mesh, aoR, log)
+        isdf, de_cert = _staged_sym_isdf(cell, nrep, mesh, aoR, log,
+                                         basis=basis)
     if isdf is None:
         # fallback: on-device f32 build. c from the f64 accuracy study
         # (BENCH_NOTES): robust c=24 meets 1e-6 Ha on diamond222 IN
@@ -371,48 +385,44 @@ def main():
 
     nocc = cell.nelectron // 2
     use_pallas = os.environ.get("BENCH_USE_PALLAS", "0") == "1"
+    # FFTDF chunk sized to HBM: each chunk row peaks at ~2x a complex64
+    # (chunk, nao, ngrids) pair-density buffer, and at dzvp scale the
+    # resident sym-ISDF Vxi (6.2 GB) leaves only ~8 GB free on v5e
+    kchunk = max(1, min(8, int(2.0e9 // (cell.nao * cell.ngrids * 8))))
     jk_isdf = lambda d, ao, cg, fct: (fftdf.get_j(ao, d, cg, mesh3, w),
                                       isdf_mod.get_k_robust(
                                           fct, ao, d, w,
                                           use_pallas=use_pallas))
     jk_fftdf = lambda d, ao, cg: (fftdf.get_j(ao, d, cg, mesh3, w),
-                                  fftdf.get_k(ao, d, cg, mesh3, w, chunk=8))
+                                  fftdf.get_k(ao, d, cg, mesh3, w,
+                                              chunk=kchunk))
     # occ-MO FFTDF: the strongest per-iteration FFT baseline (the
     # reference's tagged-DM path, fft_jk.py:235-259) — K cost is
     # value-independent, so synthetic (ng, nocc) factors time it exactly
     jk_fftdf_occ = lambda d, ao, cg: (
         fftdf.get_j(ao, d, cg, mesh3, w),
-        fftdf.get_k_occ(ao, ao[:, :nocc], cg, mesh3, w, chunk=8))
+        fftdf.get_k_occ(ao, ao[:, :nocc], cg, mesh3, w, chunk=kchunk))
 
     f_isdf = chained(jk_isdf)
     f_fftdf = chained(jk_fftdf)
     f_fftdf_occ = chained(jk_fftdf_occ)
+    # the axon relay kills device programs running longer than ~60 s
+    # (measured: a 46 s chain survives, a ~66 s one gets the worker
+    # shot). FFTDF at dzvp is ~20 s/iter, so the oracle chain must stay
+    # at T(2)-T(1); the marginal construction cancels dispatch the same.
+    n_oracle, oracle_reps = N_ITER_ORACLE, ORACLE_REPS
+    if basis != "gth-szv":
+        n_oracle, oracle_reps = 1, 2
     t0 = time.perf_counter()
     t_isdf = marginal_time(f_isdf, dm, 2, 2 + N_ITER, ops=(aoR, coulG, isdf))
     log(f"isdf chain compile+time: {time.perf_counter()-t0:.1f} s")
-    t0 = time.perf_counter()
-    t_fftdf = marginal_time(f_fftdf, dm, 1, 1 + N_ITER_ORACLE,
-                            ops=(aoR, coulG), reps=ORACLE_REPS)
-    log(f"fftdf chain compile+time: {time.perf_counter()-t0:.1f} s")
-    t0 = time.perf_counter()
-    t_fftdf_occ = marginal_time(f_fftdf_occ, dm, 1, 1 + N_ITER_ORACLE,
-                                ops=(aoR, coulG), reps=ORACLE_REPS)
-    log(f"fftdf-occ chain compile+time: {time.perf_counter()-t0:.1f} s")
 
-    # numerics check on the exchange energy. NOTE: both engines run f32
-    # on device, so this on-device probe is f32-noise-limited (~1e-5 on an
-    # O(10 Ha) trace); the BASELINE 1e-6 bar is assessed in float64 on CPU
-    # (BENCH_NOTES accuracy table: robust c=24 -> 5.5e-7 on diamond222 at
-    # the converged density).
-    vk_ref = fftdf.get_k(aoR, dm, coulG, mesh3, w)
+    # everything that needs the factorization runs BEFORE the FFTDF
+    # chains, so the ISDF device buffers (Vxi alone is 6.2 GB at
+    # diamond333 gth-dzvp) can be freed first — co-residency with the
+    # FFTDF pair-density transient killed the v5e worker at dzvp scale
     vk_new = isdf_mod.get_k_robust(isdf, aoR, dm, w)
-    dek = abs(float(jnp.einsum("ij,ji->", dm, vk_ref - vk_new)))
-    log(f"FFTDF(TPU) J+K per iter: {t_fftdf*1e3:.2f} ms "
-        f"(occ-MO path: {t_fftdf_occ*1e3:.2f} ms); "
-        f"ISDF(robust) J+K per iter: {t_isdf*1e3:.2f} ms; "
-        f"speedup {t_fftdf/t_isdf:.1f}x (vs occ {t_fftdf_occ/t_isdf:.1f}x); "
-        f"|dEk|={dek:.2e} Ha (f32 probe; f64 method accuracy in "
-        "BENCH_NOTES)")
+    vk_new.block_until_ready()
 
     # secondary on-device residual certificate (fallback path only):
     # when the shipped factorization was built ON DEVICE in f32, the
@@ -424,7 +434,8 @@ def main():
                          "tools", f"density_{''.join(map(str, nrep))}.npz")
     if de_cert is None and os.path.exists(dpath):
         dat = np.load(dpath)
-        if tuple(dat["mesh"]) == tuple(cell.mesh):
+        if tuple(dat["mesh"]) == tuple(cell.mesh) \
+                and dat["C_w"].shape[0] == cell.nao:
             C_w = jnp.asarray(dat["C_w"], dtype)
             t0 = time.perf_counter()
             de_res = isdf_mod.robust_k_error(isdf, aoR, C_w, coulG,
@@ -432,6 +443,31 @@ def main():
             log(f"residual-identity |dE| (converged f64 density, "
                 f"f32-build robust-fit error): {de_res:.3e} Ha "
                 f"[{time.perf_counter()-t0:.0f} s]")
+
+    isdf = None  # free HBM (the chains below re-own the budget)
+
+    t0 = time.perf_counter()
+    t_fftdf = marginal_time(f_fftdf, dm, 1, 1 + n_oracle,
+                            ops=(aoR, coulG), reps=oracle_reps)
+    log(f"fftdf chain compile+time: {time.perf_counter()-t0:.1f} s")
+    t0 = time.perf_counter()
+    t_fftdf_occ = marginal_time(f_fftdf_occ, dm, 1, 1 + n_oracle,
+                                ops=(aoR, coulG), reps=oracle_reps)
+    log(f"fftdf-occ chain compile+time: {time.perf_counter()-t0:.1f} s")
+
+    # numerics check on the exchange energy. NOTE: both engines run f32
+    # on device, so this on-device probe is f32-noise-limited (~1e-5 on an
+    # O(10 Ha) trace); the BASELINE 1e-6 bar is assessed in float64 on CPU
+    # (BENCH_NOTES accuracy table: robust c=24 -> 5.5e-7 on diamond222 at
+    # the converged density).
+    vk_ref = fftdf.get_k(aoR, dm, coulG, mesh3, w, chunk=kchunk)
+    dek = abs(float(jnp.einsum("ij,ji->", dm, vk_ref - vk_new)))
+    log(f"FFTDF(TPU) J+K per iter: {t_fftdf*1e3:.2f} ms "
+        f"(occ-MO path: {t_fftdf_occ*1e3:.2f} ms); "
+        f"ISDF(robust) J+K per iter: {t_isdf*1e3:.2f} ms; "
+        f"speedup {t_fftdf/t_isdf:.1f}x (vs occ {t_fftdf_occ/t_isdf:.1f}x); "
+        f"|dEk|={dek:.2e} Ha (f32 probe; f64 method accuracy in "
+        "BENCH_NOTES)")
 
     # CPU reference estimate (numpy fft_jk, float64), generic + occ
     # paths. The measurement is tunnel-independent and slow on this
@@ -491,7 +527,9 @@ def _emit_failure(kind: str, exc: BaseException, rc: int):
     means the axon relay was unreachable — the framework was never
     exercised; error='framework_failure' (rc=1) means bench code raised."""
     traceback.print_exc(file=sys.stderr)
-    name = "diamond222" if "--small" in sys.argv else "diamond333"
+    name = ("diamond222" if "--small" in sys.argv
+            else "diamond333_dzvp" if "--dzvp" in sys.argv
+            else "diamond333")
     print(json.dumps({
         "metric": f"{name}_jk_per_scf_iter_ms", "value": None,
         "unit": "ms", "vs_baseline": None, "error": kind,

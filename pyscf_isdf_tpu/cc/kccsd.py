@@ -110,3 +110,77 @@ def kccsd(system, scf_res, with_t=False, conv_tol=1e-9, max_cycle=100,
                                   nocc_so) / nk
         out["e_tot"] += out["e_t"]
     return out
+
+
+def build_composite_eris_uhf(system, scf_res):
+    """(f_so, eri_so, nocc_so) on the occupied-first composite
+    spin-orbital index for a KUHF/KUKS reference (per-spin spatial
+    parts — the composite analog of kccsd_blocked's
+    build_blocked_eris_uhf; reference pyscf/pbc/cc/kccsd_uhf.py)."""
+    from pyscf_isdf_tpu.cc.gccsd import (antisymmetrize_spin_chem,
+                                         uhf_spinorb_basis)
+
+    ca_k, cb_k = scf_res["mo_coeff"]
+    ea_k, eb_k = scf_res["mo_energy"]
+    occ_a, occ_b = scf_res["mo_occ"]
+    kpts = system.kpts
+    nk = len(kpts)
+    na_k = (np.asarray(occ_a) > 0.5).sum(axis=1)
+    nb_k = (np.asarray(occ_b) > 0.5).sum(axis=1)
+    if not (np.all(na_k == na_k[0]) and np.all(nb_k == nb_k[0])):
+        raise NotImplementedError(
+            "composite KUCCSD needs uniform per-k per-spin occupation")
+    na, nb = int(na_k[0]), int(nb_k[0])
+
+    mo_cs, e_so_k = [], []
+    sz = None
+    for k in range(nk):
+        C_cat, e_so, sz, _ = uhf_spinorb_basis(
+            (ca_k[k], cb_k[k]), (ea_k[k], eb_k[k]), (na, nb))
+        mo_cs.append(C_cat)
+        e_so_k.append(e_so)
+    nso_k = mo_cs[0].shape[1]
+    n = nk * nso_k
+
+    eri7 = fft_ao2mo.ao2mo_7d(system, mo_cs)      # (nk,nk,nk,nso_k^4)
+    kconserv = get_kconserv(system.cell.a, kpts)
+    chem = np.zeros((n, n, n, n), dtype=complex)
+    for kp in range(nk):
+        for kq in range(nk):
+            for kr in range(nk):
+                ks = kconserv[kp, kq, kr]
+                chem[kp * nso_k:(kp + 1) * nso_k,
+                     kq * nso_k:(kq + 1) * nso_k,
+                     kr * nso_k:(kr + 1) * nso_k,
+                     ks * nso_k:(ks + 1) * nso_k] = eri7[kp, kq, kr] / nk
+    chem = 0.5 * (chem + chem.transpose(2, 3, 0, 1))
+
+    e_flat = np.concatenate(e_so_k)
+    occ_flat = np.tile(np.arange(nso_k) < na + nb, nk)
+    sz_flat = np.tile(sz, nk)
+    perm = np.argsort(~occ_flat, kind="stable")
+    chem = chem[np.ix_(perm, perm, perm, perm)]
+    eri_so = antisymmetrize_spin_chem(chem, sz_flat[perm])
+    f_so = np.diag(e_flat[perm])
+    return f_so, eri_so, int(occ_flat.sum())
+
+
+def kuccsd(system, scf_res, with_t=False, conv_tol=1e-9, max_cycle=100,
+           verbose=False):
+    """k-point spin-unrestricted CCSD (+ optional perturbative (T))
+    correlation energy per unit cell on a converged KUHF/KUKS result —
+    the composite dense tier, same cost class as the restricted
+    composite :func:`kccsd` (which is already the shipped (T) route;
+    reference pyscf/pbc/cc/kccsd_uhf.py + kccsd_t_rhf analog role)."""
+    nk = len(system.kpts)
+    f_so, eri_so, nocc_so = build_composite_eris_uhf(system, scf_res)
+    out = gccsd.kernel(f_so, eri_so, nocc_so, conv_tol=conv_tol * nk,
+                       max_cycle=max_cycle, verbose=verbose)
+    out["e_corr"] = out["e_corr"] / nk
+    out["e_hf"] = scf_res["e_tot"]
+    out["e_tot"] = scf_res["e_tot"] + out["e_corr"]
+    if with_t:
+        out["e_t"] = gccsd.ccsd_t(out["t1"], out["t2"], f_so, eri_so,
+                                  nocc_so) / nk
+        out["e_tot"] += out["e_t"]
+    return out

@@ -218,18 +218,25 @@ def assemble_pieces(nrep, prim_mesh, prim_a, q_list, ip_idx, VXq, Mq,
     Vr, Vi = _parts(VXq)                          # (nq, nip, ngp)
     cols = jnp.asarray(ns.astype(np.int32))       # (ncell, ngp)
 
-    @jax.jit
-    def _v_block(s, qr, qi, Vr, Vi):
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=0)
+    def _v_update(Vxi, s, cols_s, qr, qi, Vr, Vi):
+        # donated Vxi: the column scatter runs in place — without
+        # donation each .at[].set copies the full (nk*nip, ngrids)
+        # buffer (2x 6.2 GB transient at diamond 3x3x3 gth-dzvp c=20,
+        # which OOMed the 16 GB v5e)
         q = jax.lax.complex(qr, qi)
         V = jax.lax.complex(Vr, Vi)
         blk = jnp.einsum("rq,q,qPg->rPg", q.conj(), q[s], V)
-        return (blk.real / nk).astype(dtype)
+        blk = (blk.real / nk).astype(dtype)
+        return Vxi.at[:, cols_s].set(blk.reshape(nk * nip, ngp))
 
     Vxi = jnp.zeros((nk * nip, nk * ngp), dtype)
     for s in range(nk):
         # s as a device scalar: ONE trace, dynamic q[s] indexing
-        blk = _v_block(jnp.asarray(s, jnp.int32), qr, qi, Vr, Vi)
-        Vxi = Vxi.at[:, cols[s]].set(blk.reshape(nk * nip, ngp))
+        Vxi = _v_update(Vxi, jnp.asarray(s, jnp.int32), cols[s],
+                        qr, qi, Vr, Vi)
 
     ip_j = jnp.asarray(ip_super.astype(np.int32))
     aoRg = jnp.asarray(aoR_super)[ip_j]

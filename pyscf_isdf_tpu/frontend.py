@@ -427,10 +427,19 @@ def KCCSD(mf: _KMeanField, with_t: bool = False, conv_tol: float = 1e-9,
     (reference pbc.cc.kccsd_uhf) regardless of tier.
     """
     if isinstance(mf._res["mo_coeff"], tuple):
+        if with_t:
+            # (T) rides the composite dense tier — the same cost class
+            # the restricted KCCSD(T) already uses (cc/kccsd.py kuccsd)
+            from pyscf_isdf_tpu.cc.kccsd import kuccsd
+
+            out = kuccsd(mf.system, mf._res, with_t=True,
+                         conv_tol=conv_tol)
+            if not out["converged"]:
+                raise RuntimeError("KUCCSD did not converge")
+            return (out["e_corr"] + out["e_t"],
+                    mf._res["e_tot"] + out["e_corr"] + out["e_t"])
         from pyscf_isdf_tpu.cc.kccsd_blocked import kuccsd_blocked
 
-        if with_t:
-            raise NotImplementedError("KUCCSD(T): triples not wired at k")
         out = kuccsd_blocked(mf.system, mf._res, conv_tol=conv_tol)
         if not out["converged"]:
             raise RuntimeError("KUCCSD did not converge")
@@ -566,9 +575,10 @@ def Gradients(mf: _MeanField):
 
         return uhf_gradient(mf.system, mf._res, xc=mf.xc, exxdiv=mf.exxdiv)
     if isinstance(mf, ROHF):
-        # the restricted Gamma functional cannot consume the
-        # (dm_a, dm_b) ROHF state — loud guard, not a silent fallthrough
-        raise NotImplementedError("gradients: ROHF not supported")
+        from pyscf_isdf_tpu.grad.uhf import rohf_gradient
+
+        return rohf_gradient(mf.system, mf._res, xc=mf.xc,
+                             exxdiv=mf.exxdiv)
     if isinstance(mf, (KUHF, KUKS)):
         from pyscf_isdf_tpu.grad.kuhf import kuhf_gradient
 
@@ -595,12 +605,16 @@ def Stress(mf: _MeanField):
                               exxdiv=mf.exxdiv)
     if isinstance(mf, _KMeanField):
         raise NotImplementedError("stress: only KRHF/KRKS at k")
-    if isinstance(mf, (UHF, UKS, ROHF)):
-        # open-shell Gamma states carry (dm_a, dm_b); the restricted
-        # strain functional would either crash or silently evaluate a
-        # closed-shell energy on them
-        raise NotImplementedError("stress: open-shell (UHF/UKS/ROHF) "
-                                  "not supported")
+    if isinstance(mf, ROHF):
+        from pyscf_isdf_tpu.grad.stress import rostress_tensor
+
+        return rostress_tensor(mf.system, mf._res, xc=mf.xc,
+                               exxdiv=mf.exxdiv)
+    if isinstance(mf, (UHF, UKS)):
+        from pyscf_isdf_tpu.grad.stress import ustress_tensor
+
+        return ustress_tensor(mf.system, mf._res, xc=mf.xc,
+                              exxdiv=mf.exxdiv)
     from pyscf_isdf_tpu.grad.stress import stress_tensor
 
     return stress_tensor(mf.system, mf._res, xc=mf.xc, exxdiv=mf.exxdiv)

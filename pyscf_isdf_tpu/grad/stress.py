@@ -111,7 +111,17 @@ def _vppnl_energy_jnp(cell, Gv, aokG, SI, dm, vol):
     return e
 
 
-def make_strain_energy_fn(system, xc=None, exxdiv="ewald"):
+def make_strain_energy_fn(system, xc=None, exxdiv="ewald", spin=False):
+    """Strain-traced total-energy functional.
+
+    The returned function is SPIN-RESOLVED:
+    ``energy(eps, dm_a, dm_b, w_mat, mo_a, mo_b)`` — closed-shell
+    callers pass dm/2 twice and the (unit-weight) occupied orbitals
+    twice; the per-spin exchange algebra then reduces exactly to the
+    restricted expression. ``spin=True`` switches the XC quadrature to
+    the spin-resolved functional form (UKS/ROKS); with ``spin=False``
+    the restricted exc path is kept bit-for-bit.
+    """
     cell = system.cell
     assert cell.dimension == 3, "stress: 3D cells"
     mesh = tuple(system.mesh)
@@ -170,7 +180,8 @@ def make_strain_energy_fn(system, xc=None, exxdiv="ewald"):
         / np.sqrt(np.pi)
     sumq2 = float(cell.charges.sum()) ** 2
 
-    def energy(eps, dm, w_mat, mo_w):
+    def energy(eps, dm_a, dm_b, w_mat, mo_a, mo_b):
+        dm = dm_a + dm_b
         F = jnp.eye(3) + eps
         Finv = jnp.linalg.inv(F)
         detF = jnp.linalg.det(F)
@@ -224,29 +235,49 @@ def make_strain_energy_fn(system, xc=None, exxdiv="ewald"):
                 grad_ao = jnp.stack([
                     ifft3(1j * Gv[:, x][None, :] * fG, mesh).real.T
                     for x in range(3)])                     # (3, ng, nao)
-                grad_rho = 2.0 * jnp.einsum("gi,xgi->xg", t, grad_ao)
-                sigma = jnp.sum(grad_rho * grad_rho, axis=0)
-                exc, _, _ = xcspec.exc_vxc(rho, sigma)
+                if spin:
+                    ta = aoR @ dm_a
+                    tb = aoR @ dm_b
+                    rho_a = jnp.sum(ta * aoR, axis=-1)
+                    rho_b = jnp.sum(tb * aoR, axis=-1)
+                    ga = 2.0 * jnp.einsum("gi,xgi->xg", ta, grad_ao)
+                    gb = 2.0 * jnp.einsum("gi,xgi->xg", tb, grad_ao)
+                    exc, _, _ = xcspec.exc_vxc_spin(
+                        rho_a, rho_b, jnp.sum(ga * ga, 0),
+                        jnp.sum(ga * gb, 0), jnp.sum(gb * gb, 0))
+                else:
+                    grad_rho = 2.0 * jnp.einsum("gi,xgi->xg", t, grad_ao)
+                    sigma = jnp.sum(grad_rho * grad_rho, axis=0)
+                    exc, _, _ = xcspec.exc_vxc(rho, sigma)
+            elif spin:
+                rho_a = jnp.sum((aoR @ dm_a) * aoR, axis=-1)
+                rho_b = jnp.sum((aoR @ dm_b) * aoR, axis=-1)
+                exc, _, _ = xcspec.exc_vxc_spin(rho_a, rho_b)
             else:
                 exc, _, _ = xcspec.exc_vxc(rho)
             e_xc = weight * jnp.sum(rho * exc)
 
         e_k = 0.0
         if need_k:
-            moR = aoR @ mo_w
-            no = moR.shape[1]
-            pair = (moR[:, :, None] * moR[:, None, :]).reshape(-1, no * no)
-            pG = fft3(pair.T.astype(jnp.complex128), mesh)
             ex = 0.0
-            if hyb != 0:
-                vpair = ifft3(coulG[None, :] * pG, mesh).real
-                ex = ex + hyb * weight * jnp.sum(vpair * pair.T)
-            if rsh:
-                coulG_lr = jnp.where(
-                    G2 < 1e-12, 0.0,
-                    coulG * jnp.exp(-0.25 / omega_abs**2 * G2))
-                vpair_lr = ifft3(coulG_lr[None, :] * pG, mesh).real
-                ex = ex + (alpha - hyb) * weight * jnp.sum(vpair_lr * pair.T)
+            for mo_s in (mo_a, mo_b):
+                moR = aoR @ mo_s
+                no = moR.shape[1]
+                if no == 0:
+                    continue
+                pair = (moR[:, :, None] * moR[:, None, :]) \
+                    .reshape(-1, no * no)
+                pG = fft3(pair.T.astype(jnp.complex128), mesh)
+                if hyb != 0:
+                    vpair = ifft3(coulG[None, :] * pG, mesh).real
+                    ex = ex + hyb * weight * jnp.sum(vpair * pair.T)
+                if rsh:
+                    coulG_lr = jnp.where(
+                        G2 < 1e-12, 0.0,
+                        coulG * jnp.exp(-0.25 / omega_abs**2 * G2))
+                    vpair_lr = ifft3(coulG_lr[None, :] * pG, mesh).real
+                    ex = ex + (alpha - hyb) * weight \
+                        * jnp.sum(vpair_lr * pair.T)
             if exxdiv == "ewald":
                 # probe-charge madelung under strain: -2x the Ewald
                 # energy of one unit charge on the strained lattice
@@ -275,9 +306,10 @@ def make_strain_energy_fn(system, xc=None, exxdiv="ewald"):
                                   * jnp.exp(-0.25 / omega_abs**2 * G2ml)) \
                         / vol
                     mad_eps = mad_eps + (alpha - hyb) * mad_lr_eps
-                dms = dm @ S
-                ex = ex + mad_eps * jnp.sum(dms * dms.T)
-            e_k = -0.25 * ex
+                for dm_s in (dm_a, dm_b):
+                    dms = dm_s @ S
+                    ex = ex + mad_eps * jnp.sum(dms * dms.T)
+            e_k = -0.5 * ex
 
         # Ewald (traced): real + reciprocal + self/background
         d = (pos[None, :, None, :] - pos[None, None, :, :]
@@ -314,16 +346,67 @@ def stress_tensor(system, scf_res, xc=None, exxdiv="ewald",
     mo_c = np.asarray(scf_res["mo_coeff"])
     nocc = system.nelec // 2
     dm = jnp.asarray(scf_res["dm"], dtype=jnp.float64)
-    c_occ = mo_c[:, :nocc]
-    w_mat = jnp.asarray(2.0 * (c_occ * mo_e[:nocc]) @ c_occ.T)
-    mo_w = jnp.asarray(c_occ * np.sqrt(2.0))
+    c_occ = jnp.asarray(mo_c[:, :nocc])
+    w_mat = jnp.asarray(2.0 * (mo_c[:, :nocc] * mo_e[:nocc])
+                        @ mo_c[:, :nocc].T)
 
     e_fn = make_strain_energy_fn(system, xc=xc, exxdiv=exxdiv)
     eps0 = jnp.zeros((3, 3), dtype=jnp.float64)
-    val, grad = jax.value_and_grad(e_fn)(eps0, dm, w_mat, mo_w)
+    val, grad = jax.value_and_grad(e_fn)(eps0, 0.5 * dm, 0.5 * dm,
+                                         w_mat, c_occ, c_occ)
     g = np.asarray(grad)
     sigma = 0.5 * (g + g.T) / cell.vol
     e_tot = float(val) + float(jnp.sum(w_mat * jnp.asarray(system.S)))
     if return_energy:
         return sigma, e_tot, g
     return sigma
+
+
+def _stress_from_spin_state(system, xc, exxdiv, dm_a, dm_b, w_mat,
+                            mo_a, mo_b, return_energy):
+    e_fn = make_strain_energy_fn(system, xc=xc, exxdiv=exxdiv, spin=True)
+    eps0 = jnp.zeros((3, 3), dtype=jnp.float64)
+    val, grad = jax.value_and_grad(e_fn)(eps0, dm_a, dm_b, w_mat,
+                                         mo_a, mo_b)
+    g = np.asarray(grad)
+    sigma = 0.5 * (g + g.T) / system.cell.vol
+    e_tot = float(val) + float(jnp.sum(w_mat * jnp.asarray(system.S)))
+    if return_energy:
+        return sigma, e_tot, g
+    return sigma
+
+
+def ustress_tensor(system, scf_res, xc=None, exxdiv="ewald",
+                   return_energy=False):
+    """3x3 stress tensor for a converged Gamma UHF/UKS state (canonical
+    per-spin Pulay weight W = sum_s C_s eps_s C_s^T over occupieds)."""
+    cell = system.cell
+    ea, eb = (np.asarray(e) for e in scf_res["mo_energy"])
+    ca, cb = (np.asarray(c) for c in scf_res["mo_coeff"])
+    nb = (system.nelec - cell.spin) // 2
+    na = system.nelec - nb
+    dm_a = jnp.asarray(scf_res["dm"][0], dtype=jnp.float64)
+    dm_b = jnp.asarray(scf_res["dm"][1], dtype=jnp.float64)
+    w_mat = jnp.asarray((ca[:, :na] * ea[:na]) @ ca[:, :na].T
+                        + (cb[:, :nb] * eb[:nb]) @ cb[:, :nb].T)
+    return _stress_from_spin_state(
+        system, xc, exxdiv, dm_a, dm_b, w_mat,
+        jnp.asarray(ca[:, :na]), jnp.asarray(cb[:, :nb]), return_energy)
+
+
+def rostress_tensor(system, scf_res, xc=None, exxdiv="ewald",
+                    return_energy=False):
+    """3x3 stress tensor for a converged Gamma ROHF/ROKS state
+    (non-canonical Pulay weight W = sum_s D_s F_s D_s with the
+    converged per-spin Focks — reference pyscf/grad/rohf.py:29)."""
+    cell = system.cell
+    C = np.asarray(scf_res["mo_coeff"])
+    nb = (system.nelec - cell.spin) // 2
+    na = system.nelec - nb
+    dm_a = jnp.asarray(scf_res["dm"][0], dtype=jnp.float64)
+    dm_b = jnp.asarray(scf_res["dm"][1], dtype=jnp.float64)
+    fa, fb = (jnp.asarray(f, dtype=jnp.float64) for f in scf_res["fock"])
+    w_mat = dm_a @ fa @ dm_a + dm_b @ fb @ dm_b
+    return _stress_from_spin_state(
+        system, xc, exxdiv, dm_a, dm_b, w_mat,
+        jnp.asarray(C[:, :na]), jnp.asarray(C[:, :nb]), return_energy)

@@ -149,6 +149,41 @@ def make_uhf_energy_fn(system, xc=None, exxdiv="ewald"):
     return energy
 
 
+def rohf_gradient(system, scf_res, xc=None, exxdiv="ewald",
+                  return_energy=False):
+    """dE_tot/dR (natm, 3) for a converged Gamma ROHF/ROKS state.
+
+    The energy functional is the SAME spin-resolved one UHF uses (the
+    ROHF energy is the UHF expression evaluated at shared spatial
+    orbitals), so only the Pulay weight differs: Roothaan canonical
+    orbitals do not satisfy per-spin eigenvalue relations, and the
+    correct energy-weighted density is the non-canonical
+
+        W = D_a F_a D_a + D_b F_b D_b
+
+    with the converged per-spin Fock matrices (reference
+    pyscf/grad/rohf.py:29 make_rdm1e). FD-validated in tests/test_grad.py.
+    """
+    cell = system.cell
+    C = np.asarray(scf_res["mo_coeff"])
+    nb = (system.nelec - cell.spin) // 2
+    na = system.nelec - nb
+    dm_a = jnp.asarray(scf_res["dm"][0], dtype=jnp.float64)
+    dm_b = jnp.asarray(scf_res["dm"][1], dtype=jnp.float64)
+    fa, fb = (jnp.asarray(f, dtype=jnp.float64) for f in scf_res["fock"])
+    w_mat = dm_a @ fa @ dm_a + dm_b @ fb @ dm_b
+    mo_a = jnp.asarray(C[:, :na])
+    mo_b = jnp.asarray(C[:, :nb])
+
+    e_fn = make_uhf_energy_fn(system, xc=xc, exxdiv=exxdiv)
+    pos0 = jnp.asarray(cell.coords, dtype=jnp.float64)
+    val, grad = jax.value_and_grad(e_fn)(pos0, dm_a, dm_b, w_mat, mo_a, mo_b)
+    e_tot = float(val) + float(jnp.sum(w_mat * jnp.asarray(system.S)))
+    if return_energy:
+        return np.asarray(grad), e_tot
+    return np.asarray(grad)
+
+
 def uhf_gradient(system, scf_res, xc=None, exxdiv="ewald",
                  return_energy=False):
     """dE_tot/dR (natm, 3) for a converged Gamma spin-polarized SCF."""

@@ -188,6 +188,11 @@ def rohf_kernel(
         "mo_energy": mo_e,
         "mo_coeff": mo_c,
         "dm": (dm_a, dm_b),
+        # converged per-spin Fock matrices (NOT the Roothaan effective
+        # Fock): the ROHF nuclear-gradient Pulay weight is the
+        # non-canonical W = sum_s D_s F_s D_s (reference
+        # pyscf/grad/rohf.py:29 make_rdm1e)
+        "fock": (Fa, Fb),
         "converged": conv,
         "niter": it + 1,
     }

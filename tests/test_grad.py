@@ -130,3 +130,35 @@ def test_diamond_forces_vnl_and_symmetry():
     _, rm = _converge(distorted(-h * BOHR), "lda,vwn")
     fd = (rp["e_tot"] - rm["e_tot"]) / (2 * h)
     assert abs(g[0, 0] - fd) < 5e-6
+
+
+def test_rohf_gradient_vs_fd():
+    """ROHF/ROKS forces (H3 radical) vs FD — exercises the
+    non-canonical Pulay weight W = D_a F_a D_a + D_b F_b D_b
+    (reference pyscf/grad/rohf.py make_rdm1e); the Roothaan canonical
+    eigenvalues would give the WRONG Pulay term here."""
+    from pyscf_isdf_tpu.scf.rohf import rohf_kernel
+    from pyscf_isdf_tpu.grad.uhf import rohf_gradient
+
+    def setup(dx, xc):
+        L = 7.0
+        cell = build_cell(np.eye(3) * L,
+                          [["H", (L / 2 - 1.0 + dx, L / 2, L / 2)],
+                           ["H", (L / 2 + 0.4, L / 2 + 0.1, L / 2)],
+                           ["H", (L / 2 + 1.9, L / 2, L / 2)]],
+                          basis="gth-szv", pseudo="gth-pade", mesh=[14] * 3,
+                          spin=1)
+        system = build_scf_system(cell)
+        res = rohf_kernel(system, xc=xc, exxdiv="ewald", conv_tol=1e-13)
+        assert res["converged"]
+        return system, res
+
+    for xc in (None, "lda,vwn"):
+        system, res = setup(0.0, xc)
+        g, e_chk = rohf_gradient(system, res, xc=xc, return_energy=True)
+        assert abs(e_chk - res["e_tot"]) < 1e-9
+        h = 2e-4
+        _, rp = setup(+h, xc)
+        _, rm = setup(-h, xc)
+        fd = (rp["e_tot"] - rm["e_tot"]) / (2 * h)
+        assert abs(g[0, 0] - fd) < 5e-7

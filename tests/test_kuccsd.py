@@ -111,3 +111,46 @@ def test_kuccsd_matches_supercell_uccsd_open_shell():
     us = gccsd.uccsd(ssys, sres, conv_tol=1e-11)
     assert uk["converged"] and us["converged"]
     assert abs(uk["e_corr"] - us["e_corr"] / 2) < 1e-7
+
+
+@pytest.mark.heavy
+def test_kuccsd_t_composite():
+    """Composite KUCCSD(+T): (a) the composite tier reproduces the
+    blocked production KUCCSD energy; (b) (T) at 2x1x1 equals the
+    Gamma-supercell UCCSD(T) per cell (triples ride the same
+    spin-orbital ccsd_t as the Gamma engine). The cell carries THREE
+    electrons (2a + 1b) — a 1- or 2-electron cell has no connected
+    triples and (T) would vanish identically. The three H sit in a
+    CLUSTER with a 3.5-Bohr inter-image gap: an equally-spaced
+    (metallic) chain lets the supercell UHF break translation symmetry
+    (measured dE_HF = 4.7e-4 vs KUHF), invalidating the k-vs-supercell
+    comparison; the gapped cluster keeps both SCFs in the same
+    translation-symmetric state."""
+    from pyscf_isdf_tpu.cc.kccsd import kuccsd
+
+    L = 6.0
+    cell = build_cell(np.array([[6.5, 0, 0], [0, L, 0], [0, 0, L]]),
+                      [["H", (0.0, L / 2, L / 2)],
+                       ["H", (1.5, L / 2, L / 2)],
+                       ["H", (3.0, L / 2, L / 2)]],
+                      basis="gth-szv", pseudo="gth-pade",
+                      mesh=[18, 16, 16], spin=1)
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1])
+    ksys = build_kscf_system(cell, kpts)
+    ures = kuhf_kernel(ksys, xc=None, exxdiv="ewald", conv_tol=1e-12)
+    assert ures["converged"]
+
+    uk_c = kuccsd(ksys, ures, with_t=True, conv_tol=1e-11)
+    uk_b = kuccsd_blocked(ksys, ures, conv_tol=1e-11)
+    assert uk_c["converged"]
+    assert abs(uk_c["e_corr"] - uk_b["e_corr"]) < 1e-9
+
+    sc = super_cell(cell, (2, 1, 1))
+    ssys = build_scf_system(sc)
+    sres = uhf_kernel(ssys, xc=None, exxdiv="ewald", conv_tol=1e-12)
+    assert sres["converged"]
+    us = gccsd.uccsd(ssys, sres, with_t=True, conv_tol=1e-11)
+    assert abs(uk_c["e_corr"] - us["e_corr"] / 2) < 1e-7
+    assert abs(uk_c["e_t"] - us["e_t"] / 2) < 1e-8
+    # triples are small but nonzero on this 3-electron cell
+    assert abs(uk_c["e_t"]) > 1e-8

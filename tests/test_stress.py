@@ -69,3 +69,45 @@ def test_variable_cell_relaxation_descends():
     ss = [t[2] for t in info["traj"]]
     assert all(e2 < e1 for e1, e2 in zip(es, es[1:]))
     assert all(s2 < s1 for s1, s2 in zip(ss, ss[1:]))
+
+
+def _h3(eps, xc, kernel):
+    """Spin-polarized H3 radical in a strained box."""
+    F = np.eye(3) + eps
+    L = 7.0
+    P = np.array([[L / 2 - 1.0, L / 2, L / 2],
+                  [L / 2 + 0.4, L / 2 + 0.1, L / 2],
+                  [L / 2 + 1.9, L / 2, L / 2]])
+    cell = build_cell((np.eye(3) * L) @ F.T,
+                      [["H", tuple(p @ F.T)] for p in P],
+                      basis="gth-szv", pseudo="gth-pade", mesh=[14] * 3,
+                      unit="Bohr", spin=1)
+    system = build_scf_system(cell)
+    res = kernel(system, xc=xc, exxdiv="ewald", conv_tol=1e-13)
+    assert res["converged"]
+    return system, res
+
+
+@pytest.mark.parametrize("which", ["uks", "rohf"])
+def test_open_shell_stress_vs_fd(which):
+    """UKS-LDA and ROHF stress (spin-resolved strain functional;
+    ROHF exercises the non-canonical Pulay weight D_s F_s D_s)."""
+    from pyscf_isdf_tpu.scf.uhf import uhf_kernel
+    from pyscf_isdf_tpu.scf.rohf import rohf_kernel
+    from pyscf_isdf_tpu.grad.stress import rostress_tensor, ustress_tensor
+
+    xc = "lda,vwn" if which == "uks" else None
+    kernel = uhf_kernel if which == "uks" else rohf_kernel
+    tensor = ustress_tensor if which == "uks" else rostress_tensor
+
+    system, res = _h3(np.zeros((3, 3)), xc, kernel)
+    sig, e_chk, g = tensor(system, res, xc=xc, return_energy=True)
+    assert abs(e_chk - res["e_tot"]) < 1e-9
+    assert np.allclose(sig, sig.T)
+    h = 1e-4
+    for M in (np.diag([1.0, 0, 0]),
+              np.array([[0, .5, 0], [.5, 0, 0], [0, 0, 0]])):
+        _, rp = _h3(+h * M, xc, kernel)
+        _, rm = _h3(-h * M, xc, kernel)
+        fd = (rp["e_tot"] - rm["e_tot"]) / (2 * h)
+        assert abs(np.sum(g * M) - fd) < 1e-6

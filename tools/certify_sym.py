@@ -47,6 +47,7 @@ def main():
     ap.add_argument("--pm", type=int, default=16,
                     help="primitive-cell mesh per axis")
     ap.add_argument("--c", default="12,16,20,24")
+    ap.add_argument("--basis", default="gth-szv")
     ap.add_argument("--save", type=float, default=None,
                     help="save the factorization at this c for bench.py")
     ap.add_argument("--out", default=None)
@@ -61,8 +62,8 @@ def main():
     from pyscf_isdf_tpu.df import isdf_sym
 
     pm = (args.pm,) * 3
-    prim = diamond_primitive(mesh=pm)
-    sc = diamond_supercell(nrep=nrep,
+    prim = diamond_primitive(mesh=pm, basis=args.basis)
+    sc = diamond_supercell(nrep=nrep, basis=args.basis,
                            mesh=tuple(n * m for n, m in zip(nrep, pm)))
     kpts = lattice.make_kpts(prim.a, list(nrep), with_gamma_point=True)
     nk = len(kpts)
@@ -97,9 +98,11 @@ def main():
               f"|dE| = {de:.3e} Ha  [{time.time()-t0:.0f} s]", flush=True)
         rows.append((c, nip * nk, de))
         if args.save is not None and abs(c - args.save) < 1e-9:
+            btag = "" if args.basis == "gth-szv" else \
+                "_" + args.basis.replace("gth-", "")
             out = args.out or os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
-                f"symfac_{''.join(map(str, nrep))}.npz")
+                f"symfac_{''.join(map(str, nrep))}{btag}.npz")
             np.savez_compressed(
                 out,
                 q_list=sym.q_list, kpts=sym.kpts,
