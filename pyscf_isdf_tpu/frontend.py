@@ -333,12 +333,16 @@ def GW(mf, nw: int = 100, orbs=None, linearized: bool = False,
                                    ugw_ac_gamma)
 
     if method == "cd":
+        if isinstance(mf, (UHF, UKS, KUHF, KUKS)):
+            raise NotImplementedError(
+                "GW-CD is spin-restricted for now; use method='ac' "
+                "for spin-polarized references")
+        if isinstance(mf, _KMeanField):
+            from pyscf_isdf_tpu.gw.gw_cd import kgw_cd
+
+            return kgw_cd(mf.system, mf._res, xc=mf.xc, nw=nw, orbs=orbs)
         from pyscf_isdf_tpu.gw.gw_cd import gw_cd_gamma
 
-        if isinstance(mf, (_KMeanField, UHF, UKS)):
-            raise NotImplementedError(
-                "GW-CD is Gamma-restricted for now; use method='ac' "
-                "for k-point/spin references")
         return gw_cd_gamma(mf.system, mf._res, xc=mf.xc, nw=nw,
                            orbs=orbs)
     if method != "ac":

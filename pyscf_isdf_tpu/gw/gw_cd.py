@@ -145,3 +145,152 @@ def gw_cd_gamma(system, res, xc: Optional[str] = None, nw: int = 100,
         conv = conv and ok
     return GWResult(qp_energy=qp, mo_energy=mo_energy, sigma_x=vx_mo,
                     v_mf=v_mf_mo, converged=conv, orbs=orbs, nocc=nocc)
+
+
+# ------------------------------------------------------------- k-point CD
+@partial(jax.jit, static_argnames=("nk",))
+def _w_kl_z(L_stack, Lw, e_i, e_a, z2, nk):
+    """W_mn(z_j) for ONE momentum transfer kL and ONE self-energy
+    k-point kn, at a batch of complex squared frequencies z2.
+
+    Pi(z) = (4/nk) sum_{k,ia} L_Pia e_ia/(e_ia^2 - z^2) conj(L_Qia)
+    (z = iw' reduces to krgw._pi_kl's imaginary-axis kernel) and
+    W_mn = (1/nk) sum_PQ conj(Lw_Pmn) [(1-Pi)^-1 - 1]_PQ Lw_Qmn with
+    Lw = Lmo[km][kn], m at km = kn + kL (reference krgw_cd.py contract,
+    Zhu & Chan JCTC 17, 727 (2021))."""
+    naux = L_stack.shape[1]
+    Lov = L_stack.reshape(nk, naux, -1)
+    eia = (e_i[:, :, None] - e_a[:, None, :]).reshape(nk, -1)   # < 0
+    f = eia[None] / (eia[None] ** 2 - z2[:, None, None])        # (nz,nk,nov)
+    Lc = Lov.astype(f.dtype)
+    Pi = (4.0 / nk) * jnp.einsum("kPx,wkx,kQx->wPQ", Lc, f, Lc.conj())
+    eye = jnp.eye(naux, dtype=Pi.dtype)
+    eps_m1 = jnp.linalg.solve(eye[None] - Pi,
+                              jnp.broadcast_to(eye, Pi.shape)) - eye[None]
+    Lwc = Lw.astype(Pi.dtype)
+    return (1.0 / nk) * jnp.einsum("Pmq,wPQ,Qmq->wmq",
+                                   Lwc.conj(), eps_m1, Lwc)
+
+
+def kgw_cd(system, res, xc: Optional[str] = None, nw: int = 100,
+           orbs=None, kptlist=None, eta: float = 5e-3, Lmo=None,
+           max_iter: int = 50, conv_tol: float = 1e-6):
+    """Contour-deformation G0W0 on a converged k-point SCF result —
+    the production deep-core QP path for solids (reference
+    pyscf/pbc/gw/krgw_cd.py).  Same inputs as krgw.kgw_ac; Sigma_c is
+    evaluated at REAL frequency per (k, orbital):
+
+        Sigma_c(n,kn; w) = sum_kL [ I_kL(n, w) + R_kL(n, w) ]
+
+    with the imaginary-axis integral I reusing the SAME batched
+    per-transfer screened interaction as kgw_ac, and the residue term R
+    solving W at one real frequency per mean-field pole crossed between
+    w and the Fermi level (m runs over bands at km = kn + kL).  No q->0
+    head/wing correction here — deep-core sigma is dominated by
+    short-range screening; use kgw_ac(fc=True) for frontier states.
+    """
+    from pyscf_isdf_tpu.gw.krgw import (KGWResult, _k_index_table,
+                                        _mf_potentials_kpts,
+                                        build_lmo_kpts, _pi_kl)
+
+    mo_energy = np.asarray(res["mo_energy"], np.float64)
+    nk, nmo = mo_energy.shape
+    if system.nelec_tot % (2 * nk):
+        raise ValueError("k-GW needs a uniform integer band filling")
+    nocc = system.nelec_tot // (2 * nk)
+    if orbs is None:
+        orbs = np.arange(nmo)
+    if kptlist is None:
+        kptlist = list(range(nk))
+    orbs = np.asarray(orbs)
+
+    homo = mo_energy[:, nocc - 1].max()
+    lumo = mo_energy[:, nocc].min()
+    if lumo - homo < 1e-3:
+        raise ValueError("GW-CD does not support metallic references")
+    ef = 0.5 * (homo + lumo)
+
+    if Lmo is None:
+        Lmo = build_lmo_kpts(system, res["mo_coeff"])
+
+    freqs, wts = scaled_legendre(nw)
+    fj = jnp.asarray(freqs)
+    ktab = _k_index_table(system.kpts, system.cell.a)
+
+    # per-transfer statics + the shared imaginary-axis W(iw') for the
+    # requested orbital columns: Wiw[kL][w, j, m, o]
+    nj, no = len(kptlist), len(orbs)
+    Wiw = np.zeros((nk, nw, nj, nmo, no))
+    kl_data = []
+    for kL in range(nk):
+        kidx = ktab[:, kL]
+        L_stack = jnp.stack([Lmo[i][kidx[i]][:, :nocc, nocc:]
+                             for i in range(nk)])
+        km_of = np.array([int(np.nonzero(kidx == kn)[0][0])
+                          for kn in kptlist])
+        Lw_js = [Lmo[km_of[j]][kptlist[j]][:, :, orbs] for j in range(nj)]
+        e_i = jnp.asarray(mo_energy[:, :nocc])
+        e_a = jnp.asarray(mo_energy[kidx, nocc:])
+
+        Pi = _pi_kl(L_stack, e_i, e_a, fj, nk)
+        naux = Pi.shape[1]
+        eye = jnp.eye(naux, dtype=Pi.dtype)
+        eps_m1 = jnp.linalg.solve(
+            eye[None] - Pi, jnp.broadcast_to(eye, Pi.shape)) - eye[None]
+        for j in range(nj):
+            Lw = Lw_js[j].astype(eps_m1.dtype)
+            Wiw[kL, :, j] = np.asarray(jnp.einsum(
+                "Pmq,wPQ,Qmq->wmq", Lw.conj(), eps_m1,
+                Lw).real) / nk          # same 1/nk as _w_kl_z / AC
+        kl_data.append((L_stack, Lw_js, e_i, e_a, km_of))
+
+    def sigma_cd(j, io, omega):
+        """Sigma_c(orbs[io], kptlist[j]; omega), host f64 assembly."""
+        val = 0.0 + 0.0j
+        for kL in range(nk):
+            L_stack, Lw_js, e_i, e_a, km_of = kl_data[kL]
+            e_m = mo_energy[km_of[j]]
+            dm_ = omega - e_m                                  # (nmo,)
+            kern = dm_[None, :] / (dm_[None, :] ** 2
+                                   + (freqs ** 2)[:, None] + eta ** 2)
+            val += -np.einsum("w,wm,wm->", wts, Wiw[kL, :, j, :, io],
+                              kern) / np.pi
+            if omega >= ef:
+                sel = np.nonzero((e_m > ef) & (e_m < omega))[0]
+                sign = 1.0
+            else:
+                sel = np.nonzero((e_m < ef) & (e_m > omega))[0]
+                sign = -1.0
+            if sel.size:
+                z = np.abs(omega - e_m[sel]) + 1j * eta
+                Wr = np.asarray(_w_kl_z(L_stack, Lw_js[j][:, sel, :],
+                                        e_i, e_a, jnp.asarray(z * z), nk))
+                val += sign * Wr[:, :, io].diagonal().sum()
+        return val
+
+    vx_mo, v_mf_mo = _mf_potentials_kpts(system, res, xc)
+
+    qp = mo_energy.copy()
+    conv = True
+    de_num = 1e-4
+    for j, kn in enumerate(kptlist):
+        for io, p in enumerate(orbs):
+            w = mo_energy[kn, p]
+            ok = False
+            for _ in range(max_iter):
+                s0 = sigma_cd(j, io, w).real
+                f0 = w - mo_energy[kn, p] - (s0 + vx_mo[kn, p]
+                                             - v_mf_mo[kn, p])
+                if abs(f0) < conv_tol:
+                    ok = True
+                    break
+                s1 = sigma_cd(j, io, w + de_num).real
+                dsdw = (s1 - s0) / de_num
+                denom = 1.0 - dsdw
+                if abs(denom) < 1e-3:
+                    denom = np.sign(denom) * 1e-3 if denom != 0 else 1e-3
+                w = w - f0 / denom
+            qp[kn, p] = w
+            conv = conv and ok
+    return KGWResult(qp_energy=qp, mo_energy=mo_energy, sigma_x=vx_mo,
+                     v_mf=v_mf_mo, converged=conv, nocc=nocc)

@@ -1,1 +1,3 @@
-from pyscf_isdf_tpu.tdscf.rks import tda_kernel, tddft_kernel  # noqa: F401
+from pyscf_isdf_tpu.tdscf.rks import (  # noqa: F401
+    tda_kernel, tddft_kernel, tda_oscillator_strengths,
+    tda_oscillator_strengths_velocity)

@@ -200,6 +200,46 @@ def tda_oscillator_strengths(system, scf_res, e, v):
     return f, mu
 
 
+def tda_oscillator_strengths_velocity(system, scf_res, e, v):
+    """VELOCITY-gauge transition moments and oscillator strengths for
+    TDA states — the gauge that is well-defined for PERIODIC cells
+    (the momentum operator -i grad is lattice-periodic, unlike r; the
+    reference tdscf carries only the molecular length gauge, so the
+    periodic route exceeds it).
+
+    P_n = sqrt(2) sum_ia X_ia <i| -i grad |a>,
+    f_n = 2 / (3 E_n) |P_n|^2.
+
+    For exact eigenstates the two gauges coincide; in a finite AO basis
+    they differ by basis incompleteness (tests pin both the gauge
+    agreement on a converged molecular case and the translation
+    invariance the length gauge lacks).
+
+    Returns (f (nstates,), P (nstates, 3) with the -i factored out:
+    the stored P is real and the physical moment is -i P).
+    """
+    from pyscf_isdf_tpu.ops.ao_eval import ao_gradient_fft
+
+    mo_c = np.asarray(scf_res["mo_coeff"])
+    nocc = system.nelec // 2
+    no, nv = nocc, mo_c.shape[1] - nocc
+    aoR = jnp.asarray(system.aoR, dtype=jnp.float64)
+    Gv = jnp.asarray(system.cell.get_Gv(system.mesh), jnp.float64)
+    ao_grad = ao_gradient_fft(aoR, tuple(system.mesh), Gv)  # (3, ng, nao)
+    Co, Cv = mo_c[:, :no], mo_c[:, no:]
+    p_mo = np.stack([
+        Co.T @ np.asarray(system.weight
+                          * (aoR.T @ ao_grad[x])) @ Cv
+        for x in range(3)])                      # (3, no, nv), real
+    P = np.stack([
+        np.sqrt(2.0) * np.einsum(
+            "ia,xia->x", np.asarray(v[:, n]).reshape(no, nv), p_mo)
+        for n in range(len(e))])
+    f = 2.0 / 3.0 / np.maximum(np.asarray(e), 1e-12) * np.sum(P * P,
+                                                              axis=1)
+    return f, P
+
+
 def tddft_kernel(system, scf_res, xc=None, nstates=5, singlet=True):
     """Full linear-response (Casida) excitation energies (Hartree)."""
     A, B = _build_matrices(system, scf_res, xc=xc, singlet=singlet)

@@ -318,3 +318,53 @@ def test_frontend_gw_cd():
     assert out_cd.converged
     # AC and CD agree for frontier states (both production paths)
     assert np.abs(out_cd.qp_energy[:5] - out_ac.qp_energy[:5]).max() < 1e-3
+
+
+def test_kgw_cd_gamma_limit(lda12):
+    """1x1x1 k-mesh GW-CD == Gamma GW-CD (complex per-q machinery vs
+    the real Gamma path), including a DEEP-CORE orbital — the regime CD
+    exists for."""
+    from pyscf_isdf_tpu.gw import gw_cd
+
+    cell, sys_g, res_g, Lmo = lda12
+    out_g = gw_cd.gw_cd_gamma(sys_g, res_g, xc="lda,vwn", Lmo=Lmo)
+    sys_k = build_kscf_system(cell, np.zeros((1, 3)))
+    res_k = kscf_kernel(sys_k, xc="lda,vwn")
+    out_k = gw_cd.kgw_cd(sys_k, res_k, xc="lda,vwn")
+    assert out_k.converged
+    assert np.abs(out_g.qp_energy - out_k.qp_energy[0]).max() < 1e-6
+
+
+@pytest.mark.heavy
+def test_kgw_cd_supercell_and_ac_consistency():
+    """2x1x1 KGW-CD: (a) the deepest core QP level matches the Gamma
+    supercell GW-CD (band-edge representation shared by both), and
+    (b) frontier states agree with KGW-AC (both production paths, same
+    W — only the frequency treatment differs)."""
+    from pyscf_isdf_tpu.gw import gw_cd
+
+    mesh = (12, 12, 12)
+    cell = diamond_primitive(mesh=mesh)
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1])
+    sys_k = build_kscf_system(cell, kpts)
+    res_k = kscf_kernel(sys_k, xc="lda,vwn")
+    nmo = np.asarray(res_k["mo_energy"]).shape[1]
+    nocc = sys_k.nelec_tot // (2 * len(kpts))
+    out_cd = gw_cd.kgw_cd(sys_k, res_k, xc="lda,vwn",
+                          orbs=[0, nocc - 1, nocc])
+    out_ac = krgw.kgw_ac(sys_k, res_k, xc="lda,vwn")
+    assert out_cd.converged
+    # (b) frontier consistency CD vs AC at every k-point
+    for p in (nocc - 1, nocc):
+        assert np.abs(out_cd.qp_energy[:, p]
+                      - out_ac.qp_energy[:, p]).max() < 1e-3
+
+    # (a) deep-core supercell parity
+    sc = diamond_supercell(nrep=(2, 1, 1), mesh=(24, 12, 12))
+    sys_s = build_scf_system(sc)
+    res_s = scf_kernel(sys_s, xc="lda,vwn")
+    from pyscf_isdf_tpu.gw.gw_cd import gw_cd_gamma
+    out_s = gw_cd_gamma(sys_s, res_s, xc="lda,vwn", orbs=[0, 1])
+    core_k = out_cd.qp_energy[:, 0].min()
+    core_s = out_s.qp_energy[0]
+    assert abs(core_k - core_s) < 2e-3
