@@ -24,6 +24,7 @@ __version__ = "0.1.0"
 from pyscf_isdf_tpu.cell import Cell, build_cell  # noqa: F401
 from pyscf_isdf_tpu.frontend import (  # noqa: F401
     RHF, RKS, UHF, UKS, ROHF, KRHF, KRKS, KUHF, KUKS, KROHF, KGHF, KRKSpU,
-    MP2, KMP2, KMP2_stagger, CCSD, KCCSD, EOMCCSD, Gradients, Stress, TDA, TDDFT,
+    MP2, KMP2, KMP2_stagger, CCSD, KCCSD, EOMCCSD, KEOMCCSD, Gradients,
+    Stress, TDA, TDDFT,
     GW, RPA,
 )

@@ -491,6 +491,41 @@ def EOMCCSD(mf: _MeanField, sector: str = "ee", nroots: int = 6,
                         nroots=nroots)
 
 
+def KEOMCCSD(mf: _KMeanField, sector: str = "ee", nroots: int = 4,
+             conv_tol: float = 1e-10, target=None):
+    """Production-cost EOM-KCCSD on a converged k-point mean field
+    (reference pbc/cc/eom_kccsd_rhf.py EOMIP/EOMEA/EOMEE classes).
+
+    Solves the supercell problem on the composite momentum-blocked
+    spin-orbital integrals (cc/kccsd.py): EE through the CCSD-residual
+    Jacobian jvp, IP/EA through its continuum-orbital subblock
+    (cc/eom.py) — polynomial cost, no determinant space. Returned
+    values are intensive energy DIFFERENCES (excitation energies /
+    E(N∓1)-E(N)), so the supercell-vs-per-cell normalization drops
+    out. ``target`` enables shift-invert targeting of interior roots
+    (ip/ea sectors). Run the mean field with exxdiv=None so amplitude
+    and sigma Hamiltonians share one partition.
+    """
+    from pyscf_isdf_tpu.cc.kccsd import build_composite_eris, kccsd
+    from pyscf_isdf_tpu.cc.eom import (eom_ee_energies,
+                                       eom_ip_ea_energies)
+
+    out = kccsd(mf.system, mf._res, conv_tol=conv_tol)
+    if not out["converged"]:
+        raise RuntimeError("KCCSD did not converge")
+    f_so, eri_so, no_so = build_composite_eris(mf.system, mf._res)
+    t1 = np.asarray(out["t1"])
+    t2 = np.asarray(out["t2"])
+    if sector == "ee":
+        return eom_ee_energies(f_so, eri_so, t1, t2, no_so,
+                               nroots=nroots)
+    if sector not in ("ip", "ea"):
+        raise ValueError(f"sector {sector!r}: one of 'ee'|'ip'|'ea'")
+    return eom_ip_ea_energies(f_so, eri_so, t1, t2, no_so,
+                              sector=sector, nroots=nroots,
+                              target=target)
+
+
 def KMP2_stagger(mf: _KMeanField, flag_submesh: bool = False):
     """Staggered-mesh k-point MP2 (reference pyscf/pbc/mp/kmp2_stagger.py)
     on a converged KRHF object; returns (e_corr, e_tot)."""

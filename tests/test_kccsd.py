@@ -130,3 +130,99 @@ def test_jacobian_eom_kccsd(h2_chain):
     w_s = eom_ee_energies(f_so_s, eri_so_s, sout["t1"], sout["t2"],
                           ssys.nelec, nroots=4)
     assert np.abs(w_k[:3] - w_s[:3]).max() < 5e-6
+
+
+def test_kccsd_ip_ea_matches_determinant_oracle(h2_chain):
+    """Production-cost EOM-IP/EA-KCCSD: the continuum-orbital jvp
+    subblock (cc/eom.py eom_ip_ea_energies) applied UNCHANGED to the
+    composite momentum-blocked integrals equals the determinant-space
+    Hbar oracle on the same integrals, in both sectors, with genuinely
+    complex Bloch ERIs (2x1x1 mesh).  Reference analog:
+    pyscf/pbc/cc/eom_kccsd_rhf.py IP/EA classes — here at the SAME
+    polynomial cost but through the one tested EE sigma."""
+    from pyscf_isdf_tpu.cc.kccsd import (build_composite_eris,
+                                         composite_h1so, kccsd)
+    from pyscf_isdf_tpu.cc.eom import eom_ccsd, eom_ip_ea_energies
+
+    cell = h2_chain
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1])
+    ksys = build_kscf_system(cell, kpts)
+    kres = kscf_kernel(ksys, xc=None, exxdiv=None, conv_tol=1e-12)
+    kout = kccsd(ksys, kres, conv_tol=1e-11)
+    f_so, eri_so, no_so = build_composite_eris(ksys, kres)
+    h1so = composite_h1so(ksys, kres)
+    assert np.abs(eri_so.imag).max() > 1e-4   # the guard is not vacuous
+    t1, t2 = np.asarray(kout["t1"]), np.asarray(kout["t2"])
+
+    # consistent Fock f = h1 + sum_i <pi||qi> (diag(mo_e) differs at
+    # the grid-aliasing level, and the oracle Hbar is built from h1so)
+    f_c = h1so + np.einsum("piqi->pq", eri_so[:, :no_so, :, :no_so])
+    # the Jacobian path's implicit reference is the CCSD energy
+    # FUNCTIONAL <0|Hbar|0> (NOT the lowest determinant-space EE root,
+    # which is FCI — they differ by E_FCI - E_CCSD ~ 7e-7 here)
+    o, vs = slice(None, no_so), slice(no_so, None)
+    tau = t2 + np.einsum("ia,jb->ijab", t1, t1) \
+        - np.einsum("ib,ja->ijab", t1, t1)
+    e_gs = np.real(
+        np.einsum("ii->", h1so[o, o])
+        + 0.5 * np.einsum("ijij->", eri_so[o, o, o, o])
+        + np.einsum("ia,ia->", f_c[o, vs], t1)
+        + 0.25 * np.einsum("ijab,ijab->", eri_so[o, o, vs, vs], tau))
+    for sector in ("ip", "ea"):
+        w_oracle = np.sort(np.real(eom_ccsd(
+            h1so, eri_so, t1, t2, no_so, sector=sector,
+            nroots=6))) - e_gs
+        w_prod = eom_ip_ea_energies(f_c, eri_so, t1, t2, no_so,
+                                    sector=sector, nroots=4)
+        # residual bar: FCI in the (N∓1) space vs the truncated
+        # 1h+2h1p / 1p+2p1h EOM block — measured ~1e-8 (ip) and
+        # ~6e-7 (ea; the 3p2h corrections the EA block misses are
+        # larger) for this weakly correlated 4-electron chain
+        bar = 1e-7 if sector == "ip" else 1e-6
+        assert np.abs(w_prod - w_oracle[:4]).max() < bar, sector
+
+
+@pytest.mark.heavy
+def test_kccsd_ip_ea_diamond_supercell_parity():
+    """Diamond 2x1x1 IP/EA at polynomial cost (the determinant oracle
+    is exponential there): the composite k-point production path equals
+    the Gamma-supercell production path — every complex-Hermitian
+    orientation and the momentum blocking of the IP/EA subspace."""
+    from pyscf_isdf_tpu.models import diamond_primitive, diamond_supercell
+    from pyscf_isdf_tpu.cc.kccsd import build_composite_eris, kccsd
+    from pyscf_isdf_tpu.cc import ccsd as ccsd_gamma
+    from pyscf_isdf_tpu.cc.eom import eom_ip_ea_energies
+    from pyscf_isdf_tpu.cc.gccsd import spinorb_from_spatial
+    from pyscf_isdf_tpu.df import fft_ao2mo
+    import jax.numpy as jnp
+
+    cell = diamond_primitive(mesh=(12, 12, 12))
+    kpts = lattice.make_kpts(cell.a, [2, 1, 1])
+    ksys = build_kscf_system(cell, kpts)
+    kres = kscf_kernel(ksys, xc=None, exxdiv="ewald", conv_tol=1e-11)
+    kout = kccsd(ksys, kres, conv_tol=1e-10)
+    f_so, eri_so, no_so = build_composite_eris(ksys, kres)
+    t1, t2 = np.asarray(kout["t1"]), np.asarray(kout["t2"])
+
+    sc = diamond_supercell(nrep=(2, 1, 1), mesh=(24, 12, 12))
+    ssys = build_scf_system(sc)
+    sres = scf_kernel(ssys, xc=None, exxdiv="ewald", conv_tol=1e-11)
+    sout = ccsd_gamma(ssys, sres, conv_tol=1e-10)
+    mo_c = np.asarray(sres["mo_coeff"])
+    nmo = mo_c.shape[1]
+    moR = ssys.aoR @ jnp.asarray(mo_c)
+    eri_mo = np.asarray(fft_ao2mo.general(
+        moR, moR, moR, moR, jnp.asarray(ssys.coulG), ssys.mesh,
+        ssys.weight)).reshape(nmo, nmo, nmo, nmo)
+    _, eri_so_s = spinorb_from_spatial(
+        np.diag(np.asarray(sres["mo_energy"])), eri_mo)
+    f_so_s = np.diag(np.repeat(np.asarray(sres["mo_energy"]), 2))
+
+    for sector in ("ip", "ea"):
+        w_k = eom_ip_ea_energies(f_so, eri_so, t1, t2, no_so,
+                                 sector=sector, nroots=2)
+        w_s = eom_ip_ea_energies(f_so_s, eri_so_s,
+                                 np.asarray(sout["t1"]),
+                                 np.asarray(sout["t2"]),
+                                 ssys.nelec, sector=sector, nroots=2)
+        assert np.abs(w_k[:2] - w_s[:2]).max() < 5e-5, sector
