@@ -187,9 +187,15 @@ def _xi_wq(U, ip_idx, coulG_q, mesh, weight, fft_chunk: int = 64,
 
     xi = jax.lax.map(xi_cols, U_p.reshape(-1, solve_chunk, U.shape[1]))
     xi = jnp.moveaxis(xi, 0, 1).reshape(nip, -1)[:, :ng]     # (nip, ng)
+    return _wq_from_xi(xi.astype(U.dtype), coulG_q, mesh, weight,
+                       fft_chunk), xi
 
-    cdtype = U.dtype
-    xi_c = xi.astype(cdtype)
+
+@partial(jax.jit, static_argnames=("mesh", "fft_chunk"))
+def _wq_from_xi(xi_c, coulG_q, mesh, weight, fft_chunk: int = 64):
+    """Per-q W kernels from (complex-cast) interpolation vectors,
+    accumulating W columns per fft_chunk (no grid-sized V xi tensor)."""
+    nip, ng = xi_c.shape
     npad = (-nip) % fft_chunk
     xi_p = jnp.pad(xi_c, ((0, npad), (0, 0)))
     blocks = xi_p.reshape(-1, fft_chunk, ng)
@@ -203,14 +209,70 @@ def _xi_wq(U, ip_idx, coulG_q, mesh, weight, fft_chunk: int = 64,
         Wq = weight * jnp.moveaxis(Wcols, 0, 1).reshape(nip, -1)[:, :nip]
         return 0.5 * (Wq + Wq.conj().T)
 
-    Wq_all = jax.lax.map(wq_for, coulG_q)                   # (nq, nip, nip)
-    return Wq_all, xi
+    return jax.lax.map(wq_for, coulG_q)                      # (nq, nip, nip)
+
+
+@partial(jax.jit, static_argnames=("solve_chunk",))
+def _xi_dd(U, ip_idx, solve_chunk: int = 4096):
+    """Shared-xi interpolation solve in on-device DOUBLE-FLOAT.
+
+    The k-stacked pair Gram C1 = |Ug Ug^H|^2 is REAL symmetric PSD, so
+    the Gamma dd machinery applies directly (unlike the q-resolved
+    build's complex embedding): the complex Gram R1 = Ug Ug^H exactly
+    in complex dd over the short nk*nao axis (dd.gram_cdd), its
+    squared magnitude |R1|^2 in dd, the dd Cholesky + triangular
+    inverse with the Gamma build's 1e-10 * tr shift, and the grid-
+    sided C2 panels from f32-HIGHEST pair Grams whose magnitude
+    squares are EXACT two_prods. Returns xi (nip, ng) f32.
+    """
+    from pyscf_isdf_tpu.ops import dd
+
+    f32 = jnp.float32
+    ng = U.shape[0]
+    Ug = U[ip_idx]
+    Ugr = jnp.real(Ug).astype(f32)                        # (nip, K)
+    Ugi = jnp.imag(Ug).astype(f32)
+    nip = Ugr.shape[0]
+
+    R1rh, R1rl, R1ih, R1il = dd.gram_cdd(Ugr, Ugi)
+    C1h, C1l = dd.add(*dd.square_dd(R1rh, R1rl),
+                      *dd.square_dd(R1ih, R1il))
+    tr = jnp.sum(jnp.diagonal(C1h))
+    eps = jnp.asarray(1e-10, f32) * tr
+    C1h, C1l = dd.add_f(C1h, C1l, eps * jnp.eye(nip, dtype=f32))
+    Lh, Ll = dd.cholesky_dd(C1h, C1l)
+    Mh, Ml = dd.tril_inverse_dd(Lh, Ll)
+    MhT, MlT = Mh.T, Ml.T
+
+    Ur = jnp.real(U).astype(f32)
+    Ui = jnp.imag(U).astype(f32)
+    npad_g = (-ng) % solve_chunk
+    Ur_p = jnp.pad(Ur, ((0, npad_g), (0, 0)))
+    Ui_p = jnp.pad(Ui, ((0, npad_g), (0, 0)))
+    hi = jax.lax.Precision.HIGHEST
+
+    def xi_cols(parts):                                   # (sc, K) x2
+        ur, ui = parts
+        R2r = jnp.dot(ur, Ugr.T, precision=hi) \
+            + jnp.dot(ui, Ugi.T, precision=hi)
+        R2i = jnp.dot(ui, Ugr.T, precision=hi) \
+            - jnp.dot(ur, Ugi.T, precision=hi)
+        C2h, C2l = dd.add(*dd.two_prod(R2r, R2r),
+                          *dd.two_prod(R2i, R2i))         # (sc, nip)
+        Yh, Yl = dd.matmul_dd_dd(Mh, Ml, C2h.T, C2l.T)
+        Xh, Xl = dd.matmul_dd_dd(MhT, MlT, Yh, Yl)
+        return dd.to_f32(Xh, Xl)                          # (nip, sc)
+
+    K = U.shape[1]
+    xi = jax.lax.map(xi_cols, (Ur_p.reshape(-1, solve_chunk, K),
+                               Ui_p.reshape(-1, solve_chunk, K)))
+    return jnp.moveaxis(xi, 0, 1).reshape(nip, -1)[:, :ng]
 
 
 def build_isdf_k(cell, aoR_k, kpts, n_ip=None, c: float = 8.0,
                  dtype=None, keep_xi: bool = False, exxdiv=None,
                  omega: float = 0.0, method: str = "auto",
-                 blk: int = 64) -> ISDFK:
+                 blk: int = 64, precision: str | None = None) -> ISDFK:
     """Build the k-point ISDF factorization.
 
     Args:
@@ -228,7 +290,12 @@ def build_isdf_k(cell, aoR_k, kpts, n_ip=None, c: float = 8.0,
         method: 'cholesky' (strict greedy), 'cholesky-blocked' (panel
             pivoting, sequential depth n_ip/blk), or 'auto' (blocked once
             n_ip >= 512, where the greedy loop is latency-bound).
+        precision: None (native dtype) or 'dd' — solve the shared
+            interpolation vectors in on-device double-float
+            (:func:`_xi_dd`; f64-grade conditioning on an f32-only TPU).
     """
+    if precision not in (None, "dd"):
+        raise ValueError(f"unknown build precision {precision!r}")
     kpts = np.reshape(np.asarray(kpts), (-1, 3))
     nk, ng, nao = aoR_k.shape
     if n_ip is None:
@@ -260,8 +327,14 @@ def build_isdf_k(cell, aoR_k, kpts, n_ip=None, c: float = 8.0,
         for q in q_list
     ])
     rdtype = jnp.float64 if aoR_k.dtype == jnp.complex128 else jnp.float32
-    Wq, xi = _xi_wq(U, ip_idx, jnp.asarray(coulG_q, rdtype), tuple(cell.mesh),
-                    cell.grid_weight)
+    if precision == "dd":
+        xi = _xi_dd(U, ip_idx).astype(rdtype)
+        Wq = _wq_from_xi(xi.astype(U.dtype),
+                         jnp.asarray(coulG_q, rdtype), tuple(cell.mesh),
+                         cell.grid_weight)
+    else:
+        Wq, xi = _xi_wq(U, ip_idx, jnp.asarray(coulG_q, rdtype),
+                        tuple(cell.mesh), cell.grid_weight)
     Ug = U3[:, ip_idx, :]                                    # (nk, nip, nao)
     return ISDFK(Ug=Ug, Wq=Wq, qmap=qmap, ip_idx=ip_idx,
                  xi=(xi if keep_xi else None))

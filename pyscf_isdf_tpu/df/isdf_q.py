@@ -148,8 +148,13 @@ def _build_q(A_k, Ag, ksub_q, coulG_q, phase_q, mesh, weight,
     cho = jax.scipy.linalg.cho_factor(
         C1 + eps * jnp.eye(nip, dtype=C1.dtype))
     Xq = jax.scipy.linalg.cho_solve(cho, C2.conj().T)      # (nip, ng)
+    return _vx_wq(Xq, coulG_q, phase_q, mesh, weight, fft_chunk)
 
-    # V_q applied to each X_q row, streamed in fft_chunk batches
+
+@partial(jax.jit, static_argnames=("mesh", "fft_chunk"))
+def _vx_wq(Xq, coulG_q, phase_q, mesh, weight, fft_chunk: int = 64):
+    """V_q applied to each X_q row (streamed) + the W_q kernel."""
+    nip, ng = Xq.shape
     npad = (-nip) % fft_chunk
     Xp = jnp.pad(Xq, ((0, npad), (0, 0)))
 
@@ -165,10 +170,125 @@ def _build_q(A_k, Ag, ksub_q, coulG_q, phase_q, mesh, weight,
     return Xq, VX, Wq
 
 
+@partial(jax.jit, static_argnames=("mesh", "fft_chunk", "grid_chunk"))
+def _build_q_dd(A_k, Ag, ksub_q, coulG_q, phase_q, mesh, weight,
+                fft_chunk: int = 64, grid_chunk: int = 2048):
+    """One momentum sector solved in on-device DOUBLE-FLOAT precision.
+
+    The per-q interpolation solve inherits the Gamma build's
+    conditioning pathology (isdf._solve_xi_dd: the f32-scale
+    regularization shift on the near-singular Gram is a 30x worse
+    METHOD than the f64 solve), with one new wrinkle: C1_q is COMPLEX
+    Hermitian PSD. The dd factorization kernels (ops/dd.py) are real,
+    so the solve runs on the real symmetric PSD embedding
+
+        E = [[Re C1, -Im C1], [Im C1, Re C1]]   (2 nip x 2 nip)
+
+    whose Cholesky/solve reproduce the complex solve exactly
+    (E [Re x; Im x] = [Re b; Im b]  <=>  C1 x = b; E is PSD with the
+    eigenvalues of C1 doubled). Accuracy tiers mirror the Gamma path:
+
+      * per-k Grams R_k = conj(Ag_k Ag_k^H) exactly in complex dd
+        (short nao contraction, dd.gram_cdd), the Hadamard
+        k-accumulation C1_q = (1/nk) sum_k R_k o conj(R_{k-q}) in
+        full dd — the conditioning-critical matrix;
+      * dd Cholesky + dd triangular inverse of E with the same
+        1e-10 * tr shift as the Gamma dd build;
+      * the grid-sided C2_q from f32-HIGHEST pair Grams whose
+        elementwise Hadamard products are EXACT two_prods, dd-summed
+        over k; the two solve GEMMs in dd, streamed in ``grid_chunk``
+        column blocks.
+
+    Returns (Xq, VXq, Wq) in the caller's complex dtype (the W
+    assembly is storage-tier, like the Gamma build's f32 xi output).
+    """
+    from pyscf_isdf_tpu.ops import dd
+
+    f32 = jnp.float32
+    nk, ng, nao = A_k.shape
+    nip = Ag.shape[1]
+    Agr = jnp.real(Ag).astype(f32)                        # (nk, nip, nao)
+    Agi = jnp.imag(Ag).astype(f32)
+
+    # R_k = conj(Ag_k @ Ag_k^H) == einsum("pa,qa->pq", conj(Ag_k), Ag_k)
+    def r_of(parts):
+        ar, ai = parts
+        grh, grl, gih, gil = dd.gram_cdd(ar, ai)
+        return grh, grl, -gih, -gil                       # conjugate
+
+    Rrh, Rrl, Rih, Ril = jax.lax.map(r_of, (Agr, Agi))    # (nk, nip, nip)
+    Rmrh, Rmrl = Rrh[ksub_q], Rrl[ksub_q]
+    Rmih, Rmil = Rih[ksub_q], Ril[ksub_q]
+    # z_k = R_k o conj(Rm_k):  Re = Rr Rmr + Ri Rmi,  Im = Ri Rmr - Rr Rmi
+    zrh, zrl = dd.add(*dd.mul(Rrh, Rrl, Rmrh, Rmrl),
+                      *dd.mul(Rih, Ril, Rmih, Rmil))
+    zih, zil = dd.sub(*dd.mul(Rih, Ril, Rmrh, Rmrl),
+                      *dd.mul(Rrh, Rrl, Rmih, Rmil))
+    C1rh, C1rl = dd.sum_dd(zrh, zrl, axis=0)
+    C1ih, C1il = dd.sum_dd(zih, zil, axis=0)
+    inv_nk = jnp.asarray(1.0 / nk, f32)
+    C1rh, C1rl = dd.mul_f(C1rh, C1rl, inv_nk)
+    C1ih, C1il = dd.mul_f(C1ih, C1il, inv_nk)
+
+    # real symmetric PSD embedding + the Gamma dd build's shift scale
+    Eh = jnp.concatenate(
+        [jnp.concatenate([C1rh, -C1ih], axis=1),
+         jnp.concatenate([C1ih, C1rh], axis=1)], axis=0)
+    El = jnp.concatenate(
+        [jnp.concatenate([C1rl, -C1il], axis=1),
+         jnp.concatenate([C1il, C1rl], axis=1)], axis=0)
+    tr = jnp.sum(jnp.diagonal(C1rh))
+    eps = jnp.asarray(1e-10, f32) * tr
+    Eh, El = dd.add_f(Eh, El, eps * jnp.eye(2 * nip, dtype=f32))
+    Lh, Ll = dd.cholesky_dd(Eh, El)
+    Mh, Ml = dd.tril_inverse_dd(Lh, Ll)
+    MhT, MlT = Mh.T, Ml.T
+
+    Ar = jnp.real(A_k).astype(f32)                        # (nk, ng, nao)
+    Ai = jnp.imag(A_k).astype(f32)
+    npad = (-ng) % grid_chunk
+    Ar_p = jnp.pad(Ar, ((0, 0), (0, npad), (0, 0)))
+    Ai_p = jnp.pad(Ai, ((0, 0), (0, npad), (0, 0)))
+    nc = Ar_p.shape[1] // grid_chunk
+    Ar_c = Ar_p.reshape(nk, nc, grid_chunk, nao).transpose(1, 0, 2, 3)
+    Ai_c = Ai_p.reshape(nk, nc, grid_chunk, nao).transpose(1, 0, 2, 3)
+    hi = jax.lax.Precision.HIGHEST
+
+    def per_chunk(parts):                                 # (nk, gc, nao) x2
+        ar, ai = parts
+        # P_k = conj(A_k[gc]) @ Ag_k^T  (f32-HIGHEST tier, like the
+        # Gamma build's H = aoR aoRg^T)
+        Pr = jnp.einsum("kga,kpa->kgp", ar, Agr, precision=hi) \
+            + jnp.einsum("kga,kpa->kgp", ai, Agi, precision=hi)
+        Pi = jnp.einsum("kga,kpa->kgp", ar, Agi, precision=hi) \
+            - jnp.einsum("kga,kpa->kgp", ai, Agr, precision=hi)
+        Pmr, Pmi = Pr[ksub_q], Pi[ksub_q]
+        # C2 = (1/nk) sum_k P o conj(Pm): exact two_prod products
+        crh, crl = dd.add(*dd.two_prod(Pr, Pmr), *dd.two_prod(Pi, Pmi))
+        cih, cil = dd.sub(*dd.two_prod(Pi, Pmr), *dd.two_prod(Pr, Pmi))
+        C2rh, C2rl = dd.sum_dd(crh, crl, axis=0)          # (gc, nip)
+        C2ih, C2il = dd.sum_dd(cih, cil, axis=0)
+        C2rh, C2rl = dd.mul_f(C2rh, C2rl, inv_nk)
+        C2ih, C2il = dd.mul_f(C2ih, C2il, inv_nk)
+        # RHS = C2^H -> [Re; -Im] embedding columns, then X = M^T M B
+        Bh = jnp.concatenate([C2rh.T, -C2ih.T], axis=0)   # (2nip, gc)
+        Bl = jnp.concatenate([C2rl.T, -C2il.T], axis=0)
+        Yh, Yl = dd.matmul_dd_dd(Mh, Ml, Bh, Bl)
+        Xh, Xl = dd.matmul_dd_dd(MhT, MlT, Yh, Yl)
+        return (dd.to_f32(Xh[:nip], Xl[:nip]),
+                dd.to_f32(Xh[nip:], Xl[nip:]))
+
+    Xr, Xi = jax.lax.map(per_chunk, (Ar_c, Ai_c))         # (nc, nip, gc)
+    Xq = (jnp.moveaxis(Xr, 0, 1).reshape(nip, -1)[:, :ng]
+          + 1j * jnp.moveaxis(Xi, 0, 1).reshape(nip, -1)[:, :ng])
+    return _vx_wq(Xq.astype(A_k.dtype), coulG_q, phase_q, mesh, weight,
+                  fft_chunk)
+
+
 def build_isdf_q(cell, aoR_k, kpts, n_ip=None, c: float = 16.0,
                  exxdiv=None, omega: float = 0.0, keep_x: bool = False,
                  method: str = "auto", blk: int = 64,
-                 coulG_q=None) -> ISDFQ:
+                 coulG_q=None, precision: str | None = None) -> ISDFQ:
     """Build the q-resolved k-point ISDF factorization.
 
     Args:
@@ -181,7 +301,13 @@ def build_isdf_q(cell, aoR_k, kpts, n_ip=None, c: float = 16.0,
             SCF loop's post-hoc madelung shift — pass None for it.
         keep_x: retain Xq/VXq/phase_q (needed by the robust exchange and
             the residual-deficit certifier).
+        precision: None (native dtype) or 'dd' — solve each momentum
+            sector's interpolation vectors in on-device double-float
+            (f64-grade conditioning on an f32-only TPU; the k-point
+            counterpart of df/isdf.py precision='dd').
     """
+    if precision not in (None, "dd"):
+        raise ValueError(f"unknown build precision {precision!r}")
     kpts = np.reshape(np.asarray(kpts), (-1, 3))
     nk, ng, nao = aoR_k.shape
     if n_ip is None:
@@ -262,9 +388,10 @@ def build_isdf_q(cell, aoR_k, kpts, n_ip=None, c: float = 16.0,
                           aoR_k.dtype)                     # (nq, ng)
     Ag = aoR_k[:, np.asarray(ip_idx)]                      # (nk, nip, nao)
 
+    build_fn = _build_q_dd if precision == "dd" else _build_q
     Xq_l, VXq_l, Wq_l = [], [], []
     for iq in range(nq):
-        Xq, VX, Wq = _build_q(aoR_k, Ag, jnp.asarray(ksub[iq]),
+        Xq, VX, Wq = build_fn(aoR_k, Ag, jnp.asarray(ksub[iq]),
                               jnp.asarray(coulG_q[iq]), phase_q[iq],
                               tuple(cell.mesh), cell.grid_weight)
         Wq_l.append(Wq)

@@ -54,10 +54,11 @@ class _MeanField:
                     precision: str | None = None):
         """Switch the exchange engine (the reference's with_df swap).
 
-        ``precision='dd'`` (Gamma ISDF only) solves the interpolation
-        vectors in on-device double-float — f64-grade build conditioning
-        on an f32-only TPU, for certified-accuracy factorizations with
-        no host staging (df/isdf.py _solve_xi_dd)."""
+        ``precision='dd'`` (any ISDF engine, Gamma or k-point) solves
+        the interpolation vectors in on-device double-float — f64-grade
+        build conditioning on an f32-only TPU, for certified-accuracy
+        factorizations with no host staging (df/isdf.py _solve_xi_dd;
+        df/isdf_q.py _build_q_dd; df/isdf_k.py _xi_dd)."""
         self.df = kind
         self.isdf_c = c
         self.isdf_precision = precision

@@ -265,6 +265,25 @@ def square_dd(Gh, Gl):
 
 
 @partial(jax.jit, static_argnames=("row_chunk",))
+def gram_cdd(Ar, Ai, row_chunk: int = 512):
+    """G = A @ A^H in COMPLEX dd from f32 real/imag parts (m, k).
+
+    The complex analog of :func:`gram_dd` for the k-point ISDF Grams
+    (contraction over the short nk*nao / nao axis, so the exact
+    elementwise path applies): Re G = Ar Ar^T + Ai Ai^T,
+    Im G = Ai Ar^T - Ar Ai^T. Returns (Grh, Grl, Gih, Gil); G is
+    Hermitian (Re symmetric, Im antisymmetric) up to exact dd rounding.
+    """
+    rh1, rl1 = matmul_exact_dd(Ar, Ar.T, row_chunk=row_chunk)
+    rh2, rl2 = matmul_exact_dd(Ai, Ai.T, row_chunk=row_chunk)
+    Grh, Grl = add(rh1, rl1, rh2, rl2)
+    ih1, il1 = matmul_exact_dd(Ai, Ar.T, row_chunk=row_chunk)
+    ih2, il2 = matmul_exact_dd(Ar, Ai.T, row_chunk=row_chunk)
+    Gih, Gil = sub(ih1, il1, ih2, il2)
+    return Grh, Grl, Gih, Gil
+
+
+@partial(jax.jit, static_argnames=("row_chunk",))
 def matmul_exact_dd(A, B, row_chunk: int = 512):
     """C = A @ B in FULL dd accuracy for SMALL contraction lengths.
 

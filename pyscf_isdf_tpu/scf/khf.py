@@ -177,11 +177,12 @@ def kscf_kernel(
     of (atom_index_or_symbol, l, U_hartree) subspace specs.
     """
     if isdf_precision is not None:
-        raise NotImplementedError(
-            "isdf_precision='dd' is Gamma-only for now: the k-point ISDF "
-            "builders (df/isdf_q.py, df/isdf_k.py) solve per-q "
-            "interpolation problems that have not been ported to the "
-            "double-float path yet (df/isdf.py _solve_xi_dd)")
+        if isdf_precision != "dd":
+            raise ValueError(f"unknown isdf_precision {isdf_precision!r}")
+        if df not in ("isdf", "isdf_q"):
+            raise ValueError(
+                "isdf_precision='dd' needs an ISDF engine "
+                f"(df='isdf' or 'isdf_q'); got df={df!r}")
     cell = system.cell
     nk = len(system.kpts)
     xcspec = XCSpec(xc) if xc is not None else None
@@ -257,11 +258,11 @@ def kscf_kernel(
 
             isdfq_full = isdf_q_mod.build_isdf_q(
                 cell, aoR_k, system.kpts, c=isdf_c, exxdiv=ex_kern,
-                keep_x=True)
+                keep_x=True, precision=isdf_precision)
             if rsh:
                 isdfq_lr = isdf_q_mod.build_isdf_q(
                     cell, aoR_k, system.kpts, c=isdf_c, omega=omega,
-                    keep_x=True)
+                    keep_x=True, precision=isdf_precision)
 
                 def get_k_fn(dmj):
                     return hyb * isdf_q_mod.get_k_kpts_robust(
@@ -277,16 +278,19 @@ def kscf_kernel(
 
             if rsh:
                 isdfk_full = isdf_k_mod.build_isdf_k(
-                    cell, aoR_k, system.kpts, c=isdf_c, exxdiv=ex_kern)
+                    cell, aoR_k, system.kpts, c=isdf_c, exxdiv=ex_kern,
+                    precision=isdf_precision)
                 isdfk_lr = isdf_k_mod.build_isdf_k(
-                    cell, aoR_k, system.kpts, c=isdf_c, omega=omega)
+                    cell, aoR_k, system.kpts, c=isdf_c, omega=omega,
+                    precision=isdf_precision)
 
                 def get_k_fn(dmj):
                     return hyb * isdf_k_mod.get_k_kpts(isdfk_full, dmj) \
                         + (alpha - hyb) * isdf_k_mod.get_k_kpts(isdfk_lr, dmj)
             else:
                 isdfk = isdf_k_mod.build_isdf_k(
-                    cell, aoR_k, system.kpts, c=isdf_c, exxdiv=ex_kern)
+                    cell, aoR_k, system.kpts, c=isdf_c, exxdiv=ex_kern,
+                    precision=isdf_precision)
 
                 def get_k_fn(dmj):
                     return isdf_k_mod.get_k_kpts(isdfk, dmj)

@@ -95,11 +95,12 @@ def kuhf_kernel(
     path (one shared factorization, linear in the density matrix).
     """
     if isdf_precision is not None:
-        raise NotImplementedError(
-            "isdf_precision='dd' is Gamma-only for now: the k-point ISDF "
-            "builders (df/isdf_q.py, df/isdf_k.py) solve per-q "
-            "interpolation problems that have not been ported to the "
-            "double-float path yet (df/isdf.py _solve_xi_dd)")
+        if isdf_precision != "dd":
+            raise ValueError(f"unknown isdf_precision {isdf_precision!r}")
+        if df != "isdf":
+            raise ValueError(
+                "isdf_precision='dd' needs the ISDF engine (df='isdf'); "
+                f"got df={df!r}")
     cell = system.cell
     nk = len(system.kpts)
     xcspec = XCSpec(xc) if xc is not None else None
@@ -143,10 +144,12 @@ def kuhf_kernel(
 
         isdfk = isdf_k_mod.build_isdf_k(
             cell, aoR_k, system.kpts, c=isdf_c,
-            exxdiv=(exxdiv if exxdiv not in (None, "ewald") else None))
+            exxdiv=(exxdiv if exxdiv not in (None, "ewald") else None),
+            precision=isdf_precision)
         if rsh:
             isdfk_lr = isdf_k_mod.build_isdf_k(
-                cell, aoR_k, system.kpts, c=isdf_c, omega=omega)
+                cell, aoR_k, system.kpts, c=isdf_c, omega=omega,
+                precision=isdf_precision)
 
             def get_k_spin(dm_s):
                 dmj = jnp.asarray(dm_s, aoR_k.dtype)
