@@ -41,13 +41,16 @@ def get_j_kpts(aoR_k, dm_k, coulG, mesh, weight, k_idx=None):
     Returns (nk, nao, nao) complex vj (len(k_idx) first axis if given).
     """
     nk = aoR_k.shape[0]
-    t = jnp.einsum("kgi,kij->kgj", aoR_k, dm_k)
-    rho = jnp.einsum("kgj,kgj->g", t, aoR_k.conj()).real / nk
+    hi = jax.lax.Precision.HIGHEST   # TPU DEFAULT matmul is bf16
+    t = jnp.einsum("kgi,kij->kgj", aoR_k, dm_k, precision=hi)
+    rho = jnp.einsum("kgj,kgj->g", t, aoR_k.conj(),
+                     precision=hi).real / nk
     cd = _cdtype(aoR_k.dtype)
     vG = coulG * fft3(rho.astype(cd), mesh)
     vR = ifft3(vG, mesh).real
     ao_b = aoR_k if k_idx is None else aoR_k[jnp.asarray(k_idx)]
-    return weight * jnp.einsum("kgi,g,kgj->kij", ao_b.conj(), vR, ao_b)
+    return weight * jnp.einsum("kgi,g,kgj->kij", ao_b.conj(), vR, ao_b,
+                               precision=hi)
 
 
 def make_k_kernels(cell, kpts, exxdiv=None, omega=None):

@@ -80,8 +80,9 @@ def _solve_xi(aoR, aoRg):
     RHS through the MXU is the same solve with O(nip ng) peak memory.
     """
     nip = aoRg.shape[0]
-    C1 = (aoRg @ aoRg.T) ** 2                             # (nip, nip)
-    C2 = (aoR @ aoRg.T) ** 2                              # (ng, nip)
+    hi = jax.lax.Precision.HIGHEST   # TPU DEFAULT matmul is bf16
+    C1 = jnp.dot(aoRg, aoRg.T, precision=hi) ** 2         # (nip, nip)
+    C2 = jnp.dot(aoR, aoRg.T, precision=hi) ** 2          # (ng, nip)
     is_f64 = jnp.finfo(aoR.dtype).bits >= 64
     eps = jnp.asarray(1e-12 if is_f64 else 3e-7, aoR.dtype) \
         * (jnp.trace(C1) / nip if is_f64 else jnp.trace(C1))
@@ -89,7 +90,8 @@ def _solve_xi(aoR, aoRg):
     L = jnp.linalg.cholesky(C1r)
     Linv = jax.scipy.linalg.solve_triangular(
         L, jnp.eye(nip, dtype=aoR.dtype), lower=True)
-    return Linv.T @ (Linv @ C2.T)                         # (nip, ng)
+    return jnp.dot(Linv.T, jnp.dot(Linv, C2.T, precision=hi),
+                   precision=hi)                             # (nip, ng)
 
 
 @partial(jax.jit, static_argnames=("grid_chunk", "out_dd"))

@@ -69,8 +69,11 @@ def _select_ips_complex(U, n_ip: int):
     def body(i, state):
         d, L, idx = state
         p = jnp.argmax(d).astype(jnp.int32)
-        zrow = jnp.abs(U @ U[p].conj()) ** 2
-        lrow = (zrow - L.T @ L[:, p]) / jnp.sqrt(jnp.maximum(d[p], 1e-300))
+        zrow = jnp.abs(jnp.dot(U, U[p].conj(),
+                             precision=jax.lax.Precision.HIGHEST)) ** 2
+        lrow = (zrow - jnp.dot(L.T, L[:, p],
+                               precision=jax.lax.Precision.HIGHEST)) \
+            / jnp.sqrt(jnp.maximum(d[p], 1e-300))
         L = L.at[i].set(lrow)
         d = jnp.maximum(d - lrow * lrow, 0.0)
         d = d.at[p].set(0.0)
@@ -103,8 +106,13 @@ def _select_ips_complex_blocked(U, n_ip: int, blk: int = 64):
         d, L, idx = state
         _, cand = jax.lax.top_k(d, ncand)
         cand = cand.astype(jnp.int32)
-        zrows = jnp.abs(U[cand] @ U.conj().T) ** 2            # (ncand, ng)
-        rrows = zrows - (L[:, cand].T @ L)
+        # HIGHEST: on TPU the DEFAULT matmul is single-pass bf16 (measured
+        # 2.6e-3 rel) — selection-Cholesky downdates accumulate it into
+        # near-random pivots and a ~500x deficit degradation (round 5)
+        zrows = jnp.abs(jnp.dot(U[cand], U.conj().T,
+                                precision=jax.lax.Precision.HIGHEST)) ** 2
+        rrows = zrows - jnp.dot(L[:, cand].T, L,
+                                precision=jax.lax.Precision.HIGHEST)
 
         def wb(carry, _):
             rr, d_in = carry

@@ -132,12 +132,17 @@ def _build_q(A_k, Ag, ksub_q, coulG_q, phase_q, mesh, weight,
     """
     nk, ng, nao = A_k.shape
     nip = Ag.shape[1]
-    R = jnp.einsum("kpa,kqa->kpq", Ag.conj(), Ag)          # (nk, nip, nip)
-    P = jnp.einsum("kga,kpa->kgp", A_k.conj(), Ag)         # (nk, ng, nip)
+    hi = jax.lax.Precision.HIGHEST
+    R = jnp.einsum("kpa,kqa->kpq", Ag.conj(), Ag,
+                   precision=hi)                              # (nk, nip, nip)
+    P = jnp.einsum("kga,kpa->kgp", A_k.conj(), Ag,
+                   precision=hi)                              # (nk, ng, nip)
     Rm = R[ksub_q]
     Pm = P[ksub_q]
-    C1 = jnp.einsum("kpq,kpq->pq", R, Rm.conj()) / nk      # (nip, nip)
-    C2 = jnp.einsum("kgp,kgp->gp", P, Pm.conj()) / nk      # (ng, nip)
+    C1 = jnp.einsum("kpq,kpq->pq", R, Rm.conj(),
+                    precision=hi) / nk                        # (nip, nip)
+    C2 = jnp.einsum("kgp,kgp->gp", P, Pm.conj(),
+                    precision=hi) / nk                        # (ng, nip)
     # Regularization matched to the supercell build (isdf._solve_xi):
     # the q-sector Grams average to the supercell mean diagonal, so the
     # same dtype-aware shift keeps the factorizations interchangeable.
@@ -165,7 +170,10 @@ def _vx_wq(Xq, coulG_q, phase_q, mesh, weight, fft_chunk: int = 64):
 
     VX = jax.lax.map(v_of, Xp.reshape(-1, fft_chunk, ng)).reshape(-1, ng)
     VX = VX[:nip]
-    Wq = weight * (Xq.conj() @ VX.T)                       # (nip, nip)
+    # W errors are LINEAR in the exchange energy; this is build-time
+    # (never per-iteration), so pin the f32-exact contraction
+    Wq = weight * jnp.dot(Xq.conj(), VX.T,
+                          precision=jax.lax.Precision.HIGHEST)
     Wq = 0.5 * (Wq + Wq.conj().T)
     return Xq, VX, Wq
 
@@ -325,7 +333,9 @@ def build_isdf_q(cell, aoR_k, kpts, n_ip=None, c: float = 16.0,
         # whose Gram is exactly singular past the pair rank
         ip_idx = np.arange(ng)
     else:
-        phases = jnp.asarray(np.exp(-1j * coords @ kpts.T), aoR_k.dtype)
+        from pyscf_isdf_tpu.utils.misc import device_complex
+
+        phases = device_complex(np.exp(-1j * coords @ kpts.T), aoR_k.dtype)
         U3 = aoR_k * jnp.transpose(phases)[:, :, None]
         U = jnp.transpose(U3, (1, 0, 2)).reshape(ng, nk * nao)
         if method == "auto":
@@ -384,8 +394,10 @@ def build_isdf_q(cell, aoR_k, kpts, n_ip=None, c: float = 16.0,
         if coulG_q.shape != (nq, ng):
             raise ValueError(f"coulG_q must be ({nq}, {ng}), "
                              f"got {coulG_q.shape}")
-    phase_q = jnp.asarray(np.exp(-1j * coords @ q_list.T).T.copy(),
-                          aoR_k.dtype)                     # (nq, ng)
+    from pyscf_isdf_tpu.utils.misc import device_complex as _dc
+
+    phase_q = _dc(np.exp(-1j * coords @ q_list.T).T.copy(),
+                  aoR_k.dtype)                             # (nq, ng)
     Ag = aoR_k[:, np.asarray(ip_idx)]                      # (nk, nip, nao)
 
     build_fn = _build_q_dd if precision == "dd" else _build_q
@@ -488,6 +500,55 @@ def _k_kpts_robust_run(isdfq, dm, aoR, weight, k1_list):
     return jnp.stack(out)
 
 
+def deficit_robust_numpy(Xq, phase_q, qmap, ip_idx, psi_k, coulG_q_full,
+                         mesh, weight):
+    """Host float64 evaluation of the robust-fit exchange deficit.
+
+    Same identity as :func:`deficit_robust` — tr(D (K_exact - K_rob)) =
+    (w/nk) sum_pairs (r, V_q r) — evaluated in numpy complex128. This is
+    the FLOAT64 CERTIFICATE of a factorization whose Xq may have been
+    built and stored on an f32-only device (the dd build): the deficit
+    of the SHIPPED vectors is computed with f64 FFTs and f64 residual
+    algebra, so the reported method error carries no f32 evaluation
+    noise. Cost: nk^2 nocc^2 primitive-mesh FFTs — minutes on one host
+    core at the diamond 3x3x3 bench scale, because every object is
+    per-q (this is what makes the no-host-staging bench certification
+    feasible, VERDICT r4 next #1).
+
+    Args:
+        Xq: (nq, nip, ng) interpolation vectors (any float/complex width;
+            upcast to complex128 here).
+        phase_q: (nq, ng) e^{-i q.r}.
+        qmap: (nk, nk) q index of k_i - k_j.
+        psi_k: (nk, ng, nocc) sqrt(occ)-scaled occupied Bloch orbitals.
+        coulG_q_full: (nq, ng) per-q Coulomb kernels (exxdiv=None).
+    """
+    Xq = np.asarray(Xq, dtype=np.complex128)
+    phase_q = np.asarray(phase_q, dtype=np.complex128)
+    psi_k = np.asarray(psi_k, dtype=np.complex128)
+    coulG_q_full = np.asarray(coulG_q_full, dtype=np.float64)
+    ipg = np.asarray(ip_idx)
+    nk, ng, nocc = psi_k.shape
+    mesh = tuple(mesh)
+    psig = psi_k[:, ipg, :]
+    total = 0.0
+    for k1 in range(nk):
+        for k2 in range(nk):
+            iq = int(qmap[k2, k1])
+            p = (psi_k[k1].conj()[:, :, None]
+                 * psi_k[k2][:, None, :]).reshape(ng, -1).T
+            pg = (psig[k1].conj()[:, :, None]
+                  * psig[k2][:, None, :]).reshape(len(ipg), -1).T
+            r = p - pg @ Xq[iq]
+            per = phase_q[iq][None, :] * r
+            vG = np.fft.fftn(per.reshape(-1, *mesh), axes=(1, 2, 3))
+            vG *= coulG_q_full[iq].reshape(mesh)[None]
+            v = np.fft.ifftn(vG, axes=(1, 2, 3)).reshape(-1, ng)
+            vr = phase_q[iq].conj()[None, :] * v
+            total += float(np.sum(np.real(np.sum(r.conj() * vr, axis=1))))
+    return weight * total / nk
+
+
 def deficit_robust(isdfq: ISDFQ, psi_k, kpts, coulG_q_full, mesh, weight):
     """EXACT robust-fit exchange-energy error at a k-sampled density:
 
@@ -523,7 +584,8 @@ def deficit_robust(isdfq: ISDFQ, psi_k, kpts, coulG_q_full, mesh, weight):
         pg = k1_psig.conj()[:, :, None] * k2_psig[:, None, :]
         p = p.reshape(ng, -1).T                              # (no^2, ng)
         pg = pg.reshape(len(ipg), -1).T
-        r = p - pg @ Xq                                      # residual
+        r = p - jnp.dot(pg, Xq,
+                        precision=jax.lax.Precision.HIGHEST)
         per = phq[None, :] * r
         v = ifft3(coulG[None, :] * fft3(per, mesh), mesh)
         vr = phq.conj()[None, :] * v

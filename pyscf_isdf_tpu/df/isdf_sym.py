@@ -122,12 +122,18 @@ class SymISDF:
 
 
 def build_sym(prim_cell, nrep, aoR_k, kpts, coulG_super, c=24.0,
-              n_ip=None, method: str = "auto") -> SymISDF:
-    """Float64 per-q build of the translation-symmetric supercell ISDF.
+              n_ip=None, method: str = "auto",
+              precision: str | None = None) -> SymISDF:
+    """Per-q build of the translation-symmetric supercell ISDF.
 
     Args:
-        aoR_k: (nk, ng_prim, nao_prim) complex128 Bloch AOs on the
-            primitive grid (k-mesh == nrep, Gamma-centered).
+        aoR_k: (nk, ng_prim, nao_prim) complex Bloch AOs on the
+            primitive grid (k-mesh == nrep, Gamma-centered). complex128
+            for the host float64 certification path; complex64 with
+            ``precision='dd'`` for the DEVICE-NATIVE build (the per-q
+            interpolation solves then run in on-device double-float —
+            df/isdf_q._build_q_dd — giving f64-grade conditioning from
+            f32 data with no host staging, VERDICT r4 next #1).
         coulG_super: (ng_super,) the SUPERCELL Coulomb kernel the bench /
             SCF uses (exxdiv=None for the ewald-shift convention).
         c: supercell-equivalent compression (n_ip = c * nao_prim points
@@ -139,7 +145,7 @@ def build_sym(prim_cell, nrep, aoR_k, kpts, coulG_super, c=24.0,
                             np.asarray(prim_cell.a) * np.asarray(nrep)[:, None])
     isdfq = isdf_q_mod.build_isdf_q(
         prim_cell, aoR_k, kpts, n_ip=n_ip, c=c, keep_x=True,
-        method=method, coulG_q=coulG_q)
+        method=method, coulG_q=coulG_q, precision=precision)
     # -q class index map
     from pyscf_isdf_tpu import lattice
 
@@ -151,10 +157,12 @@ def build_sym(prim_cell, nrep, aoR_k, kpts, coulG_super, c=24.0,
         negq[iq] = int(np.argmin(np.abs(d).sum(1)))
         if np.abs(d[negq[iq]]).max() > 1e-8:
             raise ValueError("q classes not closed under negation")
-    Xq = np.asarray(isdfq.Xq)
-    VXq = np.asarray(isdfq.VXq)
-    Mq = np.stack([Xq[iq] @ VXq[negq[iq]].T for iq in range(nq)])
-    Mq *= prim_cell.grid_weight
+    # device einsums (complex D2H is UNIMPLEMENTED on the axon runtime,
+    # and the per-q GEMMs belong on the MXU anyway)
+    hi = jax.lax.Precision.HIGHEST
+    Mq = jnp.stack([jnp.dot(isdfq.Xq[iq], isdfq.VXq[negq[iq]].T,
+                            precision=hi)
+                    for iq in range(nq)]) * prim_cell.grid_weight
     return SymISDF(isdfq=isdfq, q_list=q_list, kpts=kpts,
                    nrep=tuple(int(n) for n in nrep),
                    prim_mesh=tuple(int(n) for n in prim_cell.mesh),
@@ -172,7 +180,7 @@ def assemble(sym: SymISDF, aoR_super, prim_a, dtype=None) -> ISDF:
     """
     return assemble_pieces(sym.nrep, sym.prim_mesh, prim_a, sym.q_list,
                            np.asarray(sym.isdfq.ip_idx),
-                           np.asarray(sym.isdfq.VXq), sym.Mq,
+                           sym.isdfq.VXq, sym.Mq,
                            aoR_super, dtype=dtype)
 
 
@@ -196,8 +204,12 @@ def assemble_pieces(nrep, prim_mesh, prim_a, q_list, ip_idx, VXq, Mq,
 
     # complex operands are shipped as (real, imag) float pairs and
     # combined on device: the axon TPU runtime supports neither complex
-    # device_put nor device-side dtype widening (UNIMPLEMENTED)
+    # device_put nor device-side dtype widening (UNIMPLEMENTED).
+    # Already-on-device inputs (the device-native dd sym build) are
+    # split on device instead — no host round-trip.
     def _parts(x):
+        if isinstance(x, jax.Array):
+            return jnp.real(x).astype(rdt), jnp.imag(x).astype(rdt)
         x = np.asarray(x)
         return (jnp.asarray(np.ascontiguousarray(x.real, dtype=rdt)),
                 jnp.asarray(np.ascontiguousarray(x.imag, dtype=rdt)))
@@ -208,7 +220,8 @@ def assemble_pieces(nrep, prim_mesh, prim_a, q_list, ip_idx, VXq, Mq,
     def _w_block(qr, qi, Mr, Mi):
         q = jax.lax.complex(qr, qi)
         M = jax.lax.complex(Mr, Mi)
-        W = jnp.einsum("rq,sq,qPQ->rPsQ", q.conj(), q, M)
+        W = jnp.einsum("rq,sq,qPQ->rPsQ", q.conj(), q, M,
+                       precision=jax.lax.Precision.HIGHEST)
         return (W.real / nk).astype(dtype)
 
     W = _w_block(qr, qi, *_parts(Mq)).reshape(nk * nip, nk * nip)
@@ -228,7 +241,8 @@ def assemble_pieces(nrep, prim_mesh, prim_a, q_list, ip_idx, VXq, Mq,
         # which OOMed the 16 GB v5e)
         q = jax.lax.complex(qr, qi)
         V = jax.lax.complex(Vr, Vi)
-        blk = jnp.einsum("rq,q,qPg->rPg", q.conj(), q[s], V)
+        blk = jnp.einsum("rq,q,qPg->rPg", q.conj(), q[s], V,
+                         precision=jax.lax.Precision.HIGHEST)
         blk = (blk.real / nk).astype(dtype)
         return Vxi.at[:, cols_s].set(blk.reshape(nk * nip, ngp))
 
@@ -259,3 +273,20 @@ def certify_deficit(sym: SymISDF, psi_k) -> float:
         sym.isdfq, psi_k, sym.kpts, sym.coulG_q, sym.prim_mesh,
         sym.weight)
     return float(de)
+
+
+def certify_deficit_host(sym: SymISDF, psi_k) -> float:
+    """FLOAT64 host evaluation of :func:`certify_deficit` for a
+    factorization built (and stored) on an f32-only device: pulls the
+    per-q pieces to the host through the axon-safe (re, im) split and
+    runs the residual identity in numpy complex128 — the shipped
+    vectors' method error with no f32 evaluation noise
+    (isdf_q.deficit_robust_numpy)."""
+    from pyscf_isdf_tpu.utils.misc import host_complex
+
+    if sym.isdfq.Xq is None or sym.isdfq.phase_q is None:
+        raise ValueError("host certification needs keep_x=True pieces")
+    return isdf_q_mod.deficit_robust_numpy(
+        host_complex(sym.isdfq.Xq), host_complex(sym.isdfq.phase_q),
+        sym.isdfq.qmap, np.asarray(sym.isdfq.ip_idx), host_complex(psi_k),
+        np.asarray(sym.coulG_q), sym.prim_mesh, sym.weight)

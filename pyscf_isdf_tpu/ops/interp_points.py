@@ -24,6 +24,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+# Selection-Cholesky GEMMs are pinned to f32-exact contractions: the
+# TPU's DEFAULT matmul is single-pass bf16 (measured 2.6e-3 rel, round
+# 5) and the rank-1/rank-blk downdates accumulate it into near-random
+# pivots. One-time build cost — never on the per-iteration path.
+_HI = jax.lax.Precision.HIGHEST
+
 
 @partial(jax.jit, static_argnames=("n_ip",))
 def pivoted_cholesky_points(aoR, n_ip: int):
@@ -44,8 +50,9 @@ def pivoted_cholesky_points(aoR, n_ip: int):
         d, L, idx = state
         p = jnp.argmax(d).astype(jnp.int32)
         # row p of Z: (aoR @ aoR[p])^2
-        zrow = (aoR @ aoR[p]) ** 2
-        lrow = (zrow - L.T @ L[:, p]) / jnp.sqrt(jnp.maximum(d[p], 1e-300))
+        zrow = jnp.dot(aoR, aoR[p], precision=_HI) ** 2
+        lrow = (zrow - jnp.dot(L.T, L[:, p], precision=_HI)) \
+            / jnp.sqrt(jnp.maximum(d[p], 1e-300))
         L = L.at[i].set(lrow)
         d = jnp.maximum(d - lrow * lrow, 0.0)
         d = d.at[p].set(0.0)                       # never re-pick
@@ -80,8 +87,8 @@ def pivoted_cholesky_points_blocked(aoR, n_ip: int, blk: int = 32):
         # fixed candidate set for this panel: top residual diagonals
         _, cand = jax.lax.top_k(d, ncand)
         cand = cand.astype(jnp.int32)
-        zrows = (aoR[cand] @ aoR.T) ** 2                      # (blk, ng)
-        rrows = zrows - (L[:, cand].T @ L)                    # residual rows
+        zrows = jnp.dot(aoR[cand], aoR.T, precision=_HI) ** 2  # (blk, ng)
+        rrows = zrows - jnp.dot(L[:, cand].T, L, precision=_HI)
 
         def wb(carry, _):
             rr, d_in = carry

@@ -22,6 +22,7 @@ from pyscf_isdf_tpu.ops.ft_ao import overlap_and_kinetic
 from pyscf_isdf_tpu.ops.xc import XCSpec
 from pyscf_isdf_tpu.scf import occupations as occupations_mod
 from pyscf_isdf_tpu.scf.diis import DIIS
+from pyscf_isdf_tpu.utils.misc import device_complex, host_complex
 
 
 @dataclass(frozen=True, eq=False)
@@ -75,7 +76,9 @@ def build_kscf_system(cell: Cell, kpts, dtype=None) -> KSCFSystem:
         S=np.stack(S_k),
         hcore=np.stack(h_k),
         X=np.stack(X_k),
-        aoR_k=jnp.asarray(np.stack(ao_k), dtype=dtype),
+        # shipped as (re, im) parts — complex device_put is UNIMPLEMENTED
+        # on the tunneled axon TPU runtime (utils/misc.device_complex)
+        aoR_k=device_complex(np.stack(ao_k), dtype),
         coulG=coulG,
         coulG_pairs=coulG_pairs,
         expmikr=expmikr,
@@ -106,9 +109,12 @@ def vxc_kpts(aoR_k, ao_grad_k, dm, weight, xcspec):
     nk = aoR_k.shape[0]
     is_gga = xcspec.family == "gga"
     is_mgga = xcspec.family == "mgga"
-    dmj = jnp.asarray(dm, aoR_k.dtype)
-    t = jnp.einsum("kgi,kij->kgj", aoR_k, dmj)        # (nk, ng, nao)
-    rho = jnp.einsum("kgj,kgj->g", t, aoR_k.conj()).real / nk
+    dmj = device_complex(dm, aoR_k.dtype)
+    hi = jax.lax.Precision.HIGHEST   # TPU DEFAULT matmul is bf16
+    t = jnp.einsum("kgi,kij->kgj", aoR_k, dmj,
+                   precision=hi)                      # (nk, ng, nao)
+    rho = jnp.einsum("kgj,kgj->g", t, aoR_k.conj(),
+                     precision=hi).real / nk
     rho_j = jnp.maximum(rho, 1e-30)
     if is_gga or is_mgga:
         # grad rho = (2/nk) Re sum_k conj(t) . grad(ao)
@@ -128,18 +134,20 @@ def vxc_kpts(aoR_k, ao_grad_k, dm, weight, xcspec):
         # V_k = w [conj(ao)^T (vrho/2 ao + 2 vsigma grad_rho.grad_ao) + h.c.]
         aow = 0.5 * vrho[:, None] * aoR_k + 2.0 * jnp.einsum(
             "xg,g,kxgi->kgi", grho, vsigma, ao_grad_k)
-        half = weight * jnp.einsum("kgi,kgj->kij", aoR_k.conj(), aow)
+        half = weight * jnp.einsum("kgi,kgj->kij", aoR_k.conj(), aow,
+                                   precision=hi)
         vxc = half + half.conj().transpose(0, 2, 1)
         if vtau is not None:
             vxc = vxc + 0.5 * weight * jnp.einsum(
                 "kxgi,g,kxgj->kij", ao_grad_k.conj(), vtau,
                 ao_grad_k)
-        vxc = np.asarray(vxc)
+        vxc = host_complex(vxc)
     else:
         exc, vrho, _ = xcspec.exc_vxc(rho_j)
         e_xc = float(weight * jnp.sum(rho_j * exc))
-        vxc = np.asarray(
-            weight * jnp.einsum("kgi,g,kgj->kij", aoR_k.conj(), vrho, aoR_k)
+        vxc = host_complex(
+            weight * jnp.einsum("kgi,g,kgj->kij", aoR_k.conj(), vrho,
+                                aoR_k, precision=hi)
         )
     return e_xc, vxc
 
@@ -230,7 +238,7 @@ def kscf_kernel(
                                              omega=omega)
 
             def get_jk(dm_k, with_k, C_w_k=None):
-                dmj = jnp.asarray(dm_k, dtype=aoR_k.dtype)
+                dmj = device_complex(dm_k, aoR_k.dtype)
                 vj, vk_full = gdf_mod.get_jk_kpts(kgdf, dmj)
                 if not with_k:
                     return vj, None
@@ -238,8 +246,8 @@ def kscf_kernel(
                 return vj, hyb * vk_full + (alpha - hyb) * vk_lr
         else:
             def get_jk(dm_k, with_k, C_w_k=None):
-                vj, vk = gdf_mod.get_jk_kpts(kgdf, jnp.asarray(
-                    dm_k, dtype=aoR_k.dtype))
+                vj, vk = gdf_mod.get_jk_kpts(kgdf, device_complex(
+                    dm_k, aoR_k.dtype))
                 return vj, (vk if with_k else None)
 
     if get_jk is None:
@@ -305,7 +313,7 @@ def kscf_kernel(
                 cpl, _ = fftdf_k.make_k_kernels(cell, system.kpts,
                                                 omega=omega)
                 coulG_pairs_lr = jnp.asarray(cpl)
-            expmikr = jnp.asarray(system.expmikr, dtype=aoR_k.dtype)
+            expmikr = device_complex(system.expmikr, aoR_k.dtype)
             kweight = weight / nk
 
             def get_k_fn(dmj):
@@ -322,7 +330,7 @@ def kscf_kernel(
         occ_k_capable = df == "fftdf" and not rsh and ex_kern is None
 
         def get_jk(dm_k, with_k, C_w_k=None):
-            dmj = jnp.asarray(dm_k, dtype=aoR_k.dtype)
+            dmj = device_complex(dm_k, aoR_k.dtype)
             vj = fftdf_k.get_j_kpts(aoR_k, dmj, coulG, mesh, weight)
             if not with_k:
                 return vj, None
@@ -331,7 +339,7 @@ def kscf_kernel(
                 # fft_jk.py:235-259): nao*nocc FFTs per (k1,k2) block
                 mo_w_k = jnp.einsum(
                     "kgm,kmi->kgi", aoR_k,
-                    jnp.asarray(C_w_k, dtype=aoR_k.dtype))
+                    device_complex(C_w_k, aoR_k.dtype))
                 vk = fftdf_k.get_k_kpts_occ(
                     aoR_k, mo_w_k, coulG_pairs, expmikr, mesh, kweight)
             else:
@@ -383,7 +391,7 @@ def kscf_kernel(
             vj, vk = get_jk(dm, need_k, C_w_k)
         else:
             vj, vk = get_jk(dm, need_k)
-        vj = np.asarray(vj, dtype=np.complex128)
+        vj = host_complex(vj)
         veff = vj.copy()
         e_xc = 0.0
         if xcspec is not None:
@@ -391,7 +399,7 @@ def kscf_kernel(
             veff += vxc
         e_k = 0.0
         if need_k:
-            vk = np.array(vk, dtype=np.complex128)
+            vk = host_complex(vk)
             if exxdiv == "ewald":
                 for k in range(nk):
                     vk[k] += mad_add * (S[k] @ dm[k] @ S[k])

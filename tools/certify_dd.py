@@ -25,8 +25,9 @@ Two ladders are reported per c:
 
 And an f32-built row at the last c anchors what the dd solve buys.
 
-Measured (2026-08-18, this 1-core CPU box, 32^3 mesh, LDA density):
-see the committed output in BENCH_NOTES.md "Round-4 dd certification".
+Measured (2026-08-19, this 1-core CPU box, 32^3 mesh, LDA density):
+committed in BENCH_NOTES.md "Round-5 dd certification" and raw in
+tools/outputs/certify_dd_r5.txt — c=24 dd/f64W 5.36e-07 Ha PASS.
 
 Run:  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
           python -u tools/certify_dd.py

@@ -3,7 +3,9 @@ against the host-f64 build at the compression-regime anchor (diamond
 2x2x2 supercell, 32^3 mesh, LDA-converged density, c=16; BENCH_NOTES
 "Round 3" table: f64 build |dEk| = 3.18e-5 Ha, f32 build 9.4e-4).
 
-Measured (2026-08-18, this box, eps_dd = 1e-10 * tr):
+Measured (re-run 2026-08-19, this box, eps_dd = 1e-10 * tr; committed
+in BENCH_NOTES.md "Round-5 dd certification" + tools/outputs/
+validate_dd_r5.txt):
 
     f64 build:  dE = 3.177e-05 Ha
     dd build:   dE = 3.6e-05  Ha   (within 1.2x of f64 — the VERDICT
