@@ -125,20 +125,25 @@ def build_composite_eris_uhf(system, scf_res):
     occ_a, occ_b = scf_res["mo_occ"]
     kpts = system.kpts
     nk = len(kpts)
+    # per-k occupation counts may DIFFER (doped/metallic integer fills,
+    # shifted meshes): the composite index flattens all k, so a per-k
+    # occupancy flag + one global occupied-first stable sort handles
+    # non-uniform fills with no padding (the restricted composite above
+    # already works this way; reference counterpart: the _padding_k_idx
+    # machinery of pyscf/pbc/mp/kmp2.py:228).
     na_k = (np.asarray(occ_a) > 0.5).sum(axis=1)
     nb_k = (np.asarray(occ_b) > 0.5).sum(axis=1)
-    if not (np.all(na_k == na_k[0]) and np.all(nb_k == nb_k[0])):
-        raise NotImplementedError(
-            "composite KUCCSD needs uniform per-k per-spin occupation")
-    na, nb = int(na_k[0]), int(nb_k[0])
 
-    mo_cs, e_so_k = [], []
-    sz = None
+    mo_cs, e_so_k, occ_l = [], [], []
+    sz_l = []
     for k in range(nk):
-        C_cat, e_so, sz, _ = uhf_spinorb_basis(
-            (ca_k[k], cb_k[k]), (ea_k[k], eb_k[k]), (na, nb))
+        C_cat, e_so, sz, nocc_k = uhf_spinorb_basis(
+            (ca_k[k], cb_k[k]), (ea_k[k], eb_k[k]),
+            (int(na_k[k]), int(nb_k[k])))
         mo_cs.append(C_cat)
         e_so_k.append(e_so)
+        occ_l.append(np.arange(len(e_so)) < nocc_k)
+        sz_l.append(sz)
     nso_k = mo_cs[0].shape[1]
     n = nk * nso_k
 
@@ -156,8 +161,8 @@ def build_composite_eris_uhf(system, scf_res):
     chem = 0.5 * (chem + chem.transpose(2, 3, 0, 1))
 
     e_flat = np.concatenate(e_so_k)
-    occ_flat = np.tile(np.arange(nso_k) < na + nb, nk)
-    sz_flat = np.tile(sz, nk)
+    occ_flat = np.concatenate(occ_l)
+    sz_flat = np.concatenate(sz_l)
     perm = np.argsort(~occ_flat, kind="stable")
     chem = chem[np.ix_(perm, perm, perm, perm)]
     eri_so = antisymmetrize_spin_chem(chem, sz_flat[perm])

@@ -43,6 +43,11 @@ import jax.numpy as jnp
 from pyscf_isdf_tpu.kpts_helper import get_kconserv
 from pyscf_isdf_tpu.scf.diis import DIIS
 
+# sentinel orbital energy for occupation-padding columns (same value as
+# mp/kmp2._PAD_E): padded amplitudes ~ residual/1e9 with exactly-zero
+# residuals -> identically zero
+_PAD_E = 1e9
+
 
 # ------------------------------------------------------------ k arithmetic
 class KAlgebra:
@@ -459,18 +464,34 @@ def build_blocked_eris(system, scf_res):
     nmo = mo_c[0].shape[1]
     ka = KAlgebra(system.cell.a, kpts)
 
-    # occupied-first per k (uniform filling required by static shapes)
+    # occupied-first per k; NON-UNIFORM per-k occupation (doped/metallic
+    # integer fills, shifted meshes) is handled by PADDING every k to
+    # the maximal occupied/virtual widths with zero MO columns at
+    # sentinel energies (reference _padding_k_idx machinery,
+    # pyscf/pbc/mp/kmp2.py:228 consumed by pbc/cc/kccsd_rhf.py; same
+    # scheme as this repo's mp/kmp2._pad_spaces): padded columns give
+    # exactly-zero integrals/Fock rows, so every residual term carrying
+    # a padded index vanishes and the +-1e9 denominators pin the
+    # amplitudes at zero — the k loops stay static-shaped.
     noccs = (mo_occ > 0.5).sum(axis=1)
-    if not np.all(noccs == noccs[0]):
-        raise NotImplementedError(
-            "blocked KCCSD needs uniform per-k occupation (insulators); "
-            f"got {noccs.tolist()} — pad or use the composite oracle")
+    nocc_sp = int(noccs.max())
+    nvir_sp = nmo - int(noccs.min())
+    nmo_pad = nocc_sp + nvir_sp
     mo_cs, mo_es = [], []
     for k in range(nk):
-        perm = np.argsort(mo_occ[k] < 0.5, kind="stable")
-        mo_cs.append(mo_c[k][:, perm])
-        mo_es.append(mo_e[k][perm])
-    nocc_sp = int(noccs[0])
+        occ_i = np.where(mo_occ[k] > 0.5)[0]
+        vir_i = np.where(mo_occ[k] <= 0.5)[0]
+        C = np.zeros((mo_c[k].shape[0], nmo_pad), dtype=mo_c[k].dtype)
+        e = np.empty(nmo_pad)
+        C[:, :len(occ_i)] = mo_c[k][:, occ_i]
+        e[:len(occ_i)] = mo_e[k][occ_i]
+        e[len(occ_i):nocc_sp] = -_PAD_E
+        C[:, nocc_sp:nocc_sp + len(vir_i)] = mo_c[k][:, vir_i]
+        e[nocc_sp:nocc_sp + len(vir_i)] = mo_e[k][vir_i]
+        e[nocc_sp + len(vir_i):] = _PAD_E
+        mo_cs.append(C)
+        mo_es.append(e)
+    nmo = nmo_pad
 
     from pyscf_isdf_tpu.df import fft_ao2mo
 
@@ -556,21 +577,46 @@ def build_blocked_eris_uhf(system, scf_res):
 
     na_k = (np.asarray(occ_a) > 0.5).sum(axis=1)
     nb_k = (np.asarray(occ_b) > 0.5).sum(axis=1)
-    if not (np.all(na_k == na_k[0]) and np.all(nb_k == nb_k[0])):
-        raise NotImplementedError(
-            "blocked KUCCSD needs uniform per-k per-spin occupation "
-            f"(insulators); got alpha={na_k.tolist()} beta={nb_k.tolist()}")
-    na, nb = int(na_k[0]), int(nb_k[0])
+    # per-spin, per-k occupation PADDING to the maximal widths (zero
+    # columns at sentinel energies) — the open-shell analog of
+    # build_blocked_eris' padding (reference _padding_k_idx,
+    # pyscf/pbc/mp/kmp2.py:228); static shapes per k regardless of
+    # doped/metallic integer fills.
+    nma, nmb = ca_k[0].shape[1], cb_k[0].shape[1]
+    na_m, nb_m = int(na_k.max()), int(nb_k.max())
+    nva_m, nvb_m = nma - int(na_k.min()), nmb - int(nb_k.min())
+
+    def _padded_basis(k):
+        na, nb = int(na_k[k]), int(nb_k[k])
+        C_cat, e_so, sz_k, _ = uhf_spinorb_basis(
+            (ca_k[k], cb_k[k]), (ea_k[k], eb_k[k]), (na, nb))
+        # C_cat columns: [occ-a (na), occ-b (nb), vir-a, vir-b]
+        nao_rows = C_cat.shape[0]
+        segs = [(0, na, na_m, 0, -_PAD_E),
+                (na, na + nb, nb_m, 1, -_PAD_E),
+                (na + nb, na + nb + (nma - na), nva_m, 0, _PAD_E),
+                (na + nb + (nma - na), C_cat.shape[1], nvb_m, 1, _PAD_E)]
+        C_out, e_out, sz_out = [], [], []
+        for lo, hi_, width, spin, pe in segs:
+            npadc = width - (hi_ - lo)
+            C_out.append(C_cat[:, lo:hi_])
+            e_out.append(e_so[lo:hi_])
+            sz_out.append(sz_k[lo:hi_])
+            if npadc:
+                C_out.append(np.zeros((nao_rows, npadc), C_cat.dtype))
+                e_out.append(np.full(npadc, pe))
+                sz_out.append(np.full(npadc, spin, int))
+        return (np.concatenate(C_out, axis=1), np.concatenate(e_out),
+                np.concatenate(sz_out))
 
     mo_cs, e_so_k = [], []
     sz = None
     for k in range(nk):
-        C_cat, e_so, sz, _ = uhf_spinorb_basis(
-            (ca_k[k], cb_k[k]), (ea_k[k], eb_k[k]), (na, nb))
+        C_cat, e_so, sz = _padded_basis(k)
         mo_cs.append(C_cat)
         e_so_k.append(e_so)
     nso = mo_cs[0].shape[1]
-    no = na + nb
+    no = na_m + nb_m
     nv = nso - no
 
     eri7 = fft_ao2mo.ao2mo_7d(system, mo_cs)     # (nk,nk,nk,nso^4)
