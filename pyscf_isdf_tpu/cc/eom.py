@@ -415,7 +415,8 @@ def _sector_indices(no2, nv2, sector):
 
 
 def eom_ip_ea_energies(f, eri, t1, t2, nocc, sector="ip", nroots=4,
-                       target=None, eps_x=0.5, solve_tol=1e-8):
+                       target=None, eps_x=0.5, solve_tol=1e-8,
+                       return_weights=False):
     """Production-cost EOM-IP/EA-CCSD: the one-continuum-orbital
     subblock of the EE residual Jacobian (see _augment_continuum).
 
@@ -426,6 +427,20 @@ def eom_ip_ea_energies(f, eri, t1, t2, nocc, sector="ip", nroots=4,
 
     ``target`` (in the SAME energy convention) enables shift-invert
     Arnoldi for interior roots, as in :func:`eom_ee_iterative`.
+
+    ``return_weights=True`` also returns the SPECTROSCOPIC data per
+    root (VERDICT r4 next #6, k-resolved photoemission):
+      * ``weights[n]`` — the quasiparticle weight (pole strength)
+        ||r1||^2 / ||r||^2, the 1h (ip) / 1p (ea) fraction of the
+        normalized right eigenvector — the same right-vector
+        convention as the reference's ADC spectroscopic factors
+        (pyscf/pbc/adc/kadc_rhf_ip.py get_spec_factors / renormalized
+        eigenvector norms) and the standard EOM r1-diagnostic;
+      * ``r1s[n]`` — the orbital-resolved 1h/1p amplitudes (length
+        nocc for ip, nvir+1 (incl. continuum pos) truncated to nvir
+        for ea), |r1s[n][p]|^2 / ||r||^2 resolving the strength over
+        (k, orbital) once the caller unflattens the composite index.
+    Then the return is ``(energies, weights, r1s)``.
     """
     import jax.numpy as jnp
     from scipy.sparse.linalg import LinearOperator, eigs, gmres
@@ -469,12 +484,11 @@ def eom_ip_ea_energies(f, eri, t1, t2, nocc, sector="ip", nroots=4,
         eye = np.eye(dim, dtype=dtype)
         for col in range(dim):
             A[:, col] = mv(eye[col])
-        w = np.linalg.eigvals(A)
+        w, vecs = np.linalg.eig(A)
     else:
         op = LinearOperator((dim, dim), matvec=mv, dtype=dtype)
         if target is None:
-            w = eigs(op, k=min(nroots, dim - 2), which="SR",
-                     return_eigenvectors=False)
+            w, vecs = eigs(op, k=min(nroots, dim - 2), which="SR")
         else:
             tgt = target + shift
             shifted = LinearOperator(
@@ -491,7 +505,18 @@ def eom_ip_ea_energies(f, eri, t1, t2, nocc, sector="ip", nroots=4,
                 return x
 
             opinv = LinearOperator((dim, dim), matvec=inv_mv, dtype=dtype)
-            w = eigs(op, k=min(nroots, dim - 2), sigma=tgt, OPinv=opinv,
-                     which="LM", return_eigenvectors=False)
-    w = np.sort(w.real[np.abs(w.imag) < 1e-6])
-    return (w - shift)[:nroots]
+            w, vecs = eigs(op, k=min(nroots, dim - 2), sigma=tgt,
+                           OPinv=opinv, which="LM")
+    real = np.abs(w.imag) < 1e-6
+    order = np.argsort(w.real[real])[:nroots]
+    w_out = w.real[real][order] - shift
+    if not return_weights:
+        return w_out
+    # pole strengths: the sector-packed vector leads with the 1h (ip:
+    # r1[i, x], n1 = no2) / 1p (ea: r1[x, a], n1 = nv2) amplitudes
+    n1 = no2 if sector == "ip" else nv2
+    V = vecs[:, real][:, order]
+    norms = np.sum(np.abs(V) ** 2, axis=0)
+    weights = np.sum(np.abs(V[:n1]) ** 2, axis=0) / norms
+    r1s = (V[:n1] / np.sqrt(norms)[None, :]).T
+    return w_out, weights, r1s

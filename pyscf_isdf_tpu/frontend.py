@@ -31,6 +31,7 @@ class _MeanField:
         self.df = "fftdf"
         self.isdf_c = 8.0
         self.isdf_precision = None
+        self.ae_omega = 0.4
         self.sigma = 0.0
         self.smearing_method = "fermi"
         self.verbose = False
@@ -47,21 +48,33 @@ class _MeanField:
     @property
     def system(self):
         if self._system is None:
-            self._system = _hf.build_scf_system(self.cell)
+            self._system = _hf.build_scf_system(
+                self.cell, ae=(self.df == "aegdf"), ae_omega=self.ae_omega)
         return self._system
 
     def density_fit(self, kind: str = "isdf", c: float = 8.0,
-                    precision: str | None = None):
+                    precision: str | None = None, omega: float = 0.4):
         """Switch the exchange engine (the reference's with_df swap).
+
+        ``kind='aegdf'`` selects the analytic ALL-ELECTRON engine
+        (df/aegdf.py: McMurchie-Davidson SR lattice sums + G-sphere LR;
+        the reference's GDF/RSDF regime, pyscf/pbc/scf/hf.py:810-821
+        density_fit/rs_density_fit) — S/hcore switch to the mesh-free
+        analytic builds and J/K come from the whitened fit tensors.
+        ``omega`` is its SR/LR split (result is w-independent; the
+        exactness check of tests/test_aegdf*.py).
 
         ``precision='dd'`` (any ISDF engine, Gamma or k-point) solves
         the interpolation vectors in on-device double-float — f64-grade
         build conditioning on an f32-only TPU, for certified-accuracy
         factorizations with no host staging (df/isdf.py _solve_xi_dd;
         df/isdf_q.py _build_q_dd; df/isdf_k.py _xi_dd)."""
+        if kind == "aegdf" and self._system is not None                 and not self._system.ae:
+            self._system = None     # rebuild with analytic S/hcore
         self.df = kind
         self.isdf_c = c
         self.isdf_precision = precision
+        self.ae_omega = omega
         return self
 
     def _kernel(self):
@@ -192,7 +205,9 @@ class _KMeanField(_MeanField):
     @property
     def system(self):
         if self._system is None:
-            self._system = _khf.build_kscf_system(self.cell, self.kpts)
+            self._system = _khf.build_kscf_system(
+                self.cell, self.kpts, ae=(self.df == "aegdf"),
+                ae_omega=self.ae_omega)
         return self._system
 
     def get_bands(self, kpts_band):
@@ -493,7 +508,8 @@ def EOMCCSD(mf: _MeanField, sector: str = "ee", nroots: int = 6,
 
 
 def KEOMCCSD(mf: _KMeanField, sector: str = "ee", nroots: int = 4,
-             conv_tol: float = 1e-10, target=None):
+             conv_tol: float = 1e-10, target=None,
+             return_weights: bool = False):
     """Production-cost EOM-KCCSD on a converged k-point mean field
     (reference pbc/cc/eom_kccsd_rhf.py EOMIP/EOMEA/EOMEE classes).
 
@@ -522,9 +538,14 @@ def KEOMCCSD(mf: _KMeanField, sector: str = "ee", nroots: int = 4,
                                nroots=nroots)
     if sector not in ("ip", "ea"):
         raise ValueError(f"sector {sector!r}: one of 'ee'|'ip'|'ea'")
+    # return_weights=True: (energies, pole strengths, orbital-resolved
+    # 1h/1p amplitudes on the composite (k, orbital) index) — the
+    # k-resolved photoemission output (quasiparticle weights; the
+    # reference's kadc_rhf_ip spectroscopic-factor role)
     return eom_ip_ea_energies(f_so, eri_so, t1, t2, no_so,
                               sector=sector, nroots=nroots,
-                              target=target)
+                              target=target,
+                              return_weights=return_weights)
 
 
 def KMP2_stagger(mf: _KMeanField, flag_submesh: bool = False):

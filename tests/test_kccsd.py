@@ -181,6 +181,45 @@ def test_kccsd_ip_ea_matches_determinant_oracle(h2_chain):
         bar = 1e-7 if sector == "ip" else 1e-6
         assert np.abs(w_prod - w_oracle[:4]).max() < bar, sector
 
+        # spectroscopic factors (VERDICT r4 #6): same roots with
+        # quasiparticle weights + orbital-resolved 1h/1p amplitudes
+        w_w, qp, r1s = eom_ip_ea_energies(f_c, eri_so, t1, t2, no_so,
+                                          sector=sector, nroots=4,
+                                          return_weights=True)
+        assert np.abs(w_w - w_prod).max() < 1e-12
+        assert qp.shape == (len(w_w),)
+        assert np.all((qp > 0.0) & (qp <= 1.0 + 1e-12))
+        # Koopmans-like principal roots of this weakly correlated
+        # chain carry near-unit pole strength
+        assert qp[0] > 0.85, (sector, qp)
+        # orbital-resolved strengths sum to the qp weight
+        assert np.abs((np.abs(r1s) ** 2).sum(axis=1) - qp).max() < 1e-12
+
+
+def test_ip_ea_pole_strength_meanfield_limit(h2_chain):
+    """Exactness anchor for the spectroscopic machinery: with zero
+    two-electron interaction and zero amplitudes, every IP/EA root is a
+    bare orbital energy and every pole strength is EXACTLY 1 (the 2h1p/
+    2p1h blocks decouple)."""
+    from pyscf_isdf_tpu.cc.eom import eom_ip_ea_energies
+
+    rng = np.random.default_rng(7)
+    nso, no = 8, 4
+    e = np.sort(rng.uniform(-2.0, -0.5, no)).tolist()         + np.sort(rng.uniform(0.3, 2.0, nso - no)).tolist()
+    f = np.diag(np.asarray(e))
+    eri = np.zeros((nso,) * 4)
+    t1 = np.zeros((no, nso - no))
+    t2 = np.zeros((no, no, nso - no, nso - no))
+    for sector, ref in (("ip", -np.asarray(e[:no])[::-1]),
+                        ("ea", np.asarray(e[no:]))):
+        # only the LOWEST roots are guaranteed pure 1h/1p here — higher
+        # bare-orbital levels interleave with 2h1p/2p1h continuum roots
+        # (e.g. e_a + e_b - e_i), whose pole strength is exactly 0
+        w, qp, _ = eom_ip_ea_energies(f, eri, t1, t2, no, sector=sector,
+                                      nroots=2, return_weights=True)
+        assert np.abs(np.sort(w) - np.sort(ref[:len(w)])).max() < 1e-10
+        assert np.abs(qp - 1.0).max() < 1e-10
+
 
 @pytest.mark.heavy
 def test_kccsd_ip_ea_diamond_supercell_parity():
