@@ -349,10 +349,17 @@ def GW(mf, nw: int = 100, orbs=None, linearized: bool = False,
                                    ugw_ac_gamma)
 
     if method == "cd":
-        if isinstance(mf, (UHF, UKS, KUHF, KUKS)):
+        if isinstance(mf, (KUHF, KUKS)):
             raise NotImplementedError(
-                "GW-CD is spin-restricted for now; use method='ac' "
-                "for spin-polarized references")
+                "k-point spin-polarized GW-CD: use Gamma ugw_cd or "
+                "method='ac' (kugw_ac) for now")
+        if isinstance(mf, (UHF, UKS)):
+            # spin-polarized deep-core path — EXCEEDS the reference,
+            # whose CD (pyscf/gw/gw_cd.py) is restricted-only
+            from pyscf_isdf_tpu.gw.gw_cd import ugw_cd_gamma
+
+            return ugw_cd_gamma(mf.system, mf._res, xc=mf.xc, nw=nw,
+                                orbs=orbs)
         if isinstance(mf, _KMeanField):
             from pyscf_isdf_tpu.gw.gw_cd import kgw_cd
 
