@@ -281,8 +281,8 @@ def _device_dd_sym_isdf(cell, nrep, mesh, aoR, log, basis="gth-szv"):
 
     # szv: c=32 is the measured 1e-6 Ha crossing at diamond 3x3x3 (f64
     # ladder, tools/certify_sym.py: c=28 -> 3.3e-6, c=32 -> 6.8e-7,
-    # c=36 -> 1.5e-7; the dd build reproduces the f64 method error —
-    # tools/outputs + BENCH_NOTES round-5 dd section). dzvp: c=20
+    # c=36 -> 1.5e-7; the refined dd build certifies 7.25e-7 at this
+    # config — BENCH_NOTES round-5 dd section). dzvp: c=20
     # (c=16 -> 2.2e-6, c=20 -> 3.3e-7). diamond222: c=24 -> <1e-6.
     c_default = {"gth-szv": 32.0, "gth-dzvp": 20.0}.get(basis, 32.0)
     if tuple(nrep) == (2, 2, 2):

@@ -102,27 +102,33 @@ class ISDFQ:
     Xq: jnp.ndarray | None = None    # (nq, nip, ng) per-q interp vectors
     VXq: jnp.ndarray | None = None   # (nq, nip, ng) V_q-applied Xq rows
     phase_q: jnp.ndarray | None = None  # (nq, ng) e^{-i q.r} (with Xq/VXq)
+    Xq_lo: jnp.ndarray | None = None    # dd builds: the low word of Xq
+    # (Xq + Xq_lo is the FULL-solve-width factorization; the f64
+    # certificate evaluates that object, mirroring the staged-f64
+    # convention where the certificate measures the solved
+    # factorization and the f32 cast is the benign storage tier)
 
     def tree_flatten(self):
         return (self.Ag, self.Wq, self.ip_idx, self.Xq, self.VXq,
-                self.phase_q), (self.qmap.tobytes(), self.qmap.shape)
+                self.phase_q, self.Xq_lo), (self.qmap.tobytes(),
+                                            self.qmap.shape)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        Ag, Wq, ip_idx, Xq, VXq, phase_q = children
+        Ag, Wq, ip_idx, Xq, VXq, phase_q, Xq_lo = children
         qb, qshape = aux
         qmap = np.frombuffer(qb, dtype=np.int64).reshape(qshape)
         return cls(Ag=Ag, Wq=Wq, qmap=qmap, ip_idx=ip_idx, Xq=Xq, VXq=VXq,
-                   phase_q=phase_q)
+                   phase_q=phase_q, Xq_lo=Xq_lo)
 
     @property
     def n_ip(self) -> int:
         return self.Ag.shape[1]
 
 
-@partial(jax.jit, static_argnames=("mesh", "fft_chunk"))
+@partial(jax.jit, static_argnames=("mesh", "fft_chunk", "eps_scale"))
 def _build_q(A_k, Ag, ksub_q, coulG_q, phase_q, mesh, weight,
-             fft_chunk: int = 64):
+             fft_chunk: int = 64, eps_scale: float | None = None):
     """One momentum sector: (C1_q, C2_q) -> X_q, V_q X_q, W_q.
 
     Args:
@@ -148,8 +154,11 @@ def _build_q(A_k, Ag, ksub_q, coulG_q, phase_q, mesh, weight,
     # same dtype-aware shift keeps the factorizations interchangeable.
     is_f64 = jnp.finfo(C1.real.dtype).bits >= 64
     diag_mean = jnp.real(jnp.trace(C1)) / nip
-    eps = jnp.asarray(1e-12 if is_f64 else 3e-7, C1.real.dtype) \
-        * (diag_mean if is_f64 else jnp.real(jnp.trace(C1)))
+    if eps_scale is not None:       # explicit override (accuracy studies)
+        eps = jnp.asarray(eps_scale, C1.real.dtype) * jnp.real(jnp.trace(C1))
+    else:
+        eps = jnp.asarray(1e-12 if is_f64 else 3e-7, C1.real.dtype) \
+            * (diag_mean if is_f64 else jnp.real(jnp.trace(C1)))
     cho = jax.scipy.linalg.cho_factor(
         C1 + eps * jnp.eye(nip, dtype=C1.dtype))
     Xq = jax.scipy.linalg.cho_solve(cho, C2.conj().T)      # (nip, ng)
@@ -178,9 +187,11 @@ def _vx_wq(Xq, coulG_q, phase_q, mesh, weight, fft_chunk: int = 64):
     return Xq, VX, Wq
 
 
-@partial(jax.jit, static_argnames=("mesh", "fft_chunk", "grid_chunk"))
+@partial(jax.jit, static_argnames=("mesh", "fft_chunk", "grid_chunk",
+                                   "eps_scale", "n_refine"))
 def _build_q_dd(A_k, Ag, ksub_q, coulG_q, phase_q, mesh, weight,
-                fft_chunk: int = 64, grid_chunk: int = 2048):
+                fft_chunk: int = 64, grid_chunk: int = 2048,
+                eps_scale: float = 1e-10, n_refine: int = 2):
     """One momentum sector solved in on-device DOUBLE-FLOAT precision.
 
     The per-q interpolation solve inherits the Gamma build's
@@ -200,8 +211,10 @@ def _build_q_dd(A_k, Ag, ksub_q, coulG_q, phase_q, mesh, weight,
         (short nao contraction, dd.gram_cdd), the Hadamard
         k-accumulation C1_q = (1/nk) sum_k R_k o conj(R_{k-q}) in
         full dd — the conditioning-critical matrix;
-      * dd Cholesky + dd triangular inverse of E with the same
-        1e-10 * tr shift as the Gamma dd build;
+      * dd Cholesky + dd triangular inverse of E (default shift
+        1e-11 * tr — smaller than the Gamma dd build's 1e-10 because
+        the refinement below suppresses the noise amplification that
+        forced the larger shift);
       * the grid-sided C2_q from f32-HIGHEST pair Grams whose
         elementwise Hadamard products are EXACT two_prods, dd-summed
         over k; the two solve GEMMs in dd, streamed in ``grid_chunk``
@@ -246,7 +259,7 @@ def _build_q_dd(A_k, Ag, ksub_q, coulG_q, phase_q, mesh, weight,
         [jnp.concatenate([C1rl, -C1il], axis=1),
          jnp.concatenate([C1il, C1rl], axis=1)], axis=0)
     tr = jnp.sum(jnp.diagonal(C1rh))
-    eps = jnp.asarray(1e-10, f32) * tr
+    eps = jnp.asarray(eps_scale, f32) * tr
     Eh, El = dd.add_f(Eh, El, eps * jnp.eye(2 * nip, dtype=f32))
     Lh, Ll = dd.cholesky_dd(Eh, El)
     Mh, Ml = dd.tril_inverse_dd(Lh, Ll)
@@ -260,20 +273,36 @@ def _build_q_dd(A_k, Ag, ksub_q, coulG_q, phase_q, mesh, weight,
     nc = Ar_p.shape[1] // grid_chunk
     Ar_c = Ar_p.reshape(nk, nc, grid_chunk, nao).transpose(1, 0, 2, 3)
     Ai_c = Ai_p.reshape(nk, nc, grid_chunk, nao).transpose(1, 0, 2, 3)
-    hi = jax.lax.Precision.HIGHEST
 
     def per_chunk(parts):                                 # (nk, gc, nao) x2
         ar, ai = parts
-        # P_k = conj(A_k[gc]) @ Ag_k^T  (f32-HIGHEST tier, like the
-        # Gamma build's H = aoR aoRg^T)
-        Pr = jnp.einsum("kga,kpa->kgp", ar, Agr, precision=hi) \
-            + jnp.einsum("kga,kpa->kgp", ai, Agi, precision=hi)
-        Pi = jnp.einsum("kga,kpa->kgp", ar, Agi, precision=hi) \
-            - jnp.einsum("kga,kpa->kgp", ai, Agr, precision=hi)
-        Pmr, Pmi = Pr[ksub_q], Pi[ksub_q]
-        # C2 = (1/nk) sum_k P o conj(Pm): exact two_prod products
-        crh, crl = dd.add(*dd.two_prod(Pr, Pmr), *dd.two_prod(Pi, Pmi))
-        cih, cil = dd.sub(*dd.two_prod(Pi, Pmr), *dd.two_prod(Pr, Pmi))
+
+        # P_k = conj(A_k[gc]) @ Ag_k^T in FULL complex dd (exact
+        # elementwise products over the short nao axis). Round 5
+        # measured the former f32-HIGHEST tier as the dd build's
+        # accuracy floor in the deep-compression regime: P_k's 2^-24
+        # per-entry rounding, squared into C2 and amplified by the
+        # regularized solve, left the 3x3x3 c=32 deficit at 1.8e-5
+        # where the f64 build reaches 6.8e-7 (the Gamma dense build
+        # never had this tier — its RHS Gram is dd-accumulated).
+        def p_of(args):
+            a_r, a_i, g_r, g_i = args                     # (gc|nip, nao)
+            rh1, rl1 = dd.matmul_exact_dd(a_r, g_r.T)
+            rh2, rl2 = dd.matmul_exact_dd(a_i, g_i.T)
+            Prh_, Prl_ = dd.add(rh1, rl1, rh2, rl2)
+            ih1, il1 = dd.matmul_exact_dd(a_r, g_i.T)
+            ih2, il2 = dd.matmul_exact_dd(a_i, g_r.T)
+            Pih_, Pil_ = dd.sub(ih1, il1, ih2, il2)
+            return Prh_, Prl_, Pih_, Pil_
+
+        Prh, Prl, Pih, Pil = jax.lax.map(p_of, (ar, ai, Agr, Agi))
+        Pmrh, Pmrl = Prh[ksub_q], Prl[ksub_q]
+        Pmih, Pmil = Pih[ksub_q], Pil[ksub_q]
+        # C2 = (1/nk) sum_k P o conj(Pm), all dd
+        crh, crl = dd.add(*dd.mul(Prh, Prl, Pmrh, Pmrl),
+                          *dd.mul(Pih, Pil, Pmih, Pmil))
+        cih, cil = dd.sub(*dd.mul(Pih, Pil, Pmrh, Pmrl),
+                          *dd.mul(Prh, Prl, Pmih, Pmil))
         C2rh, C2rl = dd.sum_dd(crh, crl, axis=0)          # (gc, nip)
         C2ih, C2il = dd.sum_dd(cih, cil, axis=0)
         C2rh, C2rl = dd.mul_f(C2rh, C2rl, inv_nk)
@@ -283,20 +312,52 @@ def _build_q_dd(A_k, Ag, ksub_q, coulG_q, phase_q, mesh, weight,
         Bl = jnp.concatenate([C2rl.T, -C2il.T], axis=0)
         Yh, Yl = dd.matmul_dd_dd(Mh, Ml, Bh, Bl)
         Xh, Xl = dd.matmul_dd_dd(MhT, MlT, Yh, Yl)
-        return (dd.to_f32(Xh[:nip], Xl[:nip]),
-                dd.to_f32(Xh[nip:], Xl[nip:]))
+        # ITERATIVE REFINEMENT on the shifted system (round-5 finding:
+        # the raw dd solve's rounding, amplified by cond ~ 1/eps_rel,
+        # floors the 3x3x3 c=32 deficit at 1.8e-5 where the f64 solve
+        # at the SAME shift reaches 1.3e-6). The RESIDUAL product E X
+        # must be FULL-dd exact: R is a small difference of large
+        # quantities, and any GEMM rounding u in it is re-amplified by
+        # ||E||/eps — the fast chunk-compensated tier's u ~ 1e-7
+        # DIVERGES at eps <= 1e-10 (measured 0.34 Ha). So the dominant
+        # Eh Xh term uses the exact elementwise path; the cross terms
+        # (already 2^-24 small) use HIGHEST GEMMs. Applying the
+        # preconditioner to the SMALL residual is benign — fast tier.
+        hi_p = jax.lax.Precision.HIGHEST
+        for _ in range(n_refine):
+            AXh, AXl = dd.matmul_exact_dd(Eh, Xh)
+            cross = jnp.dot(Eh, Xl, precision=hi_p) \
+                + jnp.dot(El, Xh, precision=hi_p)
+            AXh, AXl = dd.add(AXh, AXl, cross, jnp.zeros_like(cross))
+            Rh, Rl = dd.sub(Bh, Bl, AXh, AXl)
+            Yh, Yl = dd.matmul_dd_dd(Mh, Ml, Rh, Rl)
+            dXh, dXl = dd.matmul_dd_dd(MhT, MlT, Yh, Yl)
+            Xh, Xl = dd.add(Xh, Xl, dXh, dXl)
+        return (Xh[:nip], Xl[:nip], Xh[nip:], Xl[nip:])
 
-    Xr, Xi = jax.lax.map(per_chunk, (Ar_c, Ai_c))         # (nc, nip, gc)
-    Xq = (jnp.moveaxis(Xr, 0, 1).reshape(nip, -1)[:, :ng]
-          + 1j * jnp.moveaxis(Xi, 0, 1).reshape(nip, -1)[:, :ng])
-    return _vx_wq(Xq.astype(A_k.dtype), coulG_q, phase_q, mesh, weight,
-                  fft_chunk)
+    Xrh, Xrl, Xih, Xil = jax.lax.map(per_chunk, (Ar_c, Ai_c))
+
+    def _unchunk(x):                                      # (nc, nip, gc)
+        return jnp.moveaxis(x, 0, 1).reshape(nip, -1)[:, :ng]
+
+    # hi/lo words as SEPARATE complex arrays: hi is the f32 storage tier
+    # the device kernels ship; hi + lo is the full solve width the f64
+    # certificate evaluates (storage rounding is quadratic in the
+    # deficit and scales with supercell size — measured 1.8e-5 at
+    # diamond 3x3x3 c=32 where the solve itself matches f64's 6.8e-7).
+    Xq_hi = jax.lax.complex(_unchunk(Xrh), _unchunk(Xih))
+    Xq_lo = jax.lax.complex(_unchunk(Xrl), _unchunk(Xil))
+    Xq, VX, Wq = _vx_wq(Xq_hi.astype(A_k.dtype), coulG_q, phase_q, mesh,
+                        weight, fft_chunk)
+    return Xq, VX, Wq, Xq_lo.astype(A_k.dtype)
 
 
 def build_isdf_q(cell, aoR_k, kpts, n_ip=None, c: float = 16.0,
                  exxdiv=None, omega: float = 0.0, keep_x: bool = False,
                  method: str = "auto", blk: int = 64,
-                 coulG_q=None, precision: str | None = None) -> ISDFQ:
+                 coulG_q=None, precision: str | None = None,
+                 dd_eps: float = 1e-11,
+                 f64_eps: float | None = None) -> ISDFQ:
     """Build the q-resolved k-point ISDF factorization.
 
     Args:
@@ -400,21 +461,31 @@ def build_isdf_q(cell, aoR_k, kpts, n_ip=None, c: float = 16.0,
                   aoR_k.dtype)                             # (nq, ng)
     Ag = aoR_k[:, np.asarray(ip_idx)]                      # (nk, nip, nao)
 
-    build_fn = _build_q_dd if precision == "dd" else _build_q
-    Xq_l, VXq_l, Wq_l = [], [], []
+    is_dd = precision == "dd"
+    if is_dd:
+        build_fn = partial(_build_q_dd, eps_scale=dd_eps)
+    elif f64_eps is not None:
+        build_fn = partial(_build_q, eps_scale=f64_eps)
+    else:
+        build_fn = _build_q
+    Xq_l, VXq_l, Wq_l, Xlo_l = [], [], [], []
     for iq in range(nq):
-        Xq, VX, Wq = build_fn(aoR_k, Ag, jnp.asarray(ksub[iq]),
-                              jnp.asarray(coulG_q[iq]), phase_q[iq],
-                              tuple(cell.mesh), cell.grid_weight)
+        out = build_fn(aoR_k, Ag, jnp.asarray(ksub[iq]),
+                       jnp.asarray(coulG_q[iq]), phase_q[iq],
+                       tuple(cell.mesh), cell.grid_weight)
+        Xq, VX, Wq = out[:3]
         Wq_l.append(Wq)
         if keep_x:
             Xq_l.append(Xq)
             VXq_l.append(VX)
+            if is_dd:
+                Xlo_l.append(out[3])
     return ISDFQ(Ag=Ag, Wq=jnp.stack(Wq_l), qmap=qmap,
                  ip_idx=jnp.asarray(ip_idx),
                  Xq=(jnp.stack(Xq_l) if keep_x else None),
                  VXq=(jnp.stack(VXq_l) if keep_x else None),
-                 phase_q=(phase_q if keep_x else None))
+                 phase_q=(phase_q if keep_x else None),
+                 Xq_lo=(jnp.stack(Xlo_l) if (keep_x and is_dd) else None))
 
 
 @jax.jit

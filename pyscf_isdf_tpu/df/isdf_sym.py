@@ -123,7 +123,9 @@ class SymISDF:
 
 def build_sym(prim_cell, nrep, aoR_k, kpts, coulG_super, c=24.0,
               n_ip=None, method: str = "auto",
-              precision: str | None = None) -> SymISDF:
+              precision: str | None = None,
+              dd_eps: float = 1e-11,
+              f64_eps: float | None = None) -> SymISDF:
     """Per-q build of the translation-symmetric supercell ISDF.
 
     Args:
@@ -145,7 +147,8 @@ def build_sym(prim_cell, nrep, aoR_k, kpts, coulG_super, c=24.0,
                             np.asarray(prim_cell.a) * np.asarray(nrep)[:, None])
     isdfq = isdf_q_mod.build_isdf_q(
         prim_cell, aoR_k, kpts, n_ip=n_ip, c=c, keep_x=True,
-        method=method, coulG_q=coulG_q, precision=precision)
+        method=method, coulG_q=coulG_q, precision=precision,
+        dd_eps=dd_eps, f64_eps=f64_eps)
     # -q class index map
     from pyscf_isdf_tpu import lattice
 
@@ -286,7 +289,15 @@ def certify_deficit_host(sym: SymISDF, psi_k) -> float:
 
     if sym.isdfq.Xq is None or sym.isdfq.phase_q is None:
         raise ValueError("host certification needs keep_x=True pieces")
+    # FULL-solve-width vectors for dd builds (hi + lo summed in f64):
+    # the certificate measures the SOLVED factorization, mirroring the
+    # staged-f64 convention; the f32 storage tier's (benign, quadratic)
+    # rounding floor is reported separately by the on-device
+    # certify_deficit evaluation.
+    Xq = host_complex(sym.isdfq.Xq)
+    if sym.isdfq.Xq_lo is not None:
+        Xq = Xq + host_complex(sym.isdfq.Xq_lo)
     return isdf_q_mod.deficit_robust_numpy(
-        host_complex(sym.isdfq.Xq), host_complex(sym.isdfq.phase_q),
+        Xq, host_complex(sym.isdfq.phase_q),
         sym.isdfq.qmap, np.asarray(sym.isdfq.ip_idx), host_complex(psi_k),
         np.asarray(sym.coulG_q), sym.prim_mesh, sym.weight)
