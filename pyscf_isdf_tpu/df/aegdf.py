@@ -150,63 +150,28 @@ def aehf_kernel(cell, omega: float = 0.4, beta: float = 2.0,
                 gdf: GDF | None = None, verbose: bool = False):
     """All-electron restricted HF, fully mesh-free (Gamma point).
 
-    The per-cycle J/K come from the whitened fit tensor (two GEMMs,
-    device-side); hcore/S are the analytic hosts. exxdiv='ewald'
-    applies the madelung S D S shift to K — identical to scf/hf.py's
-    convention, so energies are comparable across engines.
+    Thin wrapper over the SHARED SCF driver (scf/hf.scf_kernel with the
+    all-electron analytic system, ae=True): the per-cycle J/K come from
+    the whitened fit tensor (two GEMMs, device-side), everything else —
+    CDIIS, occupations/smearing, convergence, result conventions — is
+    the one framework-wide implementation (VERDICT r4 next #2 deleted
+    the former inline B-matrix CDIIS here). Equivalent frontend:
+    ``RHF(cell).density_fit('aegdf', omega=...)``.
     """
-    import scipy.linalg as sla
+    from pyscf_isdf_tpu.scf.hf import build_scf_system, scf_kernel
 
     if gdf is None:
         gdf = build_ae_gdf(cell, omega=omega, beta=beta, l_extra=l_extra)
-    S, h = ae_hcore(cell, omega)
-    mad = coulomb.madelung(cell) if (exxdiv == "ewald"
-                                     and cell.dimension != 0) else 0.0
-    e_nn = (coulomb.ewald(cell) if cell.dimension != 0
-            else _e_nuc_molecular(cell))
-    nocc = cell.nelectron // 2
-    f = h.copy()
-    e_old = 0.0
-    dm = np.zeros_like(S)
-    # simple Pulay DIIS on the commutator residual
-    errs, focks = [], []
-    conv = False
-    for it in range(max_cycle):
-        _, cmo = sla.eigh(f, S)
-        dm = 2.0 * cmo[:, :nocc] @ cmo[:, :nocc].T
-        vj, vk = _get_jk_cd(gdf.cderi, jnp.asarray(dm))
-        vj, vk = np.asarray(vj), np.asarray(vk)
-        if mad:
-            vk = vk + mad * (S @ dm @ S)
-        f_new = h + vj - 0.5 * vk
-        e = 0.5 * np.einsum("ij,ji->", dm, h + f_new) + e_nn
-        err = f_new @ dm @ S - S @ dm @ f_new
-        errs.append(err.ravel())
-        focks.append(f_new)
-        if len(errs) > 8:
-            errs.pop(0)
-            focks.pop(0)
-        n = len(errs)
-        B = np.empty((n + 1, n + 1))
-        B[:n, :n] = np.array([[ei @ ej for ej in errs] for ei in errs])
-        B[n, :n] = B[:n, n] = -1.0
-        B[n, n] = 0.0
-        rhs = np.zeros(n + 1)
-        rhs[n] = -1.0
-        try:
-            cdiis = np.linalg.solve(B, rhs)[:n]
-            f = sum(ci * fi for ci, fi in zip(cdiis, focks))
-        except np.linalg.LinAlgError:
-            f = f_new
-        if verbose:
-            print(f"  aehf cycle {it}: E = {e:.10f}  "
-                  f"dE = {e - e_old:.2e}", flush=True)
-        if abs(e - e_old) < conv_tol and it > 1:
-            conv = True
-            break
-        e_old = e
-    return {"e_tot": float(e), "converged": conv, "dm": dm,
-            "mo_coeff": cmo, "niter": it + 1, "gdf": gdf}
+    system = build_scf_system(cell, ae=True, ae_omega=omega)
+
+    def get_jk(dm, with_k, C_w=None):
+        vj, vk = _get_jk_cd(gdf.cderi, jnp.asarray(dm, system.aoR.dtype))
+        return vj, (vk if with_k else None)
+
+    res = scf_kernel(system, xc=None, exxdiv=exxdiv, max_cycle=max_cycle,
+                     conv_tol=conv_tol, get_jk=get_jk, verbose=verbose)
+    res["gdf"] = gdf
+    return res
 
 
 # --------------------------------------------------------------- k-point
@@ -364,70 +329,33 @@ def aekhf_kernel(cell, kpts, omega: float = 0.4, beta: float = 2.0,
                  kgdf=None, verbose: bool = False):
     """All-electron k-point restricted HF, fully mesh-free.
 
-    k-sampled companion of :func:`aehf_kernel`: per-cycle J/K from the
-    whitened k fit tensors (df/gdf.py get_jk_kpts), analytic hcore/S,
-    ewald-madelung exchange shift per k (reference convention,
-    pyscf/pbc/scf/khf.py energy_elec + exxdiv handling).
+    Thin wrapper over the SHARED k-point SCF driver (scf/khf.kscf_kernel
+    with the all-electron analytic system, ae=True): per-cycle J/K from
+    the whitened k fit tensors (df/gdf.py get_jk_kpts); DIIS, global
+    Fermi filling, smearing, bands and result conventions are the one
+    framework-wide implementation (VERDICT r4 next #2 deleted the former
+    inline complex CDIIS here). Equivalent frontend:
+    ``KRHF(cell, kpts).density_fit('aegdf', omega=...)``.
     """
-    import scipy.linalg as sla
     from pyscf_isdf_tpu.df.gdf import get_jk_kpts
+    from pyscf_isdf_tpu.scf.khf import build_kscf_system, kscf_kernel
+    from pyscf_isdf_tpu.utils.misc import device_complex
 
     kpts = np.reshape(np.asarray(kpts, float), (-1, 3))
-    nk = len(kpts)
     if kgdf is None:
         kgdf = build_ae_gdf_kpts(cell, kpts, omega=omega, beta=beta,
                                  l_extra=l_extra)
-    S, h = ae_hcore_kpts(cell, kpts, omega)
-    mad = coulomb.madelung(cell, kpts=kpts) if exxdiv == "ewald" else 0.0
-    e_nn = coulomb.ewald(cell)
-    nocc = cell.nelectron // 2
-    f = h.copy()
-    e_old = 0.0
-    errs, focks = [], []
-    conv = False
-    for it in range(max_cycle):
-        dm = []
-        for ik in range(nk):
-            _, cmo = sla.eigh(f[ik], S[ik])
-            dm.append(2.0 * cmo[:, :nocc] @ cmo[:, :nocc].conj().T)
-        vj, vk = get_jk_kpts(kgdf, [jnp.asarray(d) for d in dm])
-        vj, vk = np.array(vj), np.array(vk)
-        if mad:
-            for ik in range(nk):
-                vk[ik] = vk[ik] + mad * (S[ik] @ dm[ik] @ S[ik])
-        f_new = h + vj - 0.5 * vk
-        e = sum(0.5 * np.einsum("ij,ji->", dm[ik], h[ik] + f_new[ik]).real
-                for ik in range(nk)) / nk + e_nn
-        err = np.concatenate([
-            (f_new[ik] @ dm[ik] @ S[ik]
-             - S[ik] @ dm[ik] @ f_new[ik]).ravel() for ik in range(nk)])
-        errs.append(err)
-        focks.append(f_new)
-        if len(errs) > 8:
-            errs.pop(0)
-            focks.pop(0)
-        n = len(errs)
-        B = np.empty((n + 1, n + 1), dtype=np.complex128)
-        B[:n, :n] = np.array([[np.vdot(ei, ej) for ej in errs]
-                              for ei in errs])
-        B[n, :n] = B[:n, n] = -1.0
-        B[n, n] = 0.0
-        rhs = np.zeros(n + 1, dtype=np.complex128)
-        rhs[n] = -1.0
-        try:
-            cdiis = np.linalg.solve(B, rhs)[:n]
-            f = sum(ci * fi for ci, fi in zip(cdiis, focks))
-        except np.linalg.LinAlgError:
-            f = f_new
-        if verbose:
-            print(f"  aekhf cycle {it}: E = {e:.10f}  "
-                  f"dE = {e - e_old:.2e}", flush=True)
-        if abs(e - e_old) < conv_tol and it > 1:
-            conv = True
-            break
-        e_old = e
-    return {"e_tot": float(e), "converged": conv, "dm": dm,
-            "niter": it + 1, "kgdf": kgdf}
+    system = build_kscf_system(cell, kpts, ae=True, ae_omega=omega)
+
+    def get_jk(dm_k, with_k, C_w_k=None):
+        vj, vk = get_jk_kpts(kgdf, [device_complex(d, system.aoR_k.dtype)
+                                    for d in dm_k])
+        return vj, (vk if with_k else None)
+
+    res = kscf_kernel(system, xc=None, exxdiv=exxdiv, max_cycle=max_cycle,
+                      conv_tol=conv_tol, get_jk=get_jk, verbose=verbose)
+    res["kgdf"] = kgdf
+    return res
 
 
 def _e_nuc_molecular(cell):

@@ -357,7 +357,7 @@ def build_isdf_q(cell, aoR_k, kpts, n_ip=None, c: float = 16.0,
                  method: str = "auto", blk: int = 64,
                  coulG_q=None, precision: str | None = None,
                  dd_eps: float = 1e-11,
-                 f64_eps: float | None = None) -> ISDFQ:
+                 f64_eps: float | None = None, rho=None) -> ISDFQ:
     """Build the q-resolved k-point ISDF factorization.
 
     Args:
@@ -405,6 +405,17 @@ def build_isdf_q(cell, aoR_k, kpts, n_ip=None, c: float = 16.0,
             ip_idx = _select_ips_complex(U, n_ip)
         elif method == "cholesky-blocked":
             ip_idx = _select_ips_complex_blocked(U, n_ip, blk=blk)
+        elif method == "cvt":
+            # centroidal-Voronoi (density-weighted K-means) selection on
+            # the k-averaged density — the Dong-Hu-Lin CVT variant for
+            # the per-q build (headroom study, VERDICT r4 next #5)
+            from pyscf_isdf_tpu.ops.interp_points import cvt_points
+
+            if rho is None:
+                rho = jnp.mean(jnp.sum(jnp.abs(aoR_k) ** 2, axis=2),
+                               axis=0)
+            ip_idx = cvt_points(jnp.asarray(coords), jnp.asarray(rho),
+                                n_ip)
         else:
             raise ValueError(f"unknown IP selection method {method!r}")
 

@@ -125,7 +125,7 @@ def build_sym(prim_cell, nrep, aoR_k, kpts, coulG_super, c=24.0,
               n_ip=None, method: str = "auto",
               precision: str | None = None,
               dd_eps: float = 1e-11,
-              f64_eps: float | None = None) -> SymISDF:
+              f64_eps: float | None = None, rho=None) -> SymISDF:
     """Per-q build of the translation-symmetric supercell ISDF.
 
     Args:
@@ -148,7 +148,7 @@ def build_sym(prim_cell, nrep, aoR_k, kpts, coulG_super, c=24.0,
     isdfq = isdf_q_mod.build_isdf_q(
         prim_cell, aoR_k, kpts, n_ip=n_ip, c=c, keep_x=True,
         method=method, coulG_q=coulG_q, precision=precision,
-        dd_eps=dd_eps, f64_eps=f64_eps)
+        dd_eps=dd_eps, f64_eps=f64_eps, rho=rho)
     # -q class index map
     from pyscf_isdf_tpu import lattice
 

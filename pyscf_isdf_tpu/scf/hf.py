@@ -47,30 +47,56 @@ class SCFSystem:
     weight: float            # vol / ngrids
     nelec: int
     Gv: np.ndarray           # (ngrids, 3) for spectral gradients
+    ae: bool = False         # analytic all-electron S/hcore (df/aegdf.py)
+    ae_omega: float = 0.4    # SR/LR split of the analytic build
 
 
-def build_scf_system(cell: Cell, dtype=None, aoR=None) -> SCFSystem:
-    """Host float64 one-time setup; aoR lands on device in ``dtype``."""
+def build_scf_system(cell: Cell, dtype=None, aoR=None, ae: bool = False,
+                     ae_omega: float = 0.4) -> SCFSystem:
+    """Host float64 one-time setup; aoR lands on device in ``dtype``.
+
+    ``ae=True`` builds the ALL-ELECTRON system: S and hcore come from
+    the analytic mesh-free engines (df/aegdf.ae_hcore — McMurchie-
+    Davidson SR lattice sums + G-sphere LR, the regime the reference
+    serves with GDF/RSDF, pyscf/pbc/df/df.py:127) instead of the
+    uniform-mesh quadrature, which cannot resolve steep core functions
+    (BECKE_GRIDS.md). aoR is still collocated for the XC quadrature and
+    the FFT engines; with df='aegdf' the J/K never touch it.
+    """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     # AO values: float64 on host for the hcore build, cast for the device
     aoR_np = np.asarray(aoR) if aoR is not None else eval_ao_numpy(cell)
 
-    S, T = overlap_and_kinetic(cell)
-    if cell.pseudos:
-        vpp = pp_ops.get_pp(cell, aoR_np)
+    if ae:
+        from pyscf_isdf_tpu.df import aegdf as _ae
+
+        S, hcore = _ae.ae_hcore(cell, ae_omega)
     else:
-        vpp = pp_ops.get_nuc(cell, aoR_np)
-    hcore = T + vpp
+        S, T = overlap_and_kinetic(cell)
+        if cell.pseudos:
+            vpp = pp_ops.get_pp(cell, aoR_np)
+        else:
+            vpp = pp_ops.get_nuc(cell, aoR_np)
+        hcore = T + vpp
 
     w, v = np.linalg.eigh(S)
     keep = w > 1e-12
     X = v[:, keep] / np.sqrt(w[keep])
 
     coulG = coulomb.get_coulG(cell)  # plain 4pi/G^2, G=0 -> 0
-    mad = coulomb.madelung(cell)
-    e_nuc = coulomb.ewald(cell)
+    if cell.dimension != 0:
+        mad = coulomb.madelung(cell)
+        e_nuc = coulomb.ewald(cell)
+    else:
+        # molecular (0-dimension) mode: direct nuclear repulsion, no
+        # probe-charge shift (only reachable through the analytic
+        # all-electron engines, df/aegdf.py omega=None)
+        from pyscf_isdf_tpu.df.aegdf import _e_nuc_molecular
+
+        mad = 0.0
+        e_nuc = _e_nuc_molecular(cell)
 
     return SCFSystem(
         cell=cell,
@@ -85,6 +111,8 @@ def build_scf_system(cell: Cell, dtype=None, aoR=None) -> SCFSystem:
         weight=cell.grid_weight,
         nelec=cell.nelectron,
         Gv=cell.get_Gv(),
+        ae=ae,
+        ae_omega=ae_omega,
     )
 
 
@@ -221,6 +249,26 @@ def scf_kernel(
         ao_grad = ao_gradient_fft(aoR, mesh, jnp.asarray(system.Gv, dtype=aoR.dtype))
 
     internal_jk = get_jk is None
+    if get_jk is None and df == "aegdf":
+        # analytic all-electron DF (df/aegdf.py): J AND K from the
+        # whitened fit tensor — first-class with_df engine (reference
+        # seam: pyscf/pbc/scf/hf.py:810-821 density_fit/rs_density_fit)
+        from pyscf_isdf_tpu.df import aegdf as _ae
+        from pyscf_isdf_tpu.df.gdf import _get_jk_cd
+
+        if not system.ae:
+            raise ValueError("df='aegdf' needs build_scf_system(ae=True) "
+                             "(analytic S/hcore) — the frontend "
+                             "density_fit('aegdf') sets this up")
+        if rsh:
+            raise NotImplementedError("aegdf + RSH exchange: build the "
+                                      "LR-metric tensor first")
+        ae_gdf = _ae.build_ae_gdf(cell, omega=system.ae_omega)
+
+        def get_jk(dm, with_k, C_w=None):
+            vj, vk = _get_jk_cd(ae_gdf.cderi, jnp.asarray(dm, aoR.dtype))
+            return vj, (vk if with_k else None)
+
     if get_jk is None and df == "gdf":
         # Gaussian density fitting (G-space build; df/gdf.py)
         from pyscf_isdf_tpu.df import gdf as gdf_mod
@@ -250,7 +298,7 @@ def scf_kernel(
     if get_jk is None:
         if df not in ("fftdf", "isdf", "isdf-robust"):
             raise ValueError(f"unknown df engine {df!r}: use 'fftdf', "
-                             "'isdf', 'isdf-robust' or 'gdf'")
+                             "'isdf', 'isdf-robust', 'gdf' or 'aegdf'")
         coulG_k = coulG
         if need_k and exxdiv not in (None, "ewald"):
             coulG_k = jnp.asarray(coulomb.get_coulG(cell, exxdiv=exxdiv))

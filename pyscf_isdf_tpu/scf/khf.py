@@ -41,25 +41,42 @@ class KSCFSystem:
     mesh: tuple
     weight: float
     nelec_tot: int            # electrons in the full k-sampled supercell
+    ae: bool = False          # analytic all-electron S/hcore (df/aegdf.py)
+    ae_omega: float = 0.4     # SR/LR split of the analytic build
 
 
-def build_kscf_system(cell: Cell, kpts, dtype=None) -> KSCFSystem:
+def build_kscf_system(cell: Cell, kpts, dtype=None, ae: bool = False,
+                      ae_omega: float = 0.4) -> KSCFSystem:
+    """``ae=True``: ALL-ELECTRON k-point system — per-k S and hcore from
+    the analytic mesh-free engines (df/aegdf.ae_hcore_kpts: Bloch-phased
+    McMurchie-Davidson SR sums + G-sphere LR), the regime the reference
+    serves with GDF/RSDF (pyscf/pbc/df/rsdf.py:74). aoR_k is still
+    collocated for XC/FFT consumers; aegdf J/K never touch the mesh."""
     if dtype is None:
         dtype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
     kpts = np.reshape(np.asarray(kpts, dtype=np.float64), (-1, 3))
     nk = len(kpts)
 
+    ae_S = ae_h = None
+    if ae:
+        from pyscf_isdf_tpu.df import aegdf as _ae
+
+        ae_S, ae_h = _ae.ae_hcore_kpts(cell, kpts, ae_omega)
+
     S_k, h_k, X_k, ao_k = [], [], [], []
-    for k in kpts:
+    for ik, k in enumerate(kpts):
         aoRk = eval_ao_numpy(cell, kpt=k)
-        S, T = overlap_and_kinetic(cell, kpt=k)
-        if cell.pseudos:
-            vloc, _ = pp_ops.get_vpploc(cell, aoRk)
-            vpp = vloc + pp_ops.get_vppnl(cell, kpt=k)
+        if ae:
+            S, h = ae_S[ik], ae_h[ik]
         else:
-            vpp = pp_ops.get_nuc(cell, aoRk)
-        S = np.asarray(S, dtype=np.complex128)
-        h = np.asarray(T, dtype=np.complex128) + vpp
+            S, T = overlap_and_kinetic(cell, kpt=k)
+            if cell.pseudos:
+                vloc, _ = pp_ops.get_vpploc(cell, aoRk)
+                vpp = vloc + pp_ops.get_vppnl(cell, kpt=k)
+            else:
+                vpp = pp_ops.get_nuc(cell, aoRk)
+            S = np.asarray(S, dtype=np.complex128)
+            h = np.asarray(T, dtype=np.complex128) + vpp
         w, v = np.linalg.eigh(S)
         keep = w > 1e-12
         X = v[:, keep] / np.sqrt(w[keep])
@@ -87,6 +104,8 @@ def build_kscf_system(cell: Cell, kpts, dtype=None) -> KSCFSystem:
         mesh=tuple(cell.mesh),
         weight=cell.grid_weight,
         nelec_tot=cell.nelectron * nk,
+        ae=ae,
+        ae_omega=ae_omega,
     )
 
 
@@ -226,6 +245,30 @@ def kscf_kernel(
         ])  # (nk, 3, ng, nao)
 
     internal_jk = get_jk is None
+    if get_jk is None and df == "aegdf":
+        # analytic all-electron k-point DF (df/aegdf.build_ae_gdf_kpts):
+        # J AND K from the whitened per-q fit tensors — the with_df
+        # engine that replaced the former inline aekhf_kernel loop
+        # (VERDICT r4 next #2); reference seam: rs_density_fit,
+        # pyscf/pbc/scf/hf.py:810-821.
+        from pyscf_isdf_tpu.df import aegdf as _ae
+        from pyscf_isdf_tpu.df import gdf as gdf_mod
+
+        if not system.ae:
+            raise ValueError("df='aegdf' needs build_kscf_system(ae=True) "
+                             "(analytic S/hcore) — the frontend "
+                             "density_fit('aegdf') sets this up")
+        if rsh:
+            raise NotImplementedError("aegdf + RSH exchange: build the "
+                                      "LR-metric tensor first")
+        ae_kgdf = _ae.build_ae_gdf_kpts(cell, system.kpts,
+                                        omega=system.ae_omega)
+
+        def get_jk(dm_k, with_k, C_w_k=None):
+            vj, vk = gdf_mod.get_jk_kpts(
+                ae_kgdf, [device_complex(d, aoR_k.dtype) for d in dm_k])
+            return vj, (vk if with_k else None)
+
     if get_jk is None and df == "gdf":
         # k-point Gaussian density fitting (df/gdf.py G-space build)
         from pyscf_isdf_tpu.df import gdf as gdf_mod
@@ -253,7 +296,7 @@ def kscf_kernel(
     if get_jk is None:
         if df not in ("fftdf", "isdf", "isdf_q"):
             raise ValueError(f"unknown df engine {df!r}: use 'fftdf', "
-                             "'isdf', 'isdf_q' or 'gdf'")
+                             "'isdf', 'isdf_q', 'gdf' or 'aegdf'")
         ex_kern = exxdiv if exxdiv not in (None, "ewald") else None
         if df == "isdf_q" and need_k:
             # q-resolved k-point ISDF (df/isdf_q.py): one primitive-cell

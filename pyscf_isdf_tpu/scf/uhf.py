@@ -125,8 +125,34 @@ def uhf_kernel(
     if need_k and exxdiv not in (None, "ewald"):
         coulG_k = jnp.asarray(coulomb.get_coulG(cell, exxdiv=exxdiv))
 
-    if df not in ("fftdf", "isdf"):
-        raise ValueError(f"unknown df engine {df!r}: use 'fftdf' or 'isdf'")
+    if df not in ("fftdf", "isdf", "aegdf"):
+        raise ValueError(f"unknown df engine {df!r}: use 'fftdf', 'isdf' "
+                         "or 'aegdf'")
+    if get_jk is None and df == "aegdf":
+        # analytic all-electron DF for the spin-polarized classes
+        # (df/aegdf.py; VERDICT r4 next #2 "+spin variants"): vj from
+        # the total density, per-spin K, all through the whitened fit
+        # tensor — the mesh never enters J/K.
+        from pyscf_isdf_tpu.df import aegdf as _ae
+        from pyscf_isdf_tpu.df.gdf import _get_jk_cd
+
+        if not getattr(system, "ae", False):
+            raise ValueError("df='aegdf' needs build_scf_system(ae=True)")
+        if rsh:
+            raise NotImplementedError("aegdf + RSH exchange")
+        ae_gdf = _ae.build_ae_gdf(cell, omega=system.ae_omega)
+
+        def get_jk(dm_spin, with_k):
+            dmj_t = jnp.asarray(dm_spin[0] + dm_spin[1], aoR.dtype)
+            vj, _ = _get_jk_cd(ae_gdf.cderi, dmj_t)
+            vk = None
+            if with_k:
+                vk = (_get_jk_cd(ae_gdf.cderi,
+                                 jnp.asarray(dm_spin[0], aoR.dtype))[1],
+                      _get_jk_cd(ae_gdf.cderi,
+                                 jnp.asarray(dm_spin[1], aoR.dtype))[1])
+            return vj, vk
+
     if get_jk is None and need_k:
         coulG_lr = None
         if rsh:
