@@ -35,7 +35,7 @@ dispatch latency and one-time costs exactly.
 
 Prints ONE JSON line:
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
-     "vs_fftdf_tpu": ..., "dE_k_ha": ...}
+     "vs_fftdf_tpu": ..., "dE_f32_probe_ha": ..., "dE_f64_ha": ...}
 value = ISDF J+K per-iteration wall time (ms).
 """
 import json

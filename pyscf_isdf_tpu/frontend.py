@@ -34,6 +34,7 @@ class _MeanField:
         self.ae_omega = 0.4
         self.sigma = 0.0
         self.smearing_method = "fermi"
+        self.xc_grids = "uniform"   # 'becke' = atomic-grid XC quadrature
         self.verbose = False
         self._system = None
         self._res = None
@@ -143,6 +144,7 @@ class RKS(_MeanField):
                               isdf_precision=self.isdf_precision,
                               sigma=self.sigma,
                               smearing_method=self.smearing_method,
+                              xc_grids=self.xc_grids,
                               verbose=self.verbose)
 
 
@@ -169,6 +171,7 @@ class UKS(_MeanField):
                                max_cycle=self.max_cycle,
                                df=self.df, isdf_c=self.isdf_c,
                                isdf_precision=self.isdf_precision,
+                               xc_grids=self.xc_grids,
                                verbose=self.verbose)
 
 
@@ -245,6 +248,7 @@ class KRKS(_KMeanField):
                                 smearing_method=self.smearing_method,
                                 df=self.df, isdf_c=self.isdf_c,
                                 isdf_precision=self.isdf_precision,
+                                xc_grids=self.xc_grids,
                                 verbose=self.verbose)
 
 

@@ -191,6 +191,7 @@ def scf_kernel(
     sigma: float = 0.0,
     smearing_method: str = "fermi",
     v_ext: Optional[np.ndarray] = None,
+    xc_grids: str = "uniform",
     verbose: bool = False,
 ):
     """Run the SCF to convergence.
@@ -247,6 +248,28 @@ def scf_kernel(
     ao_grad = None
     if is_gga or is_mgga:
         ao_grad = ao_gradient_fft(aoR, mesh, jnp.asarray(system.Gv, dtype=aoR.dtype))
+
+    # opt-in Becke atomic-grid XC quadrature (reference BeckeGrids,
+    # pyscf/pbc/dft/gen_grid.py:141-234): clusters quadrature points at
+    # nuclear cusps for all-electron cells; J/K stay on their own engines
+    # exactly as the reference combines BeckeGrids with FFTDF
+    b_ao = b_grad = b_w = None
+    if xcspec is not None and xc_grids.startswith("becke"):
+        from pyscf_isdf_tpu.ops import becke as becke_mod
+
+        # optional resolution suffix: 'becke:70,16' = n_rad=70, n_theta=16
+        if ":" in xc_grids:
+            n_rad, n_theta = map(int, xc_grids.split(":", 1)[1].split(","))
+            bg = becke_mod.build_becke_grids(cell, n_rad=n_rad,
+                                             n_theta=n_theta)
+        else:
+            bg = becke_mod.build_becke_grids(cell)
+        b_ao, b_grad = becke_mod.eval_ao_and_grad(
+            cell, bg.coords, dtype=aoR.dtype, need_grad=is_gga or is_mgga)
+        b_w = jnp.asarray(bg.weights, dtype=aoR.dtype)
+    elif xc_grids != "uniform" and not xc_grids.startswith("becke"):
+        raise ValueError(f"unknown xc_grids {xc_grids!r} "
+                         "(expected 'uniform' or 'becke[:n_rad,n_theta]')")
 
     internal_jk = get_jk is None
     if get_jk is None and df == "aegdf":
@@ -401,15 +424,24 @@ def scf_kernel(
         veff = vj.copy()
         e_xc = 0.0
         if xcspec is not None:
-            if is_mgga:
-                e_xc_j, vxc, _ = _vxc_mgga(aoR, ao_grad,
-                                           jnp.asarray(dm, dtype=aoR.dtype),
+            dmj = jnp.asarray(dm, dtype=aoR.dtype)
+            if b_ao is not None:
+                if is_mgga:
+                    e_xc_j, vxc, _ = becke_mod.vxc_mgga(b_ao, b_grad, dmj,
+                                                        b_w, xcspec)
+                elif is_gga:
+                    e_xc_j, vxc, _ = becke_mod.vxc_gga(b_ao, b_grad, dmj,
+                                                       b_w, xcspec)
+                else:
+                    e_xc_j, vxc, _ = becke_mod.vxc_lda(b_ao, dmj, b_w, xcspec)
+            elif is_mgga:
+                e_xc_j, vxc, _ = _vxc_mgga(aoR, ao_grad, dmj,
                                            weight, xcspec, mesh)
             elif is_gga:
-                e_xc_j, vxc, _ = _vxc_gga(aoR, ao_grad, jnp.asarray(dm, dtype=aoR.dtype),
+                e_xc_j, vxc, _ = _vxc_gga(aoR, ao_grad, dmj,
                                           weight, xcspec, mesh)
             else:
-                e_xc_j, vxc, _ = _vxc_lda(aoR, jnp.asarray(dm, dtype=aoR.dtype),
+                e_xc_j, vxc, _ = _vxc_lda(aoR, dmj,
                                           weight, xcspec, mesh)
             e_xc = float(e_xc_j)
             veff += np.asarray(vxc, dtype=np.float64)

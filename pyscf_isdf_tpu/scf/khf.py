@@ -124,7 +124,10 @@ def vxc_kpts(aoR_k, ao_grad_k, dm, weight, xcspec):
     The density is the k-average rho = (1/nk) sum_k Re tr(D_k ao ao*);
     GGA rungs add the spectral AO gradients (ao_grad_k), mGGA the tau
     term.  Shared by the SCF loop and post-SCF consumers (GW needs
-    v_mf = vxc on the converged density)."""
+    v_mf = vxc on the converged density).  ``weight`` is either the
+    uniform-mesh scalar or a per-point (ng,) vector (Becke atomic grids,
+    ops/becke.py) — the contraction is the same dense program either
+    way."""
     nk = aoR_k.shape[0]
     is_gga = xcspec.family == "gga"
     is_mgga = xcspec.family == "mgga"
@@ -135,6 +138,7 @@ def vxc_kpts(aoR_k, ao_grad_k, dm, weight, xcspec):
     rho = jnp.einsum("kgj,kgj->g", t, aoR_k.conj(),
                      precision=hi).real / nk
     rho_j = jnp.maximum(rho, 1e-30)
+    w_g = jnp.broadcast_to(jnp.asarray(weight, rho_j.dtype), rho_j.shape)
     if is_gga or is_mgga:
         # grad rho = (2/nk) Re sum_k conj(t) . grad(ao)
         grho = 2.0 / nk * jnp.einsum(
@@ -149,24 +153,24 @@ def vxc_kpts(aoR_k, ao_grad_k, dm, weight, xcspec):
                 rho_j, sigma_g, tau_g)
         else:
             exc, vrho, vsigma = xcspec.exc_vxc(rho_j, sigma_g)
-        e_xc = float(weight * jnp.sum(rho_j * exc))
+        e_xc = float(jnp.sum(w_g * rho_j * exc))
         # V_k = w [conj(ao)^T (vrho/2 ao + 2 vsigma grad_rho.grad_ao) + h.c.]
         aow = 0.5 * vrho[:, None] * aoR_k + 2.0 * jnp.einsum(
             "xg,g,kxgi->kgi", grho, vsigma, ao_grad_k)
-        half = weight * jnp.einsum("kgi,kgj->kij", aoR_k.conj(), aow,
-                                   precision=hi)
+        half = jnp.einsum("kgi,kgj->kij", aoR_k.conj(),
+                          w_g[:, None] * aow, precision=hi)
         vxc = half + half.conj().transpose(0, 2, 1)
         if vtau is not None:
-            vxc = vxc + 0.5 * weight * jnp.einsum(
-                "kxgi,g,kxgj->kij", ao_grad_k.conj(), vtau,
+            vxc = vxc + 0.5 * jnp.einsum(
+                "kxgi,g,kxgj->kij", ao_grad_k.conj(), w_g * vtau,
                 ao_grad_k)
         vxc = host_complex(vxc)
     else:
         exc, vrho, _ = xcspec.exc_vxc(rho_j)
-        e_xc = float(weight * jnp.sum(rho_j * exc))
+        e_xc = float(jnp.sum(w_g * rho_j * exc))
         vxc = host_complex(
-            weight * jnp.einsum("kgi,g,kgj->kij", aoR_k.conj(), vrho,
-                                aoR_k, precision=hi)
+            jnp.einsum("kgi,g,kgj->kij", aoR_k.conj(), w_g * vrho,
+                       aoR_k, precision=hi)
         )
     return e_xc, vxc
 
@@ -186,6 +190,7 @@ def kscf_kernel(
     sigma: float = 0.0,
     smearing_method: str = "fermi",
     hubbard=None,
+    xc_grids: str = "uniform",
 ):
     """Run the k-point SCF to convergence. xc=None -> KRHF, else KRKS.
 
@@ -243,6 +248,35 @@ def kscf_kernel(
                               jnp.asarray(system.kpts[k]), coords)
             for k in range(nk)
         ])  # (nk, 3, ng, nao)
+
+    # XC-quadrature seam: the uniform mesh by default, or the opt-in
+    # Becke atomic grid (ops/becke.py; reference BeckeGrids + KNumInt,
+    # pyscf/pbc/dft/gen_grid.py:141-234) — only the arrays fed to
+    # vxc_kpts change, J/K stay on their own engines
+    xc_aoR_k, xc_grad_k, xc_w = aoR_k, ao_grad_k, weight
+    if xcspec is not None and xc_grids.startswith("becke"):
+        from pyscf_isdf_tpu.ops import becke as becke_mod
+
+        if ":" in xc_grids:
+            n_rad, n_theta = map(int, xc_grids.split(":", 1)[1].split(","))
+            bg = becke_mod.build_becke_grids(cell, n_rad=n_rad,
+                                             n_theta=n_theta)
+        else:
+            bg = becke_mod.build_becke_grids(cell)
+        need_g = is_gga or is_mgga
+        pairs = [becke_mod.eval_ao_and_grad(cell, bg.coords,
+                                            kpt=system.kpts[k],
+                                            need_grad=need_g)
+                 for k in range(nk)]
+        xc_aoR_k = jnp.stack([p[0] for p in pairs]).astype(aoR_k.dtype)
+        xc_grad_k = (jnp.stack([p[1] for p in pairs]).astype(aoR_k.dtype)
+                     if need_g else None)
+        xc_w = jnp.asarray(bg.weights, dtype=jnp.float64
+                           if aoR_k.dtype == jnp.complex128
+                           else jnp.float32)
+    elif xc_grids != "uniform" and not xc_grids.startswith("becke"):
+        raise ValueError(f"unknown xc_grids {xc_grids!r} "
+                         "(expected 'uniform' or 'becke[:n_rad,n_theta]')")
 
     internal_jk = get_jk is None
     if get_jk is None and df == "aegdf":
@@ -438,7 +472,7 @@ def kscf_kernel(
         veff = vj.copy()
         e_xc = 0.0
         if xcspec is not None:
-            e_xc, vxc = vxc_kpts(aoR_k, ao_grad_k, dm, weight, xcspec)
+            e_xc, vxc = vxc_kpts(xc_aoR_k, xc_grad_k, dm, xc_w, xcspec)
             veff += vxc
         e_k = 0.0
         if need_k:

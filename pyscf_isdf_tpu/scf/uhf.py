@@ -25,16 +25,21 @@ from pyscf_isdf_tpu.scf.hf import SCFSystem, build_scf_system  # noqa: F401
 
 
 def _spin_vxc(aoR, ao_grad, dm_a, dm_b, weight, xcspec):
-    """Exc and per-spin Vxc matrices (LDA or GGA)."""
+    """Exc and per-spin Vxc matrices (LDA or GGA).
+
+    ``weight`` is the uniform-mesh scalar or a per-point (ng,) vector
+    (Becke atomic grids, ops/becke.py) — same dense program either way.
+    """
     ta = aoR @ dm_a
     tb = aoR @ dm_b
     rho_a = jnp.maximum(jnp.sum(ta * aoR, axis=-1), 0.0)
     rho_b = jnp.maximum(jnp.sum(tb * aoR, axis=-1), 0.0)
+    w_g = jnp.broadcast_to(jnp.asarray(weight, rho_a.dtype), rho_a.shape)
     if xcspec.family == "lda":
         exc, (va, vb), _ = xcspec.exc_vxc_spin(rho_a, rho_b)
-        e_xc = weight * jnp.sum((rho_a + rho_b) * exc)
-        vmat_a = weight * ((aoR.T * va) @ aoR)
-        vmat_b = weight * ((aoR.T * vb) @ aoR)
+        e_xc = jnp.sum(w_g * (rho_a + rho_b) * exc)
+        vmat_a = (aoR.T * (w_g * va)) @ aoR
+        vmat_b = (aoR.T * (w_g * vb)) @ aoR
         return float(e_xc), np.asarray(vmat_a), np.asarray(vmat_b)
     # GGA / meta-GGA
     ga = 2.0 * jnp.einsum("gi,xgi->xg", ta, ao_grad)
@@ -55,17 +60,17 @@ def _spin_vxc(aoR, ao_grad, dm_a, dm_b, weight, xcspec):
     else:
         exc, (va, vb), (vsaa, vsab, vsbb) = xcspec.exc_vxc_spin(
             rho_a, rho_b, s_aa, s_ab, s_bb)
-    e_xc = weight * jnp.sum((rho_a + rho_b) * exc)
+    e_xc = jnp.sum(w_g * (rho_a + rho_b) * exc)
 
     def vmat(vrho, vs_ss, g_s, vs_ab, g_t, vt=None):
         aow = 0.5 * vrho[:, None] * aoR + jnp.einsum(
             "xg,xgi->gi", 2.0 * vs_ss[None, :] * g_s + vs_ab[None, :] * g_t,
             ao_grad)
-        half = weight * (aoR.T @ aow)
+        half = aoR.T @ (w_g[:, None] * aow)
         out = half + half.T
         if vt is not None:
-            out = out + 0.5 * weight * jnp.einsum(
-                "xgi,g,xgj->ij", ao_grad, vt, ao_grad)
+            out = out + 0.5 * jnp.einsum(
+                "xgi,g,xgj->ij", ao_grad, w_g * vt, ao_grad)
         return out
 
     return (float(e_xc),
@@ -90,6 +95,7 @@ def uhf_kernel(
     isdf_c: float = 8.0,
     isdf_precision: Optional[str] = None,
     verbose: bool = False,
+    xc_grids: str = "uniform",
 ):
     """Run spin-polarized SCF. xc=None -> UHF; else UKS.
 
@@ -197,6 +203,26 @@ def uhf_kernel(
     if is_gga:
         ao_grad = ao_gradient_fft(aoR, mesh, jnp.asarray(system.Gv, dtype=aoR.dtype))
 
+    # XC-quadrature seam (opt-in Becke atomic grids, ops/becke.py; the
+    # spin analog of the scf/hf.py branch) — _spin_vxc takes scalar or
+    # per-point weights, so only the arrays swap
+    xc_ao, xc_grad, xc_w = aoR, ao_grad, weight
+    if xcspec is not None and xc_grids.startswith("becke"):
+        from pyscf_isdf_tpu.ops import becke as becke_mod
+
+        if ":" in xc_grids:
+            n_rad, n_theta = map(int, xc_grids.split(":", 1)[1].split(","))
+            bg = becke_mod.build_becke_grids(cell, n_rad=n_rad,
+                                             n_theta=n_theta)
+        else:
+            bg = becke_mod.build_becke_grids(cell)
+        xc_ao, xc_grad = becke_mod.eval_ao_and_grad(
+            cell, bg.coords, dtype=aoR.dtype, need_grad=is_gga)
+        xc_w = jnp.asarray(bg.weights, dtype=aoR.dtype)
+    elif xc_grids != "uniform" and not xc_grids.startswith("becke"):
+        raise ValueError(f"unknown xc_grids {xc_grids!r} "
+                         "(expected 'uniform' or 'becke[:n_rad,n_theta]')")
+
     S, hcore, X = system.S, system.hcore, system.X
 
     def eig(F):
@@ -232,8 +258,8 @@ def uhf_kernel(
         e_xc = 0.0
         if xcspec is not None:
             e_xc, vxc_a, vxc_b = _spin_vxc(
-                aoR, ao_grad, jnp.asarray(dm_a, aoR.dtype),
-                jnp.asarray(dm_b, aoR.dtype), weight, xcspec)
+                xc_ao, xc_grad, jnp.asarray(dm_a, aoR.dtype),
+                jnp.asarray(dm_b, aoR.dtype), xc_w, xcspec)
             veff_a += vxc_a
             veff_b += vxc_b
         e_k = 0.0
