@@ -277,6 +277,7 @@ class KUKS(_KMeanField):
                            conv_tol=self.conv_tol, max_cycle=self.max_cycle,
                            df=self.df, isdf_c=self.isdf_c,
                            isdf_precision=self.isdf_precision,
+                           xc_grids=self.xc_grids,
                            verbose=self.verbose)
 
 

@@ -34,6 +34,8 @@ def vxc_spin_kpts(aoR_k, ao_grad_k, dm_a, dm_b, weight, xcspec):
     the symmetrized 0.5*vrho*ao + (2 vs_ss grad_s + vs_ab grad_t).grad_ao
     form.  Returns ``(e_xc, vxc_a, vxc_b)`` with vxc_s (nk, nao, nao)
     numpy arrays; shared by the KUKS SCF loop and the kugw v_mf build.
+    ``weight`` is the uniform-mesh scalar or a per-point (ng,) vector
+    (Becke atomic grids, ops/becke.py).
     """
     nk = aoR_k.shape[0]
     dmaj = jnp.asarray(dm_a, aoR_k.dtype)
@@ -44,6 +46,7 @@ def vxc_spin_kpts(aoR_k, ao_grad_k, dm_a, dm_b, weight, xcspec):
         "kgj,kgj->g", ta, aoR_k.conj()).real / nk, 0.0)
     rho_b = jnp.maximum(jnp.einsum(
         "kgj,kgj->g", tb, aoR_k.conj()).real / nk, 0.0)
+    w_g = jnp.broadcast_to(jnp.asarray(weight, rho_a.dtype), rho_a.shape)
     if xcspec.family == "gga":
         if ao_grad_k is None:
             raise ValueError("vxc_spin_kpts: GGA needs ao_grad_k")
@@ -56,23 +59,24 @@ def vxc_spin_kpts(aoR_k, ao_grad_k, dm_a, dm_b, weight, xcspec):
         s_bb = jnp.sum(gb * gb, axis=0)
         exc, (va, vb), (vsaa, vsab, vsbb) = xcspec.exc_vxc_spin(
             rho_a, rho_b, s_aa, s_ab, s_bb)
-        e_xc = float(weight * jnp.sum((rho_a + rho_b) * exc))
+        e_xc = float(jnp.sum(w_g * (rho_a + rho_b) * exc))
 
         def vmat_k(vrho, vs_ss, g_s, g_t):
             aow = 0.5 * vrho[:, None] * aoR_k + jnp.einsum(
                 "xg,kxgi->kgi",
                 2.0 * vs_ss[None, :] * g_s + vsab[None, :] * g_t,
                 ao_grad_k)
-            half = weight * jnp.einsum("kgi,kgj->kij", aoR_k.conj(), aow)
+            half = jnp.einsum("kgi,kgj->kij", aoR_k.conj(),
+                              w_g[:, None] * aow)
             return np.asarray(half + half.conj().transpose(0, 2, 1))
 
         return e_xc, vmat_k(va, vsaa, ga, gb), vmat_k(vb, vsbb, gb, ga)
     exc, (va, vb), _ = xcspec.exc_vxc_spin(rho_a, rho_b)
-    e_xc = float(weight * jnp.sum((rho_a + rho_b) * exc))
-    vxc_a = np.asarray(weight * jnp.einsum(
-        "kgi,g,kgj->kij", aoR_k.conj(), va, aoR_k))
-    vxc_b = np.asarray(weight * jnp.einsum(
-        "kgi,g,kgj->kij", aoR_k.conj(), vb, aoR_k))
+    e_xc = float(jnp.sum(w_g * (rho_a + rho_b) * exc))
+    vxc_a = np.asarray(jnp.einsum(
+        "kgi,g,kgj->kij", aoR_k.conj(), w_g * va, aoR_k))
+    vxc_b = np.asarray(jnp.einsum(
+        "kgi,g,kgj->kij", aoR_k.conj(), w_g * vb, aoR_k))
     return e_xc, vxc_a, vxc_b
 
 
@@ -88,6 +92,7 @@ def kuhf_kernel(
     isdf_c: float = 8.0,
     isdf_precision: Optional[str] = None,
     verbose: bool = False,
+    xc_grids: str = "uniform",
 ):
     """Run k-point spin-polarized SCF. xc=None -> KUHF, else KUKS (LDA).
 
@@ -172,6 +177,33 @@ def kuhf_kernel(
             for k in range(nk)
         ])
 
+    # XC-quadrature seam (opt-in Becke atomic grids; the spin-k analog
+    # of the scf/khf.py branch — vxc_spin_kpts takes scalar or vector
+    # weights, so only the arrays swap)
+    xc_aoR_k, xc_grad_k, xc_w = aoR_k, ao_grad_k, weight
+    if xcspec is not None and xc_grids.startswith("becke"):
+        from pyscf_isdf_tpu.ops import becke as becke_mod
+
+        if ":" in xc_grids:
+            n_rad, n_theta = map(int, xc_grids.split(":", 1)[1].split(","))
+            bg = becke_mod.build_becke_grids(cell, n_rad=n_rad,
+                                             n_theta=n_theta)
+        else:
+            bg = becke_mod.build_becke_grids(cell)
+        pairs = [becke_mod.eval_ao_and_grad(cell, bg.coords,
+                                            kpt=system.kpts[k],
+                                            need_grad=is_gga)
+                 for k in range(nk)]
+        xc_aoR_k = jnp.stack([p[0] for p in pairs]).astype(aoR_k.dtype)
+        xc_grad_k = (jnp.stack([p[1] for p in pairs]).astype(aoR_k.dtype)
+                     if is_gga else None)
+        xc_w = jnp.asarray(bg.weights, dtype=jnp.float64
+                           if aoR_k.dtype == jnp.complex128
+                           else jnp.float32)
+    elif xc_grids != "uniform" and not xc_grids.startswith("becke"):
+        raise ValueError(f"unknown xc_grids {xc_grids!r} "
+                         "(expected 'uniform' or 'becke[:n_rad,n_theta]')")
+
     S, hcore, X = system.S, system.hcore, system.X
 
     def eig_all(F_k):
@@ -206,7 +238,7 @@ def kuhf_kernel(
         e_xc = 0.0
         if xcspec is not None:
             e_xc, vxc_a, vxc_b = vxc_spin_kpts(
-                aoR_k, ao_grad_k, dm_a, dm_b, weight, xcspec)
+                xc_aoR_k, xc_grad_k, dm_a, dm_b, xc_w, xcspec)
             veff_a += vxc_a
             veff_b += vxc_b
         e_k = 0.0
