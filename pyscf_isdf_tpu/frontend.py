@@ -298,7 +298,9 @@ class KRKSpU(_KMeanField):
                                 smearing_method=self.smearing_method,
                                 df=self.df, isdf_c=self.isdf_c,
                                 isdf_precision=self.isdf_precision,
-                                hubbard=self.hubbard, verbose=self.verbose)
+                                hubbard=self.hubbard,
+                                xc_grids=self.xc_grids,
+                                verbose=self.verbose)
 
 
 class KROHF(_KMeanField):

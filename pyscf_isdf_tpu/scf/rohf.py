@@ -35,6 +35,7 @@ def rohf_kernel(
     df: str = "fftdf",
     isdf_c: float = 8.0,
     verbose: bool = False,
+    xc_grids: str = "uniform",
 ):
     """Run ROHF (xc=None) or ROKS (LDA/GGA) to convergence.
 
@@ -66,6 +67,26 @@ def rohf_kernel(
         from pyscf_isdf_tpu.ops.ao_eval import ao_gradient_fft
 
         ao_grad = ao_gradient_fft(aoR, mesh, jnp.asarray(system.Gv, aoR.dtype))
+
+    # XC-quadrature seam (opt-in Becke atomic grids, ops/becke.py) —
+    # _spin_vxc takes scalar or per-point weights, so only arrays swap
+    xc_ao, xc_grad, xc_w = aoR, ao_grad, weight
+    if xcspec is not None and xc_grids.startswith("becke"):
+        from pyscf_isdf_tpu.ops import becke as becke_mod
+
+        if ":" in xc_grids:
+            n_rad, n_theta = map(int, xc_grids.split(":", 1)[1].split(","))
+            bg = becke_mod.build_becke_grids(cell, n_rad=n_rad,
+                                             n_theta=n_theta)
+        else:
+            bg = becke_mod.build_becke_grids(cell)
+        xc_ao, xc_grad = becke_mod.eval_ao_and_grad(
+            cell, bg.coords, dtype=aoR.dtype,
+            need_grad=xcspec.family == "gga")
+        xc_w = jnp.asarray(bg.weights, dtype=aoR.dtype)
+    elif xc_grids != "uniform" and not xc_grids.startswith("becke"):
+        raise ValueError(f"unknown xc_grids {xc_grids!r} "
+                         "(expected 'uniform' or 'becke[:n_rad,n_theta]')")
 
     if df not in ("fftdf", "isdf"):
         raise ValueError(f"unknown df engine {df!r}: use 'fftdf' or 'isdf'")
@@ -131,8 +152,8 @@ def rohf_kernel(
         e_xc = 0.0
         if xcspec is not None:
             e_xc, vxc_a, vxc_b = _spin_vxc(
-                aoR, ao_grad, jnp.asarray(dm_a, aoR.dtype),
-                jnp.asarray(dm_b, aoR.dtype), weight, xcspec)
+                xc_ao, xc_grad, jnp.asarray(dm_a, aoR.dtype),
+                jnp.asarray(dm_b, aoR.dtype), xc_w, xcspec)
             veff_a += vxc_a
             veff_b += vxc_b
         e_k = 0.0

@@ -222,6 +222,34 @@ def test_all_electron_cusp_advantage():
 
 
 @pytest.mark.slow
+def test_mesh_free_all_electron_route():
+    # the composed all-electron route: analytic aegdf J/K + Becke XC on
+    # a deliberately hopeless 16^3 scaffold mesh must land within ~1 mHa
+    # of the dense 64^3 FFTDF reference (measured 3.2e-4; the pure 16^3
+    # mesh is off by 0.48 Ha, and even 48^3 is still 3.5 mHa out for the
+    # sto-6g core) — neither J/K nor XC touches the fine mesh
+    import pyscf_isdf_tpu as pit
+
+    L = 3.5 / BOHR
+
+    def mk(mesh):
+        return build_cell(np.eye(3) * L, [["He", (L / 2, L / 2, L / 2)]],
+                          basis="sto-6g", pseudo=None, mesh=[mesh] * 3,
+                          unit="bohr")
+
+    ref = pit.RKS(mk(64), xc="lda,vwn")
+    ref.exxdiv = None
+    e_ref = ref.run()
+
+    mf = pit.RKS(mk(16), xc="lda,vwn")
+    mf.exxdiv = None
+    mf.df = "aegdf"
+    mf.xc_grids = "becke:30,8"
+    e_ae = mf.run()
+    assert abs(e_ae - e_ref) < 1e-3, (e_ae, e_ref)
+
+
+@pytest.mark.slow
 def test_scf_becke_matches_uniform(diamond):
     # two independent quadratures of the same XC functional must agree
     # to the default grid's measured resolution (~1.5e-4 Ha on this cell,
